@@ -1,0 +1,79 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+Tokenization, quality scoring, language-ID heuristics, and document
+fingerprinting — all as JVM-side column expressions (split / higher-order
+functions / md5), so they vectorize and need no Python workers. The MinHash
+machinery built on these lives in ``operators.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny marker-word tables for the heuristic language scorer
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space split, matching SQL string_split)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda w: w.isin(*stopwords))).cast("long")
+
+
+def chars_per_token(text: Column, n_chars: Column) -> Column:
+    """Mean token length proxy: chars / tokens (double)."""
+    return n_chars.cast("double") / F.size(tokens(text)).cast("double")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-word hit count for one language."""
+    return F.size(F.filter(tokens(text), lambda w: w.isin(*LANG_MARKERS[lang]))).cast("long")
+
+
+def lang_guess(text: Column) -> Column:
+    """Pick the language whose marker set hits most (ties: en > de > fr).
+
+    A deliberately simple n-gram-free heuristic; deterministic, so it is
+    fully oracle-expressible as nested CASE on the same scores.
+    """
+    s_en, s_de, s_fr = (lang_score(text, l) for l in ("en", "de", "fr"))
+    return (
+        F.when((s_en >= s_de) & (s_en >= s_fr), "en")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of lowercased text."""
+    return F.md5(F.lower(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """All k-token shingles of the text, in document order.
+
+    Built from sequence+transform (codegen'd); returns array<string>.
+    Documents shorter than k tokens yield an empty array.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )

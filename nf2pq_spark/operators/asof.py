@@ -1,0 +1,73 @@
+"""As-of join (SURVEY.md §2.3 J8): for each left row, the latest right row
+at-or-before its timestamp, per key.
+
+Spark has no native ASOF JOIN. The robust distributed formulation is the
+union-tag trick:
+
+1. tag both sides and union them on (key, ts) with the right side's payload
+   columns nulled on left rows,
+2. one window per key ordered by (ts, side) — right rows sort *before* left
+   rows at equal ts, so an exact-tie match is picked up (>= semantics),
+3. ``last(payload, ignorenulls=True)`` over unbounded-preceding..current row
+   carries the most recent right payload forward,
+4. keep only left rows.
+
+Scale: exactly ONE shuffle (on the key, for the window) regardless of table
+sizes — strictly better than the join-then-filter formulation, which shuffles
+both sides *and* explodes matches before pruning to rank 1. Skewed keys are
+the usual caveat; AQE handles moderate skew, salting is the escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: latest ``right`` row with ``right_ts <= left_ts`` per ``on``.
+
+    Returns all columns of ``left`` plus ``payload`` columns from ``right``.
+    ``how='left'`` keeps unmatched left rows (payload → null), matching
+    DuckDB's ``ASOF LEFT JOIN``; ``how='inner'`` drops them.
+    """
+    lcols = left.columns
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    for c in payload:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+
+    r_tag = right.select(
+        F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"), *payload
+    )
+    for c in lcols:
+        if c != on:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    unioned = l_tag.select(on, "__ts", "__side", *[c for c in lcols if c != on], *payload) \
+        .unionByName(r_tag.select(on, "__ts", "__side",
+                                  *[c for c in lcols if c != on], *payload))
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in payload]
+    )
+    out = (
+        filled.filter(F.col("__side") == 1)
+        .select(*lcols, *[F.col(f"__asof_{c}").alias(c) for c in payload])
+    )
+    if how == "inner":
+        out = out.dropna(subset=[payload[0]])
+    return out

@@ -1,0 +1,124 @@
+"""Deduplication operators for the LLM-data-pipeline surface (SURVEY §2.10).
+
+- exact dedup: hash-groupBy on a normalized fingerprint — one shuffle.
+- MinHash+LSH near-dup: shingle → per-band lexicographic-min of
+  md5(band_salt ‖ shingle) → band-bucket grouping → candidate pairs →
+  exact Jaccard verification. All hashing is md5-based so every stage is
+  deterministic AND reproducible by the DuckDB oracle (no engine-private
+  hash functions in the graded path).
+- SimHash: 64-bit signature from per-token md5 bit votes; near-dups =
+  signatures within a Hamming radius.
+
+Scale notes: MinHash/LSH is the linear-ish path — candidate generation
+shuffles on (band, bucket) instead of the O(n²) cross join; band buckets
+with huge populations (boilerplate docs) should be capped or salted. The
+brute-force pair verify only ever runs on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum-id row per normalized-text fingerprint."""
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n_bands: int = 4,
+                      shingle_k: int = 3) -> DataFrame:
+    """Append ``band_0..band_{n-1}`` MinHash columns.
+
+    Each band's hash is the lexicographic min of md5("b{i}|" + shingle) over
+    the document's k-token shingles — deterministic, oracle-expressible, and
+    computed in one codegen'd projection (no shuffle, no Python).
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+    out = df.withColumn("__sh", sh)
+
+    def band_hash(salt: str):
+        # one-arg closure: a default-arg lambda would change the reflected
+        # arity and make Spark bind the element *index* to the extra param
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    for b in range(n_bands):
+        out = out.withColumn(
+            f"band_{b}", F.array_min(F.transform("__sh", band_hash(f"b{b}|")))
+        )
+    return out.drop("__sh")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_bands: int = 4) -> DataFrame:
+    """Near-dup candidate pairs: documents sharing any band bucket.
+
+    Scale: shuffles on the band hash (bucket sizes ~1 for distinct docs);
+    never materializes the cross product.
+    """
+    sig = minhash_signature(df.select(id_col, text_col), text_col, n_bands)
+    pairs = None
+    for b in range(n_bands):
+        band = sig.select(F.col(id_col), F.col(f"band_{b}").alias("__h"))
+        p = (
+            band.alias("a")
+            .join(band.alias("b"), on="__h")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.6) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs; keeps pairs ≥ threshold."""
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__t")
+    )
+    j = (
+        candidates.join(toks.withColumnRenamed(id_col, "id_a")
+                        .withColumnRenamed("__t", "__ta"), "id_a")
+        .join(toks.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("__t", "__tb"), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__ta", "__tb")).cast("double"))
+        .withColumn("__union", F.size(F.array_union("__ta", "__tb")).cast("double"))
+        .withColumn("jaccard", F.round(F.col("__inter") / F.col("__union"), 6))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash from per-token xxhash64 bit votes.
+
+    For each bit position, majority vote over the document's distinct tokens'
+    hash bits. Pure column expressions (bitwise ops over an exploded-free
+    higher-order aggregate); xxhash64 is Spark-native so this variant is
+    rows-only for grading (the oracle lacks the same hash).
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(mask: int):
+        # two-arg closure (see band_hash note about lambda arity)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for bit in range(64):
+        # signed-long masks: bit 63 is the sign bit in Java's long
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        votes = F.aggregate(hashes, F.lit(0), vote(mask))
+        bit_cols.append(F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig.bitwiseOR(c)
+    return df.withColumn(out_col, sig)

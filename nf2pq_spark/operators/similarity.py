@@ -1,0 +1,86 @@
+"""Vector similarity search (SURVEY §2.10 L3).
+
+Two paths:
+
+- ``brute_force_topk`` — exact top-k cosine neighbors. The query set is
+  broadcast against the candidate scan, the dot product runs as codegen'd
+  higher-order functions, and ranking is a per-query-key window. At scale
+  this is the *correct* baseline when |queries| is modest: the candidate
+  table streams once, no shuffle of the big side, one shuffle for ranking
+  keyed by query id.
+
+- ``lsh_topk`` — sign-random-projection (SimHash-for-vectors) bucketing:
+  candidates that share a hyperplane-sign prefix with the query are ranked
+  exactly. The hyperplanes are deterministic pseudo-random vectors derived
+  from sin(), so runs are reproducible without an RNG. This is the 100 TB
+  path: bucket cardinality ~n/2^bits, shuffle keyed on bucket id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine, dot
+
+
+def _ranked(joined: DataFrame, k: int, round_to: int = 6) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("__cos"), F.asc("c_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "rn",
+                F.round("__cos", round_to).alias("cos_sim"))
+    )
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors.
+
+    ``queries``: (q_id, qv: array<double>); ``candidates``: (c_id, cv).
+    Self-pairs (q_id == c_id) are excluded.
+    """
+    j = (
+        candidates.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
+        .withColumn("__cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked(j, k)
+
+
+def hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (sin-hash grid)."""
+    return [
+        [math.sin(0.7 + 13.37 * b + 0.61803 * d) for d in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bucket id (long) for a vector column."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
+             bits: int = 4, dim: int = 64) -> DataFrame:
+    """Approximate top-k: exact ranking within the query's SRP bucket.
+
+    Scale: candidates shuffle once on bucket id; each query only scans
+    ~n/2^bits candidates. Recall is tunable via ``bits`` (fewer bits →
+    bigger buckets → higher recall).
+    """
+    planes = hyperplanes(dim, bits)
+    q = queries.withColumn("__bkt", srp_bucket(F.col("qv"), planes))
+    c = candidates.withColumn("__bkt", srp_bucket(F.col("cv"), planes))
+    j = (
+        c.join(F.broadcast(q), on="__bkt")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("__cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked(j, k)

@@ -1,0 +1,11 @@
+from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
+
+# importing the plan modules populates REGISTRY
+from . import relational  # noqa: E402,F401
+from . import scalar_fns  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401
+from . import llm  # noqa: E402,F401
+from . import udf_surface  # noqa: E402,F401
+from . import streaming_q  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

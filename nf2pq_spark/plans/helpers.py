@@ -1,0 +1,66 @@
+"""Shared helpers for oracle-exact aggregates.
+
+Float sums are order-nondeterministic under parallel aggregation, and —
+verified empirically — ``round(double, k)`` itself disagrees between engines
+near scale boundaries (Spark rounds the exact binary value via BigDecimal of
+the shortest repr; DuckDB rounds via binary 10^k scaling, which can land on
+an exact .5 and tie-break the other way). The fixture's money columns are
+all ≤2-decimal clean, which enables a convention with NO cross-engine
+rounding of doubles anywhere:
+
+1. cast each source double to DECIMAL(10,2) *first* — the true value has ≤2
+   decimals, so the double→decimal conversion is never near a rounding
+   boundary and is identical in both engines;
+2. all arithmetic in decimal (exact, order-independent; precision grows
+   (p1+p2, s1+s2) per multiply — two money factors max, staying under 38);
+3. exact decimal SUM, cast to DOUBLE at the very end (correctly-rounded
+   conversion of identical decimals → identical doubles);
+4. averages = double(sum) / COUNT — identical doubles divided by identical
+   longs are bit-identical; never decimal÷decimal (scale rules differ).
+
+Rounding remains ONLY for genuinely order-dependent or engine-divergent
+computations (stddev/corr, transcendentals, pandas aggregations), where the
+error ≪ the rounding grid and boundary hits are probabilistically nil.
+
+Computed ints (year, size, row_number, …) are cast to BIGINT on the Spark
+side: DuckDB's len()/year()/row_number() are BIGINT and its sum(int) is
+HUGEINT (cast the oracle's integer SUM to BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: exact money type: fixture values < 10^8 with ≤2 decimals
+MONEY = "decimal(10,2)"
+
+
+def m(col: Column | str) -> Column:
+    """Exact decimal view of a money/value column (boundary-free cast)."""
+    return (F.col(col) if isinstance(col, str) else col).cast(MONEY)
+
+
+def msql(col: str) -> str:
+    """Oracle-side twin of :func:`m`."""
+    return f"CAST({col} AS DECIMAL(10,2))"
+
+
+def dsum(expr: Column, alias: str) -> Column:
+    """Exact (decimal-expression) sum surfaced as double."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def davg(expr: Column, alias: str) -> Column:
+    """Exact-sum mean: double(sum)/count, bit-identical across engines."""
+    return (F.sum(expr).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def osum(sql_expr: str, alias: str) -> str:
+    """Oracle-side twin of :func:`dsum` (pass a decimal-typed expression)."""
+    return f"CAST(SUM({sql_expr}) AS DOUBLE) AS {alias}"
+
+
+def oavg(sql_expr: str, alias: str) -> str:
+    """Oracle-side twin of :func:`davg`."""
+    return f"CAST(SUM({sql_expr}) AS DOUBLE) / COUNT(*) AS {alias}"

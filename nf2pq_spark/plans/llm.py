@@ -1,0 +1,310 @@
+"""LLM-data-pipeline operator catalog (SURVEY §2.10; north star surface).
+
+Dedup (exact + MinHash/LSH), vector similarity search, text analysis,
+multimodal doc⋈embedding joins. Everything hash-based uses md5 so the
+DuckDB oracle can reproduce it exactly; only genuinely approximate /
+engine-hash-specific variants (SimHash, xxhash LSH) are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (LANG_MARKERS, STOPWORDS, fingerprint, lang_guess,
+                              lang_score, tokens)
+from ..functions.vectors import as_double_array
+from ..operators.dedup import (exact_dedup, jaccard_pairs, lsh_candidate_pairs,
+                               minhash_signature, simhash64)
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "l1_exact_dedup_stats",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT md5(lower(text))) AS n_unique,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    description="exact dedup stats per source: distinct normalized-text "
+    "fingerprints (L1). Scale: one shuffle; fingerprint map-side.",
+    tags=("L1",),
+    bench=True,
+)
+def l1_exact_dedup_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "l1b_exact_dedup_keep",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))
+    """,
+    description="exact dedup keeping min-id doc per fingerprint (L1)",
+    tags=("L1",),
+)
+def l1b_exact_dedup_keep(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "l2_minhash_bands",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS shingles
+      FROM toks
+    )
+    SELECT list_min(list_transform(shingles, s -> md5('b0|' || s))) AS band_0,
+           list_min(list_transform(shingles, s -> md5('b1|' || s))) AS band_1,
+           MIN(doc_id) AS min_doc, COUNT(*) AS n_docs
+    FROM sh
+    GROUP BY 1, 2
+    """,
+    description="MinHash band buckets (L2): md5-based per-band signatures, "
+    "grouped — docs sharing a bucket are near-dup candidates. Fully "
+    "deterministic, oracle-checkable.",
+    tags=("L2",),
+    bench=True,
+)
+def l2_minhash_bands(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signature(d, "text", n_bands=2)
+    return sig.groupBy("band_0", "band_1").agg(
+        F.min("doc_id").alias("min_doc"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "l2b_neardup_pairs",
+    oracle=None,  # pipeline composition (LSH candidates → Jaccard verify)
+    description="near-dup pairs via MinHash LSH + exact Jaccard ≥ 0.5 (L2; "
+    "rows-only: multi-stage pipeline)",
+    tags=("L2",),
+)
+def l2b_neardup_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = lsh_candidate_pairs(d, n_bands=4)
+    return jaccard_pairs(d, cands, threshold=0.5)
+
+
+@register(
+    "l2c_simhash",
+    oracle=None,  # xxhash64-based — no oracle equivalent
+    description="64-bit SimHash signatures + per-prefix population (L2; "
+    "rows-only: Spark-native xxhash64)",
+    tags=("L2",),
+)
+def l2c_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = simhash64(d)
+    return sig.groupBy((F.col("simhash") % 256).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "l3_cosine_topk",
+    oracle="""
+    SELECT q_id, c_id, rn, cos_sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             CAST(ROW_NUMBER() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                           c.vec_id) AS BIGINT) AS rn,
+             CAST(ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])), 6)
+                  AS DOUBLE) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rn <= 5
+    """,
+    description="brute-force exact top-5 cosine neighbors for 10 query "
+    "vectors (L3). Scale: queries broadcast, candidates stream once, "
+    "ranking shuffles on q_id only.",
+    tags=("L3",),
+    bench=True,
+)
+def l3_cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("cv"))
+    return brute_force_topk(q, c, k=5)
+
+
+@register(
+    "l3b_lsh_topk",
+    oracle=None,  # approximate by construction
+    description="LSH-bucketed approximate top-k cosine (L3 scale path; "
+    "rows-only: recall<1 by design)",
+    tags=("L3",),
+)
+def l3b_lsh_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("cv"))
+    return lsh_topk(q, c, k=5, bits=2)
+
+
+@register(
+    "l4_text_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+               AS avg_chars,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+    description="per-language corpus statistics (L4)",
+    tags=("L4",),
+)
+def l4_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("total_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.max(n_tokens.cast("long")).alias("max_tokens"),
+    )
+
+
+@register(
+    "l4b_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+                AS DOUBLE) AS chars_per_token,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ({','.join(repr(w) for w in STOPWORDS)}))) AS BIGINT)
+               AS n_stop,
+           CAST(ROUND(CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ({','.join(repr(w) for w in STOPWORDS)}))) AS DOUBLE)
+                / len(string_split(text, ' ')), 4) AS DOUBLE) AS stop_ratio
+    FROM documents
+    """,
+    description="per-document quality features: token count, chars/token, "
+    "stopword ratio (L4)",
+    tags=("L4",),
+)
+def l4b_quality_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / F.size(toks), 4).alias("chars_per_token"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop.cast("double") / F.size(toks), 4).alias("stop_ratio"),
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    return (f"len(list_filter(string_split(text, ' '), "
+            f"w -> w IN ({','.join(repr(w) for w in LANG_MARKERS[lang])})))")
+
+
+@register(
+    "l4c_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_marker_sql('en')} AS s_en,
+             {_marker_sql('de')} AS s_de,
+             {_marker_sql('fr')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS guessed,
+           CAST(s_en AS BIGINT) AS s_en
+    FROM s
+    """,
+    description="marker-word language-ID heuristic (L4): deterministic "
+    "argmax over per-language stopword hit counts",
+    tags=("L4",),
+)
+def l4c_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_guess(F.col("text")).alias("guessed"),
+        lang_score(F.col("text"), "en").alias("s_en"),
+    )
+
+
+@register(
+    "l5_multimodal_join",
+    oracle="""
+    SELECT d.lang, e.label, COUNT(*) AS n,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS tokens,
+           CAST(SUM(CAST(list_aggregate(CAST(e.embedding AS DOUBLE[]), 'sum')
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_vec_sums
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+    description="multimodal doc⋈embedding join: text + vector columns "
+    "side-by-side (L5)",
+    tags=("L5",),
+)
+def l5_multimodal_join(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    vec_sum = F.aggregate(as_double_array("embedding"), F.lit(0.0), lambda a, x: a + x)
+    return (
+        d.join(e, e.vec_id == d.doc_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("tokens"),
+            F.sum(vec_sum.cast("decimal(18,6)")).cast("double").alias("sum_vec_sums"),
+        )
+    )
+
+
+@register(
+    "l6_label_centroids",
+    oracle="""
+    SELECT label, CAST(d + 1 AS BIGINT) AS dim,
+           CAST(SUM(CAST(CAST(embedding[d + 1] AS DOUBLE)
+                AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM embeddings CROSS JOIN (SELECT CAST(range AS INT) AS d FROM range(64)) dims
+    GROUP BY label, d
+    """,
+    description="per-label centroid, dimension-wise (L6): posexplode + "
+    "group. Scale: shuffle keyed (label, dim) → 640 cells; partial agg "
+    "map-side keeps the explode local.",
+    tags=("L6",),
+)
+def l6_label_centroids(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(as_double_array("embedding")).alias("d", "val"))
+        .groupBy("label", (F.col("d") + 1).cast("long").alias("dim"))
+        .agg(
+            (F.sum(F.col("val").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1)))
+            .alias("centroid")
+        )
+    )

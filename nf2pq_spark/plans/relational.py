@@ -1,0 +1,936 @@
+"""Core relational operator catalog (SURVEY.md §2.2–§2.7).
+
+Each entry pairs an idiomatic DataFrame implementation with a DuckDB oracle.
+Naming follows the SURVEY §2 inventory ids. Money arithmetic follows the
+exact-decimal convention in plans.helpers (no cross-engine double rounding).
+Scale notes appear on entries whose plan shape matters at 100 TB
+(broadcasts, shuffle keys, top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .helpers import davg, dsum, m, msql, oavg, osum
+from .registry import register
+
+_DISC_PRICE = f"{msql('l_extendedprice')} * (1 - {msql('l_discount')})"
+_CHARGE = f"{_DISC_PRICE} * (1 + {msql('l_tax')})"
+
+# ---------------------------------------------------------------------------
+# M0 flagship — pricing summary (TPC-H Q1 shape): S1+P1–P3+A1+O1 in one query.
+# Scale: single shuffle on a 6-value grouping key with map-side partial agg;
+# the parquet scan prunes to 7 columns and pushes the shipdate filter down.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum(msql('l_quantity'), 'sum_qty')},
+           {osum(msql('l_extendedprice'), 'sum_base_price')},
+           {osum(_DISC_PRICE, 'sum_disc_price')},
+           {osum(_CHARGE, 'sum_charge')},
+           {oavg(msql('l_quantity'), 'avg_qty')},
+           {oavg(msql('l_extendedprice'), 'avg_price')},
+           {oavg(msql('l_discount'), 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="per-flag/status pricing rollup (flagship; TPC-H Q1 shape)",
+    tags=("A1", "P1", "P2", "O1"),
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = m("l_extendedprice") * (1 - m("l_discount"))
+    charge = disc_price * (1 + m("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(m("l_quantity"), "sum_qty"),
+            dsum(m("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(m("l_quantity"), "avg_qty"),
+            davg(m("l_extendedprice"), "avg_price"),
+            davg(m("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_filter_project",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(ROUND({msql('o_totalprice')} * CAST(0.9 AS DECIMAL(2,1)), 2)
+                AS DOUBLE) AS discounted
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    description="filter + computed projection (P1,P2,P3); money factor in "
+    "exact decimal",
+    tags=("P1", "P2", "P3"),
+)
+def p2_filter_project(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_totalprice").between(50000, 200000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.round(m("o_totalprice") * F.expr("CAST(0.9 AS DECIMAL(2,1))"), 2)
+            .cast("double")
+            .alias("discounted"),
+        )
+    )
+
+
+@register(
+    "p3_like_rlike",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%bolt%'
+      AND regexp_matches(p_name, '^(cold|small|large)')
+      AND p_size IS NOT NULL
+      AND NOT (p_brand = 'Brand#00')
+    """,
+    description="LIKE / regex / null-check predicates (P3)",
+    tags=("P3",),
+)
+def p3_like_rlike(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_name").like("%bolt%")
+            & F.col("p_name").rlike("^(cold|small|large)")
+            & F.col("p_size").isNotNull()
+            & ~(F.col("p_brand") == "Brand#00")
+        ).select("p_partkey", "p_name", "p_type")
+    )
+
+
+@register(
+    "p4_case_coalesce",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_class,
+           COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS seg,
+           GREATEST(c_acctbal, 0.0) AS pos_bal
+    FROM customer
+    """,
+    description="CASE WHEN / NULLIF / COALESCE / GREATEST (P4)",
+    tags=("P4",),
+)
+def p4_case_coalesce(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR")).alias("seg"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("pos_bal"),
+    )
+
+
+@register(
+    "p5_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+           CAST(l_orderkey AS VARCHAR) AS key_str
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    description="type coercion battery (P5; integral-valued only — Spark "
+    "truncates double→int while DuckDB rounds)",
+    tags=("P5",),
+)
+def p5_casts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("ln_dbl"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+    )
+
+
+@register(
+    "p6_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    description="SELECT DISTINCT projection (P6)",
+    tags=("P6",),
+)
+def p6_distinct(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_inner_join",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate,
+           {osum(_DISC_PRICE, 'revenue')},
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderkey, o_orderdate
+    """,
+    description="inner equi-join + group (J1). Scale: both sides shuffle on "
+    "orderkey; AQE handles skew. Filter pushed below the join.",
+    tags=("J1",),
+    bench=True,
+)
+def j1_inner_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dsum(m("l_extendedprice") * (1 - m("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j2_left_outer",
+    oracle=f"""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM({msql('o_totalprice')}), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_totalprice > 250000
+    GROUP BY c_custkey, c_name
+    """,
+    description="left outer join preserving customers with no matches (J2)",
+    tags=("J2",),
+)
+def j2_left_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 250000), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(m("o_totalprice")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "j2b_full_outer",
+    oracle="""
+    WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n_orders
+               FROM orders WHERE year(o_orderdate) >= 1996 GROUP BY 1),
+         l AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS y, COUNT(*) AS n_items
+               FROM lineitem WHERE year(l_shipdate) <= 2000 GROUP BY 1)
+    SELECT COALESCE(o.y, l.y) AS y, o.n_orders, l.n_items
+    FROM o FULL JOIN l ON o.y = l.y
+    """,
+    description="full outer join with unmatched rows on both sides (J2)",
+    tags=("J2",),
+)
+def j2b_full_outer(spark, sf_dir):
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") >= 1996)
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") <= 2000)
+        .groupBy(F.year("l_shipdate").cast("long").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    return o.join(li, o.y == li.y, "full").select(
+        F.coalesce(o.y, li.y).alias("y"), "n_orders", "n_items"
+    )
+
+
+@register(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    description="left semi join: existence filter (J3)",
+    tags=("J3",),
+)
+def j3_semi_join(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    description="left anti join: non-existence filter (J4)",
+    tags=("J4",),
+)
+def j4_anti_join(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "j5_star_broadcast",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {osum(_DISC_PRICE, 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, n_name
+    """,
+    description="star join with explicit dim broadcasts (J5). Scale: the "
+    "fact table never shuffles for the joins — all three dims broadcast; "
+    "the only shuffle is the final 25-key aggregation.",
+    tags=("J5", "J1", "A1"),
+    bench=True,
+)
+def j5_star_broadcast(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(m("l_extendedprice") * (1 - m("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j6_theta_join",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS n_pairs,
+           {osum(f"{msql('s_acctbal')} - {msql('p_retailprice')}", 'bal_gap')}
+    FROM part JOIN supplier ON s_acctbal > p_retailprice
+    WHERE p_size > 40
+    GROUP BY p_brand
+    """,
+    description="non-equi (theta) join → broadcast nested loop (J6). Scale: "
+    "keep the small side broadcast; a pure theta join is O(n·m) by nature.",
+    tags=("J6",),
+)
+def j6_theta_join(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        p.join(s, s.s_acctbal > p.p_retailprice, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(m("s_acctbal") - m("p_retailprice"), "bal_gap"),
+        )
+    )
+
+
+@register(
+    "j7_range_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_shipped_fast
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+    description="equi+range interval join (J7). Scale: the equi key carries "
+    "the shuffle; the range predicate evaluates post-match (no nested loop).",
+    tags=("J7",),
+)
+def j7_range_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return (
+        o.join(li, cond, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_shipped_fast"))
+    )
+
+
+@register(
+    "j9_cross_join",
+    oracle="""
+    SELECT r_name, n_name, CAST(r_regionkey = n_regionkey AS BOOLEAN) AS is_home
+    FROM region CROSS JOIN nation
+    """,
+    description="explicit cartesian product (J9) — dims only; never the fact table",
+    tags=("J9",),
+)
+def j9_cross_join(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home")
+    )
+
+
+@register(
+    "j10_self_join",
+    oracle="""
+    SELECT a.n_name AS n1, b.n_name AS n2, a.n_regionkey AS rk
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    description="self join: same-region nation pairs (J10)",
+    tags=("J10",),
+)
+def j10_self_join(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_name").alias("n1"),
+            F.col("b.n_name").alias("n2"),
+            F.col("a.n_regionkey").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_global_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
+           {osum(msql('l_quantity'), 'sum_qty')},
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+    description="global (ungrouped) aggregate (A2)",
+    tags=("A2",),
+)
+def a2_global_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(m("l_quantity"), "sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "a3_distinct_agg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio,
+           CAST(SUM(DISTINCT {msql('o_totalprice')}) AS DOUBLE) AS sum_dist_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="distinct aggregates (A3)",
+    tags=("A3",),
+)
+def a3_distinct_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.sum_distinct(m("o_totalprice")).cast("double").alias("sum_dist_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a4_approx_distinct",
+    oracle=None,  # approximate — driver records rows-only check
+    description="HLL approx_count_distinct (A4; rows-only by design)",
+    tags=("A4",),
+)
+def a4_approx_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+@register(
+    "a5_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(median(l_extendedprice), 4) AS DOUBLE) AS med_price,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price,
+           CAST(ROUND(quantile_cont(l_quantity, 0.25), 4) AS DOUBLE) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="exact interpolated percentiles (A5)",
+    tags=("A5",),
+)
+def a5_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", 0.25), 4).alias("q1_qty"),
+    )
+
+
+@register(
+    "a6_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(stddev_samp(l_quantity), 4) AS DOUBLE) AS sd_qty,
+           CAST(ROUND(var_samp(l_discount), 8) AS DOUBLE) AS var_disc,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price,
+           CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DOUBLE) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="statistical aggregates (A6; rounded — order-dependent floats)",
+    tags=("A6",),
+)
+def a6_stats_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+@register(
+    "a7_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {osum(msql('l_quantity'), 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    description="rollup subtotals (A7)",
+    tags=("A7",),
+    bench=True,
+)
+def a7_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(m("l_quantity"), "sum_qty")
+    )
+
+
+@register(
+    "a7b_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {osum(msql('o_totalprice'), 'sum_price')}
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    description="cube subtotals (A7)",
+    tags=("A7",),
+)
+def a7b_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(m("o_totalprice"), "sum_price")
+    )
+
+
+@register(
+    "a8_collect",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           list_sort(list(DISTINCT o_orderpriority)) AS prios
+    FROM orders WHERE o_totalprice > 400000
+    GROUP BY o_custkey
+    """,
+    description="per-group collected lists/sets, sorted for determinism (A8)",
+    tags=("A8",),
+)
+def a8_collect(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+    )
+
+
+@register(
+    "a9_conditional_agg",
+    oracle=f"""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {msql('l_extendedprice')}
+                         ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+               AS returned_value,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    description="filtered / conditional aggregates (A9)",
+    tags=("A9",),
+)
+def a9_conditional_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", m("l_extendedprice")).otherwise(
+        F.lit(0).cast("decimal(10,2)")
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        dsum(returned, "returned_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a10_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS top_order,
+           arg_min(o_orderkey, o_totalprice) AS bottom_order,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="arg_min/arg_max per-group picks (A10)",
+    tags=("A10",),
+)
+def a10_minmax_by(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_ranking",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+                 CAST(RANK() OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+                 CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC) AS BIGINT) AS drnk
+          FROM customer) t
+    WHERE rn <= 3
+    """,
+    description="ranking window functions + top-3 per nation (W1, W4)",
+    tags=("W1", "W4"),
+)
+def w1_ranking(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    w_det = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w_det).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="lag/lead analytic windows over the event stream (W2)",
+    tags=("W2",),
+)
+def w2_lag_lead(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "w3_running_frames",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM({msql('o_totalprice')}) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS run_total,
+           CAST(SUM({msql('o_totalprice')}) OVER w3 AS DOUBLE)
+               / COUNT(*) OVER w3 AS mov_avg,
+           first_value(o_orderkey) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+    FROM orders
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    description="running totals + moving average frames (W3); exact decimal "
+    "window sums",
+    tags=("W3",),
+)
+def w3_running_frames(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w3 = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, Window.currentRow)
+    dec_price = m("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec_price).over(w_run).cast("double").alias("run_total"),
+        (F.sum(dec_price).over(w3).cast("double") / F.count(F.lit(1)).over(w3))
+        .alias("mov_avg"),
+        F.first("o_orderkey").over(
+            Window.partitionBy("o_custkey").orderBy(*order)
+        ).alias("first_order"),
+    )
+
+
+@register(
+    "w4_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                      ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+          FROM part) t
+    WHERE rn <= 3
+    """,
+    description="top-k rows per group (W4). Scale: one shuffle on the "
+    "group key; no global sort.",
+    tags=("W4",),
+    bench=True,
+)
+def w4_topk_per_group(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    description="global top-k: sort+limit → TakeOrderedAndProject, no full "
+    "sort at scale (O1,O3)",
+    tags=("O1", "O3"),
+)
+def o1_top10_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "o2_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 5
+    """,
+    description="limit+offset over a total order (O2)",
+    tags=("O2",),
+)
+def o2_limit_offset(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .select("c_custkey", "c_acctbal")
+        .offset(5)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT c_custkey AS k, 'cust' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT o_custkey AS k, 'ord' AS src FROM orders WHERE o_totalprice > 400000
+    """,
+    description="union all, duplicates preserved (U1)",
+    tags=("U1",),
+)
+def u1_union_all(spark, sf_dir):
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"), F.lit("cust").alias("src"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("k"), F.lit("ord").alias("src"))
+    )
+    return c.unionByName(o)
+
+
+@register(
+    "u2_union_distinct",
+    oracle="""
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+    """,
+    description="union distinct (U2)",
+    tags=("U2",),
+)
+def u2_union_distinct(spark, sf_dir):
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "u3_intersect",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+    """,
+    description="intersect distinct (U3)",
+    tags=("U3",),
+)
+def u3_intersect(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+@register(
+    "u4_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    description="except distinct (U4)",
+    tags=("U4",),
+)
+def u4_except(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return c.subtract(o)

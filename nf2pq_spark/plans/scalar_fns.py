@@ -1,0 +1,273 @@
+"""Scalar function battery (SURVEY.md §2.8): strings, dates, math, arrays,
+JSON, net/flow helpers, hashing. One query per family, each a thin
+projection so the function mapping itself is what's under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import flownet
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "f1_strings",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 5) AS pfx,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_name, ' ', '_') AS snake,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(strpos(p_name, 'bolt') AS BIGINT) AS bolt_pos,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS devowel,
+           trim(concat(' ', p_brand, ' ')) AS trimmed
+    FROM part
+    """,
+    description="string function battery (F1)",
+    tags=("F1",),
+)
+def f1_strings(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.instr("p_name", "bolt").cast("long").alias("bolt_pos"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("devowel"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "f2_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+               AS days_since,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od
+    FROM orders WHERE o_orderkey < 500
+    """,
+    description="date/time function battery (F2). dow = ISO weekday "
+    "(Spark weekday()+1 == DuckDB isodow)",
+    tags=("F2",),
+)
+def f2_dates(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.last_day("o_orderdate").cast("string").alias("eom"),
+        F.col("o_orderdate").cast("date").cast("string").alias("od"),
+    )
+
+
+@register(
+    "f3_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_extendedprice) AS sqrt_price,
+           CAST(ROUND(ln(l_extendedprice), 6) AS DOUBLE) AS ln_price,
+           CAST(ROUND(exp(l_discount), 6) AS DOUBLE) AS exp_disc,
+           CAST(ROUND(pow(l_quantity, 2), 4) AS DOUBLE) AS qty_sq,
+           abs(l_quantity - 25.0) AS qty_dev,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           sign(l_quantity - 25.0) AS qty_sign,
+           CAST(l_orderkey % 7 AS BIGINT) AS m7,
+           greatest(l_quantity, 10.0) AS qmax,
+           least(l_quantity, 10.0) AS qmin
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    description="math function battery (F3; transcendentals rounded — "
+    "libm last-ulp variance)",
+    tags=("F3",),
+)
+def f3_math(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+        (F.col("l_orderkey") % 7).cast("long").alias("m7"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qmax"),
+        F.least(F.col("l_quantity"), F.lit(10.0)).alias("qmin"),
+    )
+
+
+@register(
+    "f4_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS head,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4)
+                AS DOUBLE) AS vsum,
+           list_transform(CAST(embedding[1:3] AS DOUBLE[]),
+                          x -> CAST(ROUND(x * 2, 5) AS DOUBLE)) AS head2x
+    FROM embeddings
+    """,
+    description="array + higher-order function battery (F4): size, index, "
+    "max, filter, fold, transform+slice",
+    tags=("F4",),
+)
+def f4_arrays(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("head"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vsum"),
+        F.transform(F.slice(dbl, 1, 3), lambda x: F.round(x * 2, 5)).alias("head2x"),
+    )
+
+
+@register(
+    "f6_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events WHERE event_type = 'click'
+    """,
+    description="JSON extraction over the event props column (F6)",
+    tags=("F6",),
+)
+def f6_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    k_str = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k_str.alias("k_str"),
+        k_str.cast("long").alias("k"),
+        (k_str.cast("long") % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "f7_flownet",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             concat(CAST(event_id % 223 + 10 AS VARCHAR), '.',
+                    CAST((event_id // 7) % 256 AS VARCHAR), '.',
+                    CAST((event_id // 11) % 256 AS VARCHAR), '.',
+                    CAST(event_id % 256 AS VARCHAR)) AS src_ip,
+             CAST(event_id % 64 AS INT) AS flags,
+             CAST(event_id % 1024 AS INT) AS dport
+      FROM events
+    ), p AS (
+      SELECT event_id, src_ip, flags, dport,
+             CAST(split_part(src_ip, '.', 1) AS BIGINT) * 16777216 +
+             CAST(split_part(src_ip, '.', 2) AS BIGINT) * 65536 +
+             CAST(split_part(src_ip, '.', 3) AS BIGINT) * 256 +
+             CAST(split_part(src_ip, '.', 4) AS BIGINT) AS ip_int
+      FROM t
+    )
+    SELECT split_part(src_ip, '.', 1) || '.' || split_part(src_ip, '.', 2) AS net16,
+           COUNT(*) AS n_flows,
+           CAST(SUM(ip_int) AS BIGINT) AS sum_ip,
+           COUNT(*) FILTER (WHERE ip_int >= 167772160 AND ip_int < 184549376)
+               AS n_in_10slash8,
+           COUNT(*) FILTER (WHERE (flags & 2) > 0 AND (flags & 16) > 0) AS n_syn_ack,
+           COUNT(*) FILTER (WHERE dport IN (80, 443, 8080, 8443)) AS n_web
+    FROM p GROUP BY 1
+    """,
+    description="net/flow helper battery (F7): IPv4↔int, CIDR membership, "
+    "TCP-flag bits, service classes — the reference's flow-report vocabulary "
+    "exercised on synthesized addresses",
+    tags=("F7",),
+)
+def f7_flownet(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    t = ev.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            (eid % 223 + 10).cast("string"),
+            (F.expr("event_id div 7") % 256).cast("string"),
+            (F.expr("event_id div 11") % 256).cast("string"),
+            (eid % 256).cast("string"),
+        ).alias("src_ip"),
+        (eid % 64).cast("int").alias("flags"),
+        (eid % 1024).cast("int").alias("dport"),
+    )
+    ip_int = flownet.ipv4_to_long(F.col("src_ip"))
+    parts = F.split("src_ip", r"\.")
+    return (
+        t.withColumn("ip_int", ip_int)
+        .groupBy(
+            F.concat_ws(".", F.element_at(parts, 1), F.element_at(parts, 2)).alias("net16")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("ip_int").alias("sum_ip"),
+            F.count_if(flownet.in_cidr(F.col("src_ip"), "10.0.0.0/8")).alias("n_in_10slash8"),
+            F.count_if(
+                (F.col("flags").bitwiseAND(2) > 0) & (F.col("flags").bitwiseAND(16) > 0)
+            ).alias("n_syn_ack"),
+            F.count_if(flownet.service_class(F.col("dport")) == "web").alias("n_web"),
+        )
+    )
+
+
+@register(
+    "f8_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           md5(lower(text)) AS norm_md5,
+           sha256(source) AS src_sha
+    FROM documents
+    """,
+    description="deterministic hash functions (F8): md5 / sha256",
+    tags=("F8",),
+)
+def f8_hash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.md5(F.lower("text")).alias("norm_md5"),
+        F.sha2("source", 256).alias("src_sha"),
+    )

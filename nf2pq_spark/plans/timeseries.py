@@ -1,0 +1,169 @@
+"""Time-series / event-table operators (SURVEY §2.3 J8, §2.9 batch forms).
+
+The events table is the stand-in for the reference's flow stream; the
+batch-mode window queries here are the per-interval traffic rollups that
+are nf2pq's characteristic reports, expressed with F.window /
+F.session_window so exactly the same plan shape runs under Structured
+Streaming (see streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+from .helpers import dsum, m, msql, osum
+from .registry import register
+
+
+@register(
+    "t1_tumbling_hour",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n, {osum(msql('value'), 'sum_value')}
+    FROM events GROUP BY 1, 2
+    """,
+    description="tumbling 1h window rollup (T1) — the canonical flow-traffic "
+    "report. Scale: single shuffle on (bucket,type); partial agg map-side.",
+    tags=("T1",),
+    bench=True,
+)
+def t1_tumbling_hour(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(m("value"), "sum_value"))
+        .select(F.col("window.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "t1b_tumbling_15min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    description="tumbling 15-minute buckets with distinct users (T1)",
+    tags=("T1",),
+)
+def t1b_tumbling_15min(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("window.start").alias("bucket"), "n", "n_users")
+    )
+
+
+@register(
+    "t2_sliding_window",
+    oracle="""
+    WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, value FROM events),
+         u AS (SELECT b AS ws, value FROM x
+               UNION ALL
+               SELECT b - INTERVAL 15 MINUTE AS ws, value FROM x)
+    SELECT ws AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM u GROUP BY 1
+    """,
+    description="sliding 30min/15min windows (T2): every event lands in two "
+    "overlapping windows",
+    tags=("T2",),
+)
+def t2_sliding_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(m("value"), "sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "t3_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    description="gap-based session windows, 30min gap (T3). Session ends "
+    "when the next event is >= gap away (F.session_window semantics).",
+    tags=("T3",),
+)
+def t3_session_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "j8_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="as-of join (J8): latest click at-or-before each purchase, "
+    "per user — union-tag + window implementation (operators.asof), one "
+    "shuffle total",
+    tags=("J8",),
+    bench=True,
+)
+def j8_asof_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("ts").alias("click_ts"))
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["click_ts"], how="left",
+    )
+
+
+@register(
+    "t5_dedup_keys",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_minutes
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS mb
+          FROM events) t
+    GROUP BY user_id, event_type
+    """,
+    description="exact dedup on composite key (T5 batch form): distinct "
+    "(user, type, minute) occurrences",
+    tags=("T5",),
+)
+def t5_dedup_keys(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type", F.date_trunc("minute", "ts").alias("mb"))
+        .dropDuplicates(["user_id", "event_type", "mb"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_minutes"))
+    )

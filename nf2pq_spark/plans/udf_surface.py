@@ -1,0 +1,134 @@
+"""Python UDF surface (SURVEY §2.11): Arrow-vectorized pandas UDFs only —
+scalar, grouped-map (applyInPandas), grouped-agg, and mapInPandas. No
+row-at-a-time Python UDFs anywhere in the engine.
+
+Scale notes: every entry here crosses the JVM↔Python Arrow channel once
+per batch; the numeric work is vectorized numpy. Rounding conventions match
+plans.helpers so pandas' pairwise float summation still hash-matches the
+oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..sources.tables import load_table
+from .registry import register
+
+# NB: return types are DataType objects, not DDL strings — string parsing
+# requires an active SparkContext at decoration time.
+
+
+@pandas_udf(DoubleType())
+def _charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    # per-row IEEE arithmetic — bit-identical to the SQL expression
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "x1_pandas_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6))) AS DOUBLE) AS total_charge,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Arrow-vectorized scalar pandas UDF computing the charge "
+    "expression, aggregated (X1). The UDF's per-row double is cast to "
+    "DECIMAL(18,6) — the true charge has exactly 6 decimals, so the cast is "
+    "boundary-free and the sum exact.",
+    tags=("X1",),
+)
+def x1_pandas_scalar(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _charge(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(charge.cast("decimal(18,6)")).cast("double").alias("total_charge"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    std = pdf["value"].std(ddof=1)  # sample stddev, matches STDDEV_SAMP
+    mean = pdf["value"].mean()
+    z = (pdf["value"] - mean) / std if std and std > 0 else pd.Series([None] * len(pdf))
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z.round(6)}
+    )
+
+
+@register(
+    "x2_apply_in_pandas",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6)
+                AS DOUBLE) AS znorm
+    FROM events WINDOW w AS (PARTITION BY user_id)
+    """,
+    description="grouped-map applyInPandas: z-score normalize event values "
+    "per user (X2 — the canonical normalize-per-group shape)",
+    tags=("X2",),
+)
+def x2_apply_in_pandas(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        _zscore, schema="event_id long, user_id long, znorm double"
+    )
+
+
+@pandas_udf(DoubleType())
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "x3_grouped_agg_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                AS DOUBLE) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="grouped-aggregate pandas UDF: quantity-weighted mean price "
+    "(X3)",
+    tags=("X3",),
+)
+def x3_grouped_agg_udf(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_weighted_avg_price(F.col("l_extendedprice"), F.col("l_quantity")), 4)
+        .alias("wavg_price")
+    )
+
+
+def _long_docs(batches):
+    for pdf in batches:
+        toks = pdf["text"].str.split(" ").str.len()
+        out = pdf.loc[toks >= 30, ["doc_id", "lang"]].copy()
+        out["n_tokens"] = toks[toks >= 30].astype("int64")
+        yield out
+
+
+@register(
+    "x5_map_in_pandas",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_long, CAST(SUM(len(string_split(text, ' ')))
+           AS BIGINT) AS tokens
+    FROM documents WHERE len(string_split(text, ' ')) >= 30
+    GROUP BY lang
+    """,
+    description="mapInPandas whole-partition filter+project (X5): keep "
+    "long documents, then aggregate",
+    tags=("X5",),
+)
+def x5_map_in_pandas(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    filtered = d.mapInPandas(_long_docs, schema="doc_id long, lang string, n_tokens long")
+    return filtered.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_long"), F.sum("n_tokens").alias("tokens")
+    )

@@ -1,0 +1,93 @@
+"""Structured Streaming pipelines (SURVEY §2.9, §3.3).
+
+The reference is a streaming collector daemon: decode flow datagrams →
+rotate Parquet files → optionally insert into ClickHouse. Its Spark-native
+restatement is `readStream → event-time transforms → writeStream`, and these
+builders construct exactly those plans. Each transform is expressed so the
+SAME DataFrame code runs in batch mode (plans/timeseries.py) and under a
+stream — stream-batch equivalence is the correctness argument (Structured
+Streaming model; PAPERS.md SIGMOD'18 entry).
+
+``run_available_now`` executes a streaming plan over a bounded file source
+with ``Trigger.AvailableNow`` and a memory sink, returning the final result
+as a batch DataFrame — this is how streaming operators get graded against a
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_session_conf
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """events.parquet as a bounded file-source stream (the fixture stands in
+    for the collector's decoded flow stream).
+
+    Spark's file stream source requires a *directory*, so the fixture file is
+    symlinked into a fresh temp dir (the fixture tree is read-only).
+    """
+    ensure_session_conf(spark)
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stream_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete",
+                      name: str | None = None) -> tuple[SparkSession, str]:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    Returns (spark, table_name); read results with ``spark.table(name)``.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession, name
+
+
+def windowed_rollup(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window per-type rollup — the collector's rotation interval
+    report (T1/T4)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(10,2)"))
+             .cast("double").alias("sum_value"))
+    )
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str],
+                    watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup on a key set (T5)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_static_join(stream: DataFrame, dim: DataFrame, cond, how: str = "inner"
+                       ) -> DataFrame:
+    """Enrich the stream with a static dimension (T7) — dim broadcasts."""
+    return stream.join(F.broadcast(dim), cond, how)

@@ -1,0 +1,99 @@
+"""Streaming sinks (SURVEY §2.1 S3/S7): the reference's two outputs.
+
+- Rotated Parquet files → ``writeStream.format("parquet")`` with a
+  date/hour ``partitionBy`` layout, so downstream flow queries get static
+  + dynamic partition pruning for free. Micro-batch cadence (the rotation
+  interval) is the processing-time trigger.
+- ClickHouse INSERT → ``foreachBatch`` + JDBC append. No ClickHouse server
+  (or JDBC driver) exists in this environment, so the writer takes the URL
+  from config and is smoke-tested with a recording sink in tests; the code
+  path is the standard Spark JDBC one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def with_partition_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Add date/hour partition columns for the rotated-file layout."""
+    return df.withColumn("date", F.to_date(ts_col)).withColumn(
+        "hour", F.hour(ts_col).cast("int")
+    )
+
+
+def parquet_rotating_sink(stream: DataFrame, path: str, checkpoint: str,
+                          rotate_interval: str = "60 seconds",
+                          ts_col: str = "ts",
+                          available_now: bool = False) -> StreamingQuery:
+    """nf2pq's time-rotated Parquet output as a partitioned streaming sink.
+
+    Scale: partitionBy(date, hour) bounds per-directory file counts and lets
+    every time-ranged flow query prune; small-file buildup is handled by
+    :func:`compact_partitions` (Spark doesn't auto-compact file sinks).
+    """
+    out = with_partition_columns(stream, ts_col)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date", "hour")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=rotate_interval)
+    return writer.start()
+
+
+def compact_partitions(spark, path: str, target_partitions: int = 1) -> None:
+    """Rewrite a partitioned parquet dataset with coalesced files.
+
+    Periodic maintenance pass for the streaming sink's small files; at scale
+    run per-partition (date,hour) so the rewrite is incremental.
+    """
+    df = spark.read.parquet(path)
+    (df.repartition(target_partitions, "date", "hour")
+       .write.mode("overwrite").partitionBy("date", "hour")
+       .parquet(path + "_compacted"))
+
+
+def jdbc_batch_writer(url: str, table: str, properties: dict | None = None
+                      ) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body appending each micro-batch over JDBC (ClickHouse:
+    ``jdbc:clickhouse://host:8123/db``; needs the ClickHouse JDBC driver on
+    the executor classpath)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.write.format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in (properties or {}).items():
+            w = w.option(k, v)
+        w.mode("append").save()
+
+    return write_batch
+
+
+def clickhouse_sink(stream: DataFrame, url: str, table: str,
+                    checkpoint: str, properties: dict | None = None,
+                    trigger_interval: str = "60 seconds") -> StreamingQuery:
+    """Micro-batch INSERTs into ClickHouse via foreachBatch + JDBC (S7)."""
+    return (
+        stream.writeStream.foreachBatch(jdbc_batch_writer(url, table, properties))
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
+
+
+def foreach_batch_sink(stream: DataFrame, fn: Callable[[DataFrame, int], None],
+                       checkpoint: str, available_now: bool = True) -> StreamingQuery:
+    """Generic foreachBatch sink (test seam for the ClickHouse path)."""
+    writer = stream.writeStream.foreachBatch(fn).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,82 @@
+"""Mirror of the driver's correctness gate: every registered query runs on
+Spark and (when it has an oracle) on DuckDB over the same fixtures, compared
+by row count + column names/kinds + order-insensitive values.
+
+Stricter than the driver in one way: values are compared cell-exact after
+canonical sorting, so anything passing here should hash-match.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from nf2pq_spark import plans
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp-ish columns to µs datetimes, arrays/lists to tuples
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (list, tuple, np.ndarray)):
+                df[c] = df[c].map(
+                    lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                    else (tuple(v) if v is not None else None)
+                )
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    sort_cols = [c for c in df.columns]
+    return df.sort_values(
+        by=sort_cols, na_position="last",
+        key=lambda s: s.map(str) if s.dtype == object else s,
+    ).reset_index(drop=True)
+
+
+def _cells_equal(a, b) -> bool:
+    a_na = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT
+    b_na = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
+    if a_na or b_na:
+        return a_na and b_na
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        mism = [
+            (i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if not _cells_equal(a, b)
+        ]
+        assert not mism, f"{name}.{c}: {len(mism)} mismatches, first 3: {mism[:3]}"
+
+
+ORACLE_SPECS = [s for s in plans.REGISTRY.values() if s.oracle]
+ROWS_ONLY_SPECS = [s for s in plans.REGISTRY.values() if not s.oracle]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_match(spec, spark, duck, sf_dir):
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, spec.name)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+def test_rows_only_runs(spec, spark, sf_dir):
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
