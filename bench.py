@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully (noop sink — no driver collect) after a shared
+session warm-up, so the numbers measure plan execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nf2pq_spark import plans  # noqa: E402
+from nf2pq_spark.session import get_spark  # noqa: E402
+from nf2pq_spark.sources.tables import load_table  # noqa: E402
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    start = time.perf_counter()
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("nf2pq_spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every table once so file listing/footer reads and JVM
+    # JIT don't land in the first timed query
+    for t in ["lineitem", "orders", "customer", "events", "documents", "embeddings"]:
+        load_table(spark, sf_dir, t).count()
+
+    bench_names = [s.name for s in plans.REGISTRY.values() if s.bench]
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_registered": len(plans.REGISTRY),
+    }))
+
+
+if __name__ == "__main__":
+    main()
