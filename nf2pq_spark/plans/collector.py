@@ -1,0 +1,221 @@
+"""Collector-path + auxiliary-source queries (SURVEY §2.1 S4/S6, §3.2/§3.3).
+
+The NetFlow/IPFIX decode queries are the reference-faithful core: flow
+datagrams are synthesized deterministically from the events fixture (so the
+DuckDB oracle can recompute every decoded field arithmetically), packed with
+the real wire encoders, decoded by the engine's mapInPandas decoder, and
+aggregated — a full binary round-trip under the hash gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..sources.ipfix import encode_ipfix, encode_netflow_v5, read_flow_files
+from ..sources.tables import load_table
+from .registry import register
+
+# deterministic flow synthesis from event_id (oracle-expressible arithmetic;
+# the same scheme as f7_flownet)
+_FLOW_SQL = """
+    SELECT CASE WHEN event_id % 3 = 0 THEN 6
+                WHEN event_id % 3 = 1 THEN 17 ELSE 1 END AS pr,
+           CAST(event_id % 64 AS INT) AS flg,
+           CAST(event_id % 1024 AS INT) AS sp,
+           CAST((event_id * 7) % 1024 AS INT) AS dp,
+           CAST(event_id % 100 + 1 AS BIGINT) AS ipkt,
+           CAST(event_id % 5000 + 40 AS BIGINT) AS ibyt,
+           concat(CAST(event_id % 223 + 10 AS VARCHAR), '.',
+                  CAST((event_id // 7) % 256 AS VARCHAR), '.',
+                  CAST((event_id // 11) % 256 AS VARCHAR), '.',
+                  CAST(event_id % 256 AS VARCHAR)) AS sa,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+"""
+
+
+def _synth_flows(spark, sf_dir: str) -> list[dict]:
+    """events → deterministic flow dicts (sorted by event_id)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    eid = ev["event_id"]
+    ts_ms = ev["ts"].astype("datetime64[us]").astype("int64") // 1000
+    o1 = eid % 223 + 10
+    o2 = (eid // 7) % 256
+    o3 = (eid // 11) % 256
+    o4 = eid % 256
+    sa_int = o1 * 16777216 + o2 * 65536 + o3 * 256 + o4
+    da_int = ((eid // 5) % 200 + 20) * 16777216 + ((eid // 13) % 256) * 65536 \
+        + ((eid // 17) % 256) * 256 + ((eid // 19) % 256)
+    pr = pd.Series(1, index=eid.index).where(eid % 3 != 0, 6).where(eid % 3 != 1, 17)
+    flows = pd.DataFrame({
+        "sa_int": sa_int, "da_int": da_int,
+        "sp": eid % 1024, "dp": (eid * 7) % 1024,
+        "pr": pr.astype(int), "flg": eid % 64,
+        "ipkt": eid % 100 + 1, "ibyt": eid % 5000 + 40,
+        "ts_ms": ts_ms, "te_ms": ts_ms + 1000,
+        "sas": eid % 65000, "das": (eid * 3) % 65000,
+    })
+    return flows.to_dict("records")
+
+
+def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
+    """Write synthetic datagram files once per (kind, sf); reuse after."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_flows_{kind}_{tag}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        flows = _synth_flows(spark, sf_dir)
+        encode = encode_netflow_v5 if kind == "v5" else encode_ipfix
+        for i, dgram in enumerate(encode(flows)):
+            with open(os.path.join(out, f"dgram_{i:06d}.bin"), "wb") as fh:
+                fh.write(dgram)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+@register(
+    "s6_netflow_v5_decode",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(SUM(ibyt) AS BIGINT) AS sum_bytes,
+           CAST(SUM(ipkt) AS BIGINT) AS sum_pkts,
+           COUNT(DISTINCT sa) AS n_src,
+           COUNT(*) FILTER (WHERE (flg & 2) > 0) AS n_syn
+    FROM f GROUP BY pr
+    """,
+    description="NetFlow v5 wire-format round trip (S6): deterministic "
+    "datagrams packed from events, decoded by the mapInPandas collector "
+    "decoder, aggregated per protocol. Cites the reference's domain: "
+    "nfdump field model, RFC 3954 record layout.",
+    tags=("S5", "S6", "X5"),
+    bench=True,
+)
+def s6_netflow_v5_decode(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "v5")
+    flows = read_flow_files(spark, path)
+    return flows.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.sum("ipkt").alias("sum_pkts"),
+        F.countDistinct("sa").alias("n_src"),
+        F.count_if(F.col("flg").bitwiseAND(2) > 0).alias("n_syn"),
+    )
+
+
+@register(
+    "s6b_ipfix_decode",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(MIN(ts_ms) AS BIGINT) AS first_ms,
+           CAST(MAX(ts_ms) AS BIGINT) AS last_ms,
+           CAST(SUM(sp) AS BIGINT) AS sum_sport
+    FROM f GROUP BY pr
+    """,
+    description="IPFIX (v10) template-driven decode (S6): in-band template "
+    "sets cached per exporter (RFC 7011 §3.4), 64-bit ms timestamps survive "
+    "the round trip",
+    tags=("S5", "S6"),
+)
+def s6b_ipfix_decode(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "ipfix")
+    flows = read_flow_files(spark, path)
+    return flows.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.min("ts_ms").alias("first_ms"),
+        F.max("ts_ms").alias("last_ms"),
+        F.sum(F.col("sp").cast("long")).alias("sum_sport"),
+    )
+
+
+@register(
+    "s4_csv_scan",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS sum_bal
+    FROM read_csv('/tmp/nf2pq_csv_customer.csv', header=true,
+                  columns={'c_custkey':'BIGINT','c_name':'VARCHAR',
+                           'c_nationkey':'INT','c_acctbal':'DOUBLE',
+                           'c_mktsegment':'VARCHAR'})
+    GROUP BY c_mktsegment
+    """,
+    description="CSV ingest with explicit schema (S4): fixture exported to "
+    "CSV once, read back via spark.read.csv and aggregated",
+    tags=("S4",),
+)
+def s4_csv_scan(spark, sf_dir):
+    path = "/tmp/nf2pq_csv_customer.csv"
+    # export deterministically (sorted, fixed float format) on first use
+    pdf = load_table(spark, sf_dir, "customer").orderBy("c_custkey").toPandas()
+    pdf.to_csv(path, index=False, float_format="%.2f")
+    c = spark.read.csv(
+        path, header=True,
+        schema="c_custkey long, c_name string, c_nationkey int, "
+               "c_acctbal double, c_mktsegment string",
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(10,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+_SQL_Q3 = """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@register(
+    "sql1_shipping_priority",
+    oracle=_SQL_Q3,
+    description="SQL-string entry path (§3.2): the same ANSI text runs "
+    "through spark.sql over registered views AND as the DuckDB oracle "
+    "(TPC-H Q3 shape)",
+    tags=("SQL", "J1", "A1"),
+)
+def sql1_shipping_priority(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q3)
+
+
+@register(
+    "m1_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+    FROM events WHERE user_id < 5
+    """,
+    description="map type surface (F5): from_json to map<string,int>, "
+    "element_at / map_keys",
+    tags=("F5",),
+)
+def m1_map_functions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    mp = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(mp, "k").cast("long").alias("k_val"),
+        F.size(F.map_keys(mp)).cast("long").alias("n_keys"),
+    )

@@ -1,0 +1,325 @@
+"""NetFlow v5 / IPFIX (v10) datagram decoding — the reference's front door
+(SURVEY §2.1 S5/S6, §3.3).
+
+nf2pq is a NetFlow/IPFIX → Parquet collector: UDP datagrams arrive packed
+binary, NetFlow v9/IPFIX records are decoded against in-band templates
+(RFC 3954 §5.2, RFC 7011 §3.4), and rows land in a normalized flow schema
+(the nfdump-lineage field set — SURVEY §1.1).
+
+Spark has no UDP source, so the architecture is: a datagram bridge persists
+raw datagrams to files (or Kafka), `spark.read(.readStream).format
+("binaryFile")` picks them up, and :func:`decode_flows` — a ``mapInPandas``
+whole-partition decoder — unpacks them into typed rows. The template cache
+for IPFIX lives per Python worker, keyed (exporter, template id); exporters
+should be the file-partition key so templates stay local (repartition by
+exporter path prefix upstream at scale).
+
+Decoding is pure ``struct`` unpacking (PySpark 4.1.2 has no ``F.from_binary``
+— verified), Arrow-batched, linear in bytes: the 100 TB path is "many files,
+many partitions", which binaryFile + mapInPandas already gives.
+
+A deterministic encoder (:func:`encode_netflow_v5` / :func:`encode_ipfix`)
+exists so tests and the graded decode query can synthesize datagrams from
+fixture rows and oracle-check the round trip.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+#: normalized flow schema (nfdump field model, SURVEY §1.1)
+FLOW_SCHEMA = StructType([
+    StructField("ts_ms", LongType()),       # flow start, ms since epoch
+    StructField("te_ms", LongType()),       # flow end
+    StructField("sa", StringType()),        # src addr (dotted quad)
+    StructField("da", StringType()),        # dst addr
+    StructField("sp", IntegerType()),       # src port
+    StructField("dp", IntegerType()),       # dst port
+    StructField("pr", IntegerType()),       # protocol number
+    StructField("flg", IntegerType()),      # tcp control bits
+    StructField("ipkt", LongType()),        # packets
+    StructField("ibyt", LongType()),        # bytes
+    StructField("sas", IntegerType()),      # src AS
+    StructField("das", IntegerType()),      # dst AS
+    StructField("exporter", StringType()),  # file origin (stands in for ra)
+])
+
+_V5_HEADER = struct.Struct(">HHIIIIBBH")   # 24 bytes
+_V5_RECORD = struct.Struct(">IIIHHIIIIHHBBBBHHBBH")  # 48 bytes
+
+#: IPFIX information elements used by our template (RFC 7012 ids)
+_IPFIX_TEMPLATE_FIELDS = [
+    (8, 4),    # sourceIPv4Address
+    (12, 4),   # destinationIPv4Address
+    (7, 2),    # sourceTransportPort
+    (11, 2),   # destinationTransportPort
+    (4, 1),    # protocolIdentifier
+    (6, 1),    # tcpControlBits
+    (2, 4),    # packetDeltaCount
+    (1, 4),    # octetDeltaCount
+    (152, 8),  # flowStartMilliseconds
+    (153, 8),  # flowEndMilliseconds
+    (16, 4),   # bgpSourceAsNumber
+    (17, 4),   # bgpDestinationAsNumber
+]
+_IPFIX_TEMPLATE_ID = 256
+
+_IE_UNPACK = {1: ">B", 2: ">H", 4: ">I", 8: ">Q"}
+
+
+def _ip_str(v: int) -> str:
+    return f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+
+
+# ---------------------------------------------------------------------------
+# encoders (test/fixture side — deterministic)
+# ---------------------------------------------------------------------------
+
+
+def encode_netflow_v5(flows: list[dict], per_packet: int = 30) -> list[bytes]:
+    """Pack flow dicts into NetFlow v5 datagrams (≤30 records each, like
+    real exporters)."""
+    out = []
+    for i in range(0, len(flows), per_packet):
+        chunk = flows[i:i + per_packet]
+        header = _V5_HEADER.pack(5, len(chunk), 0, 0, 0, i, 0, 0, 0)
+        recs = b"".join(
+            _V5_RECORD.pack(
+                f["sa_int"], f["da_int"], 0, 0, 0,
+                f["ipkt"], f["ibyt"], f["ts_ms"] % (1 << 32), f["te_ms"] % (1 << 32),
+                f["sp"], f["dp"], 0, f["flg"], f["pr"], 0,
+                f["sas"] & 0xFFFF, f["das"] & 0xFFFF, 0, 0, 0,
+            )
+            for f in chunk
+        )
+        out.append(header + recs)
+    return out
+
+
+def encode_ipfix(flows: list[dict], per_packet: int = 30,
+                 template_every: int = 10) -> list[bytes]:
+    """Pack flow dicts into IPFIX messages; the template set is re-sent every
+    ``template_every`` messages (in-band template refresh, RFC 7011 §8)."""
+    tmpl_body = struct.pack(">HH", _IPFIX_TEMPLATE_ID, len(_IPFIX_TEMPLATE_FIELDS))
+    tmpl_body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in _IPFIX_TEMPLATE_FIELDS)
+    tmpl_set = struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
+
+    out = []
+    seq = 0
+    for msg_i, i in enumerate(range(0, len(flows), per_packet)):
+        chunk = flows[i:i + per_packet]
+        recs = b""
+        for f in chunk:
+            vals = [f["sa_int"], f["da_int"], f["sp"], f["dp"], f["pr"], f["flg"],
+                    f["ipkt"], f["ibyt"], f["ts_ms"], f["te_ms"], f["sas"], f["das"]]
+            recs += b"".join(
+                struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
+                for (_, ln), v in zip(_IPFIX_TEMPLATE_FIELDS, vals)
+            )
+        data_set = struct.pack(">HH", _IPFIX_TEMPLATE_ID, 4 + len(recs)) + recs
+        body = (tmpl_set if msg_i % template_every == 0 else b"") + data_set
+        header = struct.pack(">HHIII", 10, 16 + len(body), 0, seq, 1)
+        out.append(header + body)
+        seq += len(chunk)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decoder (the engine side)
+# ---------------------------------------------------------------------------
+
+
+def _decode_v5(buf: bytes, exporter: str) -> list[tuple]:
+    _, count, *_ = _V5_HEADER.unpack_from(buf, 0)
+    rows = []
+    off = _V5_HEADER.size
+    for _ in range(count):
+        (sa, da, _nh, _inif, _outif, pkts, octets, first, last, sp, dp,
+         _p1, flg, pr, _tos, sas, das, _sm, _dm, _p2) = _V5_RECORD.unpack_from(buf, off)
+        rows.append((first, last, _ip_str(sa), _ip_str(da), sp, dp, pr, flg,
+                     pkts, octets, sas, das, exporter))
+        off += _V5_RECORD.size
+    return rows
+
+
+def _decode_ipfix(buf: bytes, exporter: str,
+                  templates: dict[tuple[str, int], list[tuple[int, int]]]) -> list[tuple]:
+    version, length, _, _, domain = struct.unpack_from(">HHIII", buf, 0)
+    assert version == 10
+    rows = []
+    off = 16
+    while off + 4 <= length:
+        set_id, set_len = struct.unpack_from(">HH", buf, off)
+        set_end = off + set_len
+        p = off + 4
+        if set_id == 2:  # template set
+            while p + 4 <= set_end:
+                tid, n_fields = struct.unpack_from(">HH", buf, p)
+                p += 4
+                fields = []
+                for _ in range(n_fields):
+                    ie, ln = struct.unpack_from(">HH", buf, p)
+                    p += 4
+                    fields.append((ie, ln))
+                templates[(exporter, tid)] = fields
+        elif set_id >= 256:  # data set, decoded via the template cache
+            fields = templates.get((exporter, set_id))
+            if fields is None:
+                # template not yet seen — real collectors buffer/drop; we drop
+                p = set_end
+            else:
+                rec_len = sum(ln for _, ln in fields)
+                while p + rec_len <= set_end:
+                    vals = {}
+                    for ie, ln in fields:
+                        (v,) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
+                        vals[ie] = v
+                        p += ln
+                    rows.append((
+                        vals.get(152, 0), vals.get(153, 0),
+                        _ip_str(vals.get(8, 0)), _ip_str(vals.get(12, 0)),
+                        vals.get(7, 0), vals.get(11, 0), vals.get(4, 0),
+                        vals.get(6, 0), vals.get(2, 0), vals.get(1, 0),
+                        vals.get(16, 0), vals.get(17, 0), exporter,
+                    ))
+        off = set_end
+    return rows
+
+
+def _exporter_of(path: str) -> str:
+    """Exporter identity for a datagram file: its directory (the datagram
+    bridge writes one directory per exporter, standing in for the UDP
+    source address that keys real template streams)."""
+    return path.rsplit("/", 1)[0]
+
+
+def _iter_template_sets(buf: bytes):
+    """Yield (tid, fields) for every template set in an IPFIX message."""
+    version, length = struct.unpack_from(">HH", buf, 0)
+    if version != 10:
+        return
+    off = 16
+    while off + 4 <= length:
+        set_id, set_len = struct.unpack_from(">HH", buf, off)
+        set_end = off + set_len
+        if set_id == 2:
+            p = off + 4
+            while p + 4 <= set_end:
+                tid, n_fields = struct.unpack_from(">HH", buf, p)
+                p += 4
+                fields = []
+                for _ in range(n_fields):
+                    ie, ln = struct.unpack_from(">HH", buf, p)
+                    p += 4
+                    fields.append((ie, ln))
+                yield tid, fields
+        off = set_end
+
+
+def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Phase-1 mapInPandas body: harvest IPFIX template sets only."""
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            exporter = _exporter_of(path)
+            for tid, fields in _iter_template_sets(bytes(content)):
+                for pos, (ie, ln) in enumerate(fields):
+                    rows.append((exporter, tid, pos, ie, ln))
+        yield pd.DataFrame(rows, columns=["exporter", "tid", "pos", "ie", "ln"])
+
+
+_TEMPLATE_SCHEMA = StructType([
+    StructField("exporter", StringType()), StructField("tid", IntegerType()),
+    StructField("pos", IntegerType()), StructField("ie", IntegerType()),
+    StructField("ln", IntegerType()),
+])
+
+
+def make_decoder(initial_templates: dict | None = None):
+    """Build a mapInPandas decode body seeded with a template cache.
+
+    The cache is additionally updated from in-band template sets, so a
+    single-exporter in-order stream (the streaming collector path) works
+    without the phase-1 harvest.
+    """
+    seed = dict(initial_templates or {})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates = dict(seed)
+        cols = [f.name for f in FLOW_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                exporter = _exporter_of(path)
+                version = struct.unpack_from(">H", buf, 0)[0]
+                if version == 5:
+                    rows.extend(_decode_v5(buf, exporter))
+                elif version == 10:
+                    rows.extend(_decode_ipfix(buf, exporter, templates))
+                # unknown versions are skipped, matching collector behavior
+            yield pd.DataFrame(rows, columns=cols)
+
+    return decode
+
+
+def read_flow_files(spark, path: str) -> DataFrame:
+    """Datagram files → typed flow DataFrame (batch).
+
+    Two-phase decode: phase 1 harvests IPFIX template sets (tiny: a few
+    rows per exporter) and ships the resulting cache into the phase-2
+    decoder closure. This removes all ordering/partitioning assumptions —
+    files land in any partition, templates still resolve — which is the
+    property a 1000-executor scan needs.
+    """
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
+    # periodic re-announcements of a template id overwrite position-wise
+    by_pos: dict[tuple[str, int, int], tuple[int, int]] = {}
+    for r in tmpl_rows:
+        by_pos[(r.exporter, r.tid, r.pos)] = (r.ie, r.ln)
+    cache: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for exp, tid, pos in sorted(by_pos):
+        cache.setdefault((exp, tid), []).append(by_pos[(exp, tid, pos)])
+    return raw.mapInPandas(make_decoder(cache), FLOW_SCHEMA)
+
+
+def stream_flow_files(spark, path: str, process, checkpoint: str,
+                      available_now: bool = True):
+    """Streaming collector front-end: datagram files → decoded micro-batches.
+
+    A per-worker template cache cannot survive micro-batch boundaries or
+    partition placement, so the streaming path wraps the batch two-phase
+    decode in ``foreachBatch``: each micro-batch harvests its own in-band
+    templates (exporters re-announce periodically, RFC 7011 §8.1) and then
+    decodes — order-independent within the batch, state-free across batches.
+    ``process(flows_df, batch_id)`` receives the decoded typed DataFrame.
+    """
+
+    def decode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        raw = batch_df.select("path", "content")
+        tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
+        by_pos: dict[tuple[str, int, int], tuple[int, int]] = {}
+        for r in tmpl_rows:
+            by_pos[(r.exporter, r.tid, r.pos)] = (r.ie, r.ln)
+        cache: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        for exp, tid, pos in sorted(by_pos):
+            cache.setdefault((exp, tid), []).append(by_pos[(exp, tid, pos)])
+        process(raw.mapInPandas(make_decoder(cache), FLOW_SCHEMA), batch_id)
+
+    stream = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, length long, "
+                      "content binary")
+              .load(path))
+    writer = (stream.writeStream.foreachBatch(decode_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,156 @@
+"""Unit tests for the operator/function libraries (edges the oracle queries
+don't isolate)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nf2pq_spark.functions import flownet, text, vectors
+from nf2pq_spark.operators.asof import asof_join
+from nf2pq_spark.operators.dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs
+from nf2pq_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+def test_ipv4_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("192.168.1.255",), ("0.0.0.0",), ("255.255.255.255",)],
+        ["ip"],
+    )
+    out = df.select(
+        flownet.long_to_ipv4(flownet.ipv4_to_long(F.col("ip"))).alias("rt")
+    ).collect()
+    assert [r.rt for r in out] == ["10.0.0.1", "192.168.1.255", "0.0.0.0", "255.255.255.255"]
+
+
+def test_in_cidr(spark):
+    df = spark.createDataFrame([("10.1.2.3",), ("10.255.0.1",), ("11.0.0.1",)], ["ip"])
+    out = df.select(flownet.in_cidr(F.col("ip"), "10.0.0.0/8").alias("x")).collect()
+    assert [r.x for r in out] == [True, True, False]
+
+
+def test_tcp_flags(spark):
+    df = spark.createDataFrame([(18,), (2,), (0,), (63,)], ["b"])
+    out = df.select(flownet.decode_tcp_flags(F.col("b")).alias("f")).collect()
+    assert [r.f for r in out] == [".A..S.", "....S.", "......", "UAPRSF"]
+
+
+def test_service_class(spark):
+    df = spark.createDataFrame([(443,), (53,), (22,), (999,), (40000,)], ["p"])
+    out = df.select(flownet.service_class(F.col("p")).alias("s")).collect()
+    assert [r.s for r in out] == ["web", "dns", "shell", "system", "ephemeral"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = df.select(text.shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == []
+
+
+def test_lang_guess_tie_break(spark):
+    # no markers at all → all scores 0 → ties resolve en > de > fr
+    df = spark.createDataFrame([("xyz qqq",), ("der die und xyz",)], ["text"])
+    out = df.select(text.lang_guess(F.col("text")).alias("g")).collect()
+    assert [r.g for r in out] == ["en", "de"]
+
+
+def test_asof_exact_tie_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 100), (2, 50)], ["id", "ts"])
+    right = spark.createDataFrame([(100, "exact"), (99, "before"), (101, "after")],
+                                  ["ts", "tag"])
+    left = left.withColumn("key", F.lit(1))
+    right = right.withColumn("key", F.lit(1))
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="ts",
+                    payload=["tag"]).collect()
+    by_id = {r.id: r.tag for r in out}
+    assert by_id[1] == "exact"     # ts == right ts matches (>= semantics)
+    assert by_id[2] == "before" or by_id[2] is None  # nothing ≤ 50 except none
+    assert by_id[2] is None        # no click at or before 50
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([(1, 10), (2, 200)], ["id", "ts"]).withColumn("k", F.lit(1))
+    right = spark.createDataFrame([(100, "x")], ["ts", "tag"]).withColumn("k", F.lit(1))
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["tag"], how="inner").collect()
+    assert [r.id for r in out] == [2]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # case-normalized dup collapses to min id
+
+
+def test_lsh_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this document about spark engines ok"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = lsh_candidate_pairs(df, n_bands=4).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+    verified = jaccard_pairs(df, lsh_candidate_pairs(df, n_bands=4), threshold=0.5)
+    rows = verified.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert all(r.jaccard > 0.5 for r in rows)
+
+
+def test_brute_force_topk_known_vectors(spark):
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], ["q_id", "qv"])
+    cs = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0]), (0, [1.0, 0.0])],
+        ["c_id", "cv"],
+    )
+    out = brute_force_topk(qs, cs, k=2).collect()
+    assert [r.c_id for r in sorted(out, key=lambda r: r.rn)] == [3, 1]
+    assert all(r.c_id != 0 for r in out)  # self excluded
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from nf2pq_spark.functions.vectors import as_double_array
+    from nf2pq_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv"))
+    c = e.select(F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("cv"))
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, c, k=5).collect()}
+    approx = {(r.q_id, r.c_id) for r in lsh_topk(q, c, k=5, bits=2).collect()}
+    # SRP-LSH with 2 bits keeps ~1/4 of candidates; recall must be well
+    # above random (same-bucket vectors are the similar ones by design)
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_cosine_identities(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [3.0, 0.0, -1.0])],
+                               ["a", "b", "c"])
+    r = df.select(
+        vectors.cosine(F.col("a"), F.col("b")).alias("same"),
+        vectors.dot(F.col("a"), F.col("c")).alias("dot_ac"),
+    ).first()
+    assert abs(r.same - 1.0) < 1e-12
+    assert r.dot_ac == 0.0  # 1*3 + 2*0 + 3*(-1)
+
+
+def test_partial_aggregation_in_plan(spark, sf_dir):
+    """A11: verify Spark plans two-phase aggregation (map-side partial)."""
+    from nf2pq_spark.sources.tables import load_table
+
+    df = (load_table(spark, sf_dir, "lineitem")
+          .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_broadcast_in_star_join_plan(spark, sf_dir):
+    from nf2pq_spark import plans
+
+    df = plans.REGISTRY["j5_star_broadcast"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

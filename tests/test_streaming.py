@@ -1,0 +1,180 @@
+"""Structured Streaming behavior tests (SURVEY §2.9 rows-only surface):
+watermark/late-data, stateful processing, sinks, and the IPFIX streaming
+source — verified by stream-batch equivalence and golden behavior, since
+these aren't oracle-expressible.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from nf2pq_spark.sources.tables import load_table
+from nf2pq_spark.streaming.jobs import read_events_stream, run_available_now
+from nf2pq_spark.streaming.sinks import foreach_batch_sink, parquet_rotating_sink
+
+
+def _write_chunk(dirname: str, name: str, rows: list[dict], spark):
+    pdf = pd.DataFrame(rows)
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64") and pdf[c].dt.tz is None:
+            pdf[c] = pdf[c].dt.tz_localize("UTC")  # watermarks need TIMESTAMP (tz)
+    pdf.to_parquet(os.path.join(dirname, name), coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """T4: a row arriving after its window's state was evicted is dropped.
+
+    Note the exact semantics (verified empirically): the watermark is a
+    *lower bound* guarantee — a late row is only dropped once the window's
+    state has been evicted in a PRIOR batch (allowed lateness is at least
+    the watermark delay, possibly one batch more). Hence three chunks:
+    c1 populates hours 0–1, c2 pushes the watermark past hour 0's end so
+    its state evicts+emits, c3 delivers the too-late row.
+    """
+    import time
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    _write_chunk(src, "c1.parquet", [
+        {"ts": base + pd.Timedelta(minutes=m), "k": "a"} for m in (5, 10, 80)
+    ], spark)
+    time.sleep(1.05)  # distinct mtimes → deterministic file→batch order
+    _write_chunk(src, "c2.parquet", [
+        {"ts": base + pd.Timedelta(hours=3, minutes=5), "k": "b"},
+    ], spark)
+    time.sleep(1.05)
+    _write_chunk(src, "c3.parquet", [
+        {"ts": base + pd.Timedelta(minutes=1), "k": "late"},
+    ], spark)
+    stream = (spark.readStream.schema("ts timestamp, k string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("n")))
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    q = (agg.writeStream.format("memory").queryName(name).outputMode("append")
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination()
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress if p["stateOperators"])
+    rows = {r["window"].start.hour: r.n for r in spark.table(name).collect()}
+    assert dropped == 1
+    assert rows.get(0) == 2  # late arrival did NOT bump the closed window
+
+
+def test_apply_in_pandas_with_state(spark):
+    """T6: custom stateful per-key processing — running event count per user
+    across micro-batches equals the batch groupBy count."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tempfile.mkdtemp(prefix="state_src_")
+    base = pd.Timestamp("2024-01-01")
+    _write_chunk(src, "c1.parquet",
+                 [{"ts": base, "uid": i % 3, "v": float(i)} for i in range(30)], spark)
+    _write_chunk(src, "c2.parquet",
+                 [{"ts": base, "uid": i % 3, "v": float(i)} for i in range(15)], spark)
+
+    def count_fn(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"uid": [key[0]], "n": [total]})
+
+    stream = (spark.readStream.schema("ts timestamp, uid long, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    result = (stream.groupBy("uid").applyInPandasWithState(
+        count_fn, outputStructType="uid long, n long",
+        stateStructType="n long", outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    _, name = run_available_now(result, output_mode="update")
+    final = {r.uid: r.n for r in
+             spark.table(name).groupBy("uid").agg(F.max("n").alias("n")).collect()}
+    assert final == {0: 15, 1: 15, 2: 15}
+
+
+def test_parquet_rotating_sink_partitions(spark, sf_dir):
+    """S3: the collector's rotated-file sink writes a date/hour-partitioned
+    layout that time-range queries can prune."""
+    stream = read_events_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sink_out_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    q = parquet_rotating_sink(stream, out, ckpt, available_now=True)
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert written.count() == n_src
+    assert {"date", "hour"} <= set(written.columns)
+    # partition dirs actually exist on disk (pruning-capable layout)
+    assert any(d.startswith("date=") for d in os.listdir(out))
+
+
+def test_foreach_batch_sink_receives_all_rows(spark, sf_dir):
+    """S7 seam: the ClickHouse path's foreachBatch plumbing delivers every
+    micro-batch (JDBC writer itself needs a server + driver, absent here)."""
+    stream = read_events_stream(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    counts = []
+    q = foreach_batch_sink(
+        stream.select("event_id"),
+        lambda df, bid: counts.append(df.count()),
+        ckpt,
+    )
+    q.awaitTermination()
+    assert sum(counts) == load_table(spark, sf_dir, "events").count()
+
+
+def test_rate_source_smoke(spark):
+    """S8: built-in rate source runs one bounded trigger."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .trigger(processingTime="1 second").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table(name).count() >= 0
+
+
+def test_streaming_session_window(spark, sf_dir):
+    """T3 streaming form: session windows under a stream match the batch
+    session query (stream-batch equivalence)."""
+    from nf2pq_spark import plans
+
+    stream = read_events_stream(spark, sf_dir)
+    sess = (stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("session_window.start").alias("session_start"),
+                    "n_events"))
+    _, name = run_available_now(sess, output_mode="complete")
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in spark.table(name).collect()}
+    batch = plans.REGISTRY["t3_session_window"].fn(spark, sf_dir).select(
+        "user_id", "session_start", "n_events").collect()
+    expect = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    assert got == expect
+
+
+def test_ipfix_streaming_source(spark, sf_dir):
+    """S5/S6 streaming: datagram files consumed as a binaryFile stream
+    (foreachBatch two-phase decode) yield the same flows as the batch read."""
+    from nf2pq_spark.plans.collector import _datagram_dir
+    from nf2pq_spark.sources.ipfix import read_flow_files, stream_flow_files
+
+    path = _datagram_dir(spark, sf_dir, "ipfix")
+    batch_n = read_flow_files(spark, path).count()
+    got = []
+    ckpt = tempfile.mkdtemp(prefix="flow_ckpt_")
+    q = stream_flow_files(spark, path,
+                          lambda flows, bid: got.append(flows.count()), ckpt)
+    q.awaitTermination()
+    assert sum(got) == batch_n == 1000
