@@ -46,6 +46,7 @@ def main() -> None:
     bench_names = [s.name for s in plans.REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
     for name in bench_names:
+        run_query(spark, name, sf_dir)  # warm-up: JIT, file listings, synth inputs
         timings[name] = round(run_query(spark, name, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)

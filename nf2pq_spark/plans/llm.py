@@ -62,12 +62,12 @@ def l1b_exact_dedup_keep(spark, sf_dir):
       SELECT doc_id,
              CASE WHEN len(t) >= 3
                   THEN list_transform(range(1, len(t) - 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  ELSE [] END AS shingles
+                       i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [] END AS hashes
       FROM toks
     )
-    SELECT list_min(list_transform(shingles, s -> md5('b0|' || s))) AS band_0,
-           list_min(list_transform(shingles, s -> md5('b1|' || s))) AS band_1,
+    SELECT list_min(list_transform(hashes, h -> substr(h, 1, 8))) AS band_0,
+           list_min(list_transform(hashes, h -> substr(h, 9, 8))) AS band_1,
            MIN(doc_id) AS min_doc, COUNT(*) AS n_docs
     FROM sh
     GROUP BY 1, 2
@@ -160,6 +160,123 @@ def l3b_lsh_topk(spark, sf_dir):
     )
     c = e.select(F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("cv"))
     return lsh_topk(q, c, k=5, bits=2)
+
+
+@register(
+    "l3c_cosine_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6)
+                AS DOUBLE) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.8
+    """,
+    description="embedding-cosine near-duplicate pairs above threshold (L2/"
+    "L3). Scale path is the SRP-LSH bucketing in operators.similarity; this "
+    "exact pair join is the verification stage.",
+    tags=("L2", "L3"),
+)
+def l3c_cosine_neardup(spark, sf_dir):
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), as_double_array("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), as_double_array("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("__cos") > 0.8)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "l7_tfidf_top_term",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term,
+           CAST(ROUND(score, 6) AS DOUBLE) AS tfidf
+    FROM (SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rn
+          FROM scored) t
+    WHERE rn = 1
+    """,
+    description="tf-idf: most characteristic term per document (L4). "
+    "Scale: two shuffles (term-count, df) + a broadcast-able df dimension; "
+    "no cross join of documents.",
+    tags=("L4",),
+)
+def l7_tfidf_top_term(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"),
+                F.round("score", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "x4_udtf_shingles",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS n_distinct
+    FROM sh GROUP BY doc_id
+    """,
+    description="Python UDTF (X4): one-to-many shingle exploder via LATERAL "
+    "table function, aggregated per doc",
+    tags=("X4",),
+)
+def x4_udtf_shingles(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, shingle string")
+    class ShingleUDTF:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield doc_id, " ".join(toks[i:i + 3])
+
+    spark.udtf.register("shingle_udtf", ShingleUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               COUNT(DISTINCT s.shingle) AS n_distinct
+        FROM documents d, LATERAL shingle_udtf(d.doc_id, d.text) s
+        GROUP BY s.doc_id
+    """)
 
 
 @register(

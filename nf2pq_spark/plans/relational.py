@@ -803,6 +803,56 @@ def w4_topk_per_group(spark, sf_dir):
     )
 
 
+@register(
+    "w5_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER wd AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM customer
+    WINDOW wd AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+           w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+    description="distribution window functions: ntile / percent_rank / "
+    "cume_dist (W1). Both engines compute (rank-1)/(n-1) on identical "
+    "inputs — bit-identical doubles, no rounding.",
+    tags=("W1",),
+)
+def w5_distribution(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    wd = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(wd).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "a12_bool_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 2000) AS all_over_2k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="boolean aggregates: bool_and / bool_or (A-family)",
+    tags=("A9",),
+)
+def a12_bool_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 2000).alias("all_over_2k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sort / limit / top-k
 # ---------------------------------------------------------------------------

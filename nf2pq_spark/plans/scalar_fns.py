@@ -89,6 +89,33 @@ def f2_dates(spark, sf_dir):
 
 
 @register(
+    "f2b_timestamp_parse",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS parsed,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                          CAST(month(o_orderdate) AS BIGINT), 1, 0, 0, 0) AS month_ts
+    FROM orders WHERE o_orderkey < 400
+    """,
+    description="string↔timestamp round trips: format, parse, epoch, "
+    "make_timestamp (F2)",
+    tags=("F2",),
+)
+def f2b_timestamp_parse(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias("parsed"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("epoch_s"),
+        F.make_timestamp(
+            F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1),
+            F.lit(0), F.lit(0), F.lit(0),
+        ).alias("month_ts"),
+    )
+
+
+@register(
     "f3_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
