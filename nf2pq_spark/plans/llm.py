@@ -280,6 +280,51 @@ def x4_udtf_shingles(spark, sf_dir):
 
 
 @register(
+    "mm1_media_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             list_transform(range(16), i ->
+                 (strpos('0123456789abcdef', substr(md5(text), 2*i + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(text), 2*i + 2, 1)) - 1)
+             ) AS bytes
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_items,
+           CAST(SUM(CAST(list_aggregate(bytes, 'sum') AS BIGINT)) AS BIGINT)
+               AS total_bytes_sum,
+           CAST(MAX(list_aggregate(bytes, 'max')) AS BIGINT) AS max_byte,
+           CAST(SUM(CAST(list_aggregate(bytes, 'sum') AS BIGINT) // 16) AS BIGINT)
+               AS sum_mean_byte
+    FROM b GROUP BY lang
+    """,
+    description="multimodal binary pipeline (north star): opaque media "
+    "blobs (unhex(md5(text)) stands in for image bytes) + typed metadata, "
+    "decoded and feature-extracted by an Arrow-batched mapInPandas UDF — "
+    "the oracle recomputes the byte features from hex arithmetic. Real "
+    "codec backends are stubbed (functions.multimodal).",
+    tags=("MM", "X5"),
+)
+def mm1_media_features(spark, sf_dir):
+    from ..functions.multimodal import extract_features, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media, backend="fake")
+    langs = docs.select(F.col("doc_id").alias("media_id"), "lang")
+    return (
+        feats.join(langs, "media_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("sum_bytes").alias("total_bytes_sum"),
+            F.max("max_byte").alias("max_byte"),
+            F.sum("mean_byte").alias("sum_mean_byte"),
+        )
+    )
+
+
+@register(
     "l4_text_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,

@@ -1,0 +1,94 @@
+"""Tests for the multimodal binary pipeline and the skew utilities."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from nf2pq_spark.functions.multimodal import (extract_features, resize_media,
+                                              sample_frames, synthesize_media)
+from nf2pq_spark.operators.skew import salted_join, two_phase_agg
+from nf2pq_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return synthesize_media(load_table(spark, sf_dir, "documents")).cache()
+
+
+def test_media_schema_and_content(media):
+    row = media.first()
+    assert isinstance(row.content, (bytes, bytearray)) and len(row.content) == 16
+    assert row.media_type == "image" and row.width >= 64
+
+
+def test_feature_extraction_matches_bytes(media):
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    for r in media.limit(5).collect():
+        f = feats[r.media_id]
+        raw = bytes(r.content)
+        assert f.n_bytes == 16
+        assert f.sum_bytes == sum(raw)
+        assert f.max_byte == max(raw)
+        assert f.mean_byte == sum(raw) // 16
+
+
+def test_real_decode_backend_is_stubbed(media):
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, backend="pil").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError)
+
+
+def test_resize_subsamples(media):
+    out = resize_media(media, target=8).collect()
+    assert all(len(r.content) == 8 and r.width == 8 for r in out)
+
+
+def test_frame_sampling_one_to_many(media):
+    frames = sample_frames(media, every=4)
+    per_item = {r.media_id: r.n for r in
+                frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    meta = {r.media_id: r.n_frames for r in media.collect()}
+    for mid, n in per_item.items():
+        assert n == (meta[mid] + 3) // 4  # ceil(n_frames / every)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    plain = (li.join(s, li.l_suppkey == s.s_suppkey)
+             .groupBy("s_name").agg(F.sum("l_quantity").alias("q")))
+    salted = (salted_join(li.withColumnRenamed("l_suppkey", "k"),
+                          s.withColumnRenamed("s_suppkey", "k"), on="k", buckets=4)
+              .groupBy("s_name").agg(F.sum("l_quantity").alias("q")))
+    assert {(r.s_name, r.q) for r in plain.collect()} == \
+           {(r.s_name, r.q) for r in salted.collect()}
+
+
+def test_two_phase_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {(r.user_id, r.n, r.mx) for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"),
+                                       F.max("value").alias("mx")).collect()}
+    two = {(r.user_id, r.n, r.mx) for r in
+           two_phase_agg(ev, "user_id",
+                         [("value", "count", "n"), ("value", "max", "mx")],
+                         buckets=8).collect()}
+    assert plain == two
+
+
+def test_batch_partitioned_sink_prunes(spark, sf_dir):
+    """S2: partitionBy batch sink produces a layout the scanner prunes."""
+    ev = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    out = tempfile.mkdtemp(prefix="batch_sink_") + "/ev"
+    ev.write.mode("overwrite").partitionBy("date").parquet(out)
+    assert any(d.startswith("date=") for d in os.listdir(out))
+    back = spark.read.parquet(out).filter(F.col("date") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "date" in plan.split("PartitionFilters")[1][:120]
+    n_expected = ev.filter(F.col("date") == "2024-01-05").count()
+    assert back.count() == n_expected
