@@ -193,6 +193,44 @@ def l3c_cosine_neardup(spark, sf_dir):
 
 
 @register(
+    "l8_jaccard_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2
+    """,
+    description="exact token-set Jaccard pairs (L2 n-gram dedup verify "
+    "stage): integer set sizes divide to bit-identical doubles — no "
+    "rounding. Scale path pairs this with LSH candidates, never all-pairs.",
+    tags=("L2",),
+)
+def l8_jaccard_pairs(spark, sf_dir):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
     "l7_tfidf_top_term",
     oracle="""
     WITH terms AS (

@@ -148,6 +148,31 @@ def j8_asof_join(spark, sf_dir):
 
 
 @register(
+    "rl1_hypertable_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="continuous aggregate (hypertable rollup): daily stats "
+    "answered from a persisted hourly rollup table, not the raw events — "
+    "decomposable aggs re-aggregate exactly (operators.rollup). Scale: the "
+    "coarse query scans the small partitioned aggregate only.",
+    tags=("T1", "S2"),
+)
+def rl1_hypertable_rollup(spark, sf_dir):
+    import os
+
+    from ..operators.rollup import build_rollup, query_rollup
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/nf2pq_rollup_{tag}"
+    build_rollup(load_table(spark, sf_dir, "events"), path)
+    return query_rollup(spark, path, grain="day")
+
+
+@register(
     "t5_dedup_keys",
     oracle="""
     SELECT user_id, event_type, COUNT(*) AS n_minutes

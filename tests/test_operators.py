@@ -126,6 +126,37 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.3
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property-based cross-check: our distributed as-of join agrees with
+    pandas.merge_asof on randomized inputs (keys, duplicate-free ts)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                     min_size=1, max_size=25, unique=True),
+        rts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                     min_size=1, max_size=25, unique=True),
+    )
+    def check(lts, rts):
+        lpdf = pd.DataFrame(lts, columns=["k", "ts"]).drop_duplicates(["k", "ts"])
+        rpdf = (pd.DataFrame(rts, columns=["k", "ts"])
+                .drop_duplicates(["k", "ts"]).assign(payload=lambda d: d.ts * 10))
+        left = spark.createDataFrame(lpdf.assign(lid=range(len(lpdf))))
+        right = spark.createDataFrame(rpdf)
+        got = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                        payload=["payload"]).toPandas()
+        expect = pd.merge_asof(
+            lpdf.assign(lid=range(len(lpdf))).sort_values("ts"),
+            rpdf.sort_values("ts"), on="ts", by="k", direction="backward")
+        g = got.sort_values("lid")["payload"].astype("float").reset_index(drop=True)
+        x = expect.sort_values("lid")["payload"].astype("float").reset_index(drop=True)
+        assert g.where(g.notna(), -1).tolist() == x.where(x.notna(), -1).tolist()
+
+    check()
+
+
 def test_cosine_identities(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [3.0, 0.0, -1.0])],
                                ["a", "b", "c"])

@@ -100,6 +100,81 @@ def test_apply_in_pandas_with_state(spark):
     assert final == {0: 15, 1: 15, 2: 15}
 
 
+def test_transform_with_state_in_pandas(spark):
+    """T6 (Spark 4 API): transformWithStateInPandas stateful processor —
+    per-key running max across micro-batches."""
+    try:
+        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    except ImportError:
+        pytest.skip("transformWithStateInPandas API not present")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # the TWS state-server protocol is protobuf-based; without the
+        # package the driver worker crashes at init. applyInPandasWithState
+        # (tested above) covers the stateful-processing surface here.
+        pytest.skip("transformWithStateInPandas needs google.protobuf "
+                    "(not installed in this environment)")
+
+    src = tempfile.mkdtemp(prefix="tws_src_")
+    base = pd.Timestamp("2024-01-01")
+    _write_chunk(src, "c1.parquet",
+                 [{"ts": base, "uid": i % 2, "v": float(i)} for i in range(10)], spark)
+    _write_chunk(src, "c2.parquet",
+                 [{"ts": base, "uid": i % 2, "v": float(i + 100)} for i in range(4)], spark)
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.state = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self.state.get()[0] if self.state.exists() else float("-inf")
+            for pdf in rows:
+                mx = max(mx, float(pdf["v"].max()))
+            self.state.update((mx,))
+            yield pd.DataFrame({"uid": [key[0]], "mx": [mx]})
+
+        def close(self):
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (spark.readStream.schema("ts timestamp, uid long, v double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        result = stream.groupBy("uid").transformWithStateInPandas(
+            RunningMax(), outputStructType="uid long, mx double",
+            outputMode="Update", timeMode="None")
+        _, name = run_available_now(result, output_mode="update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    final = {r.uid: r.mx for r in
+             spark.table(name).groupBy("uid").agg(F.max("mx").alias("mx")).collect()}
+    assert final == {0: 102.0, 1: 103.0}
+
+
+def test_stream_maintained_rollup(spark, sf_dir):
+    """Continuous aggregate maintained from the stream equals the batch
+    rollup (operators.rollup)."""
+    from nf2pq_spark.operators.rollup import (build_rollup, query_rollup,
+                                              stream_maintain_rollup)
+
+    batch_path = tempfile.mkdtemp(prefix="rb_") + "/rollup"
+    build_rollup(load_table(spark, sf_dir, "events"), batch_path)
+    stream_path = tempfile.mkdtemp(prefix="rs_") + "/rollup"
+    q = stream_maintain_rollup(read_events_stream(spark, sf_dir), stream_path,
+                               tempfile.mkdtemp(prefix="rck_"))
+    q.awaitTermination()
+    b = {tuple(r) for r in query_rollup(spark, batch_path, "day").collect()}
+    s = {tuple(r) for r in query_rollup(spark, stream_path, "day").collect()}
+    assert b == s
+
+
 def test_parquet_rotating_sink_partitions(spark, sf_dir):
     """S3: the collector's rotated-file sink writes a date/hour-partitioned
     layout that time-range queries can prune."""
