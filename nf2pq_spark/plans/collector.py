@@ -15,7 +15,8 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from ..sources.ipfix import encode_ipfix, encode_netflow_v5, read_flow_files
+from ..sources.ipfix import (encode_ipfix, encode_netflow_v5, read_flow_files,
+                             write_capture_file)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -76,9 +77,12 @@ def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
         os.makedirs(out, exist_ok=True)
         flows = _synth_flows(spark, sf_dir)
         encode = encode_netflow_v5 if kind == "v5" else encode_ipfix
-        for i, dgram in enumerate(encode(flows)):
-            with open(os.path.join(out, f"dgram_{i:06d}.bin"), "wb") as fh:
-                fh.write(dgram)
+        dgrams = encode(flows)
+        # rotation-interval capture files, ~100 datagrams each
+        per_file = 100
+        for i in range(0, len(dgrams), per_file):
+            write_capture_file(os.path.join(out, f"cap_{i // per_file:05d}.bin"),
+                               dgrams[i:i + per_file])
         with open(done, "w") as fh:
             fh.write("ok")
     return out

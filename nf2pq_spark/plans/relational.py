@@ -13,11 +13,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .helpers import davg, dsum, m, msql, oavg, osum
+from .helpers import (cents, cents_avg, cents_sum, davg, dsum, m, msql, oavg,
+                      ocents, ocents_avg, ocents_sum, osum)
 from .registry import register
 
 _DISC_PRICE = f"{msql('l_extendedprice')} * (1 - {msql('l_discount')})"
 _CHARGE = f"{_DISC_PRICE} * (1 + {msql('l_tax')})"
+
+# fixed-point forms (see helpers: exact integer-cents fast path)
+_PC = ocents("l_extendedprice")            # price in cents
+_DC = f"(100 - {ocents('l_discount')})"    # (1 - discount) ×100
+_TC = f"(100 + {ocents('l_tax')})"         # (1 + tax) ×100
+_REV_C = f"{_PC} * {_DC}"                  # disc price ×10^4
 
 # ---------------------------------------------------------------------------
 # M0 flagship — pricing summary (TPC-H Q1 shape): S1+P1–P3+A1+O1 in one query.
@@ -30,37 +37,41 @@ _CHARGE = f"{_DISC_PRICE} * (1 + {msql('l_tax')})"
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {osum(msql('l_quantity'), 'sum_qty')},
-           {osum(msql('l_extendedprice'), 'sum_base_price')},
-           {osum(_DISC_PRICE, 'sum_disc_price')},
-           {osum(_CHARGE, 'sum_charge')},
-           {oavg(msql('l_quantity'), 'avg_qty')},
-           {oavg(msql('l_extendedprice'), 'avg_price')},
-           {oavg(msql('l_discount'), 'avg_disc')},
+           {ocents_sum('CAST(l_quantity AS BIGINT)', 1, 'sum_qty')},
+           {ocents_sum(_PC, 100, 'sum_base_price')},
+           {ocents_sum(_REV_C, 10000, 'sum_disc_price')},
+           {ocents_sum(f'{_REV_C} * {_TC}', 1000000, 'sum_charge')},
+           {ocents_avg('CAST(l_quantity AS BIGINT)', 1, 'avg_qty')},
+           {ocents_avg(_PC, 100, 'avg_price')},
+           {ocents_avg(ocents('l_discount'), 100, 'avg_disc')},
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    description="per-flag/status pricing rollup (flagship; TPC-H Q1 shape)",
+    description="per-flag/status pricing rollup (flagship; TPC-H Q1 shape). "
+    "All sums run as exact integer-cents longs in whole-stage codegen "
+    "(helpers: the decimal form profiled 4× slower).",
     tags=("A1", "P1", "P2", "O1"),
     bench=True,
 )
 def q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = m("l_extendedprice") * (1 - m("l_discount"))
-    charge = disc_price * (1 + m("l_tax"))
+    qty = F.col("l_quantity").cast("long")
+    pc = cents("l_extendedprice")
+    rev_c = pc * (100 - cents("l_discount"))
+    charge_c = rev_c * (100 + cents("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(m("l_quantity"), "sum_qty"),
-            dsum(m("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg(m("l_quantity"), "avg_qty"),
-            davg(m("l_extendedprice"), "avg_price"),
-            davg(m("l_discount"), "avg_disc"),
+            cents_sum(qty, 1, "sum_qty"),
+            cents_sum(pc, 100, "sum_base_price"),
+            cents_sum(rev_c, 10000, "sum_disc_price"),
+            cents_sum(charge_c, 1000000, "sum_charge"),
+            cents_avg(qty, 1, "avg_qty"),
+            cents_avg(pc, 100, "avg_price"),
+            cents_avg(cents("l_discount"), 100, "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -205,7 +216,7 @@ def p6_distinct(spark, sf_dir):
     "j1_inner_join",
     oracle=f"""
     SELECT o_orderkey, o_orderdate,
-           {osum(_DISC_PRICE, 'revenue')},
+           {ocents_sum(_REV_C, 10000, 'revenue')},
            COUNT(*) AS n_items
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
@@ -223,7 +234,7 @@ def j1_inner_join(spark, sf_dir):
         o.join(li, li.l_orderkey == o.o_orderkey, "inner")
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            dsum(m("l_extendedprice") * (1 - m("l_discount")), "revenue"),
+            cents_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 10000, "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -323,7 +334,7 @@ def j4_anti_join(spark, sf_dir):
     "j5_star_broadcast",
     oracle=f"""
     SELECT r_name, n_name,
-           {osum(_DISC_PRICE, 'revenue')},
+           {ocents_sum(_REV_C, 10000, 'revenue')},
            COUNT(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -351,7 +362,7 @@ def j5_star_broadcast(spark, sf_dir):
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dsum(m("l_extendedprice") * (1 - m("l_discount")), "revenue"),
+            cents_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 10000, "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -465,7 +476,7 @@ def j10_self_join(spark, sf_dir):
     "a2_global_agg",
     oracle=f"""
     SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
-           {osum(msql('l_quantity'), 'sum_qty')},
+           {ocents_sum('CAST(l_quantity AS BIGINT)', 1, 'sum_qty')},
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price
     FROM lineitem
@@ -478,7 +489,7 @@ def a2_global_agg(spark, sf_dir):
     return li.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        dsum(m("l_quantity"), "sum_qty"),
+        cents_sum(F.col("l_quantity").cast("long"), 1, "sum_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
@@ -569,7 +580,7 @@ def a6_stats_agg(spark, sf_dir):
     "a7_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           {osum(msql('l_quantity'), 'sum_qty')}
+           {ocents_sum('CAST(l_quantity AS BIGINT)', 1, 'sum_qty')}
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     description="rollup subtotals (A7)",
@@ -579,7 +590,7 @@ def a6_stats_agg(spark, sf_dir):
 def a7_rollup(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum(m("l_quantity"), "sum_qty")
+        F.count(F.lit(1)).alias("n"), cents_sum(F.col("l_quantity").cast("long"), 1, "sum_qty")
     )
 
 
@@ -587,7 +598,7 @@ def a7_rollup(spark, sf_dir):
     "a7b_cube",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           {osum(msql('o_totalprice'), 'sum_price')}
+           {ocents_sum(ocents('o_totalprice'), 100, 'sum_price')}
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     description="cube subtotals (A7)",
@@ -596,7 +607,7 @@ def a7_rollup(spark, sf_dir):
 def a7b_cube(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), dsum(m("o_totalprice"), "sum_price")
+        F.count(F.lit(1)).alias("n"), cents_sum(cents("o_totalprice"), 100, "sum_price")
     )
 
 

@@ -73,6 +73,33 @@ _IPFIX_TEMPLATE_ID = 256
 
 _IE_UNPACK = {1: ">B", 2: ">H", 4: ">I", 8: ">Q"}
 
+#: capture-file magic: files hold many length-prefixed datagrams (the
+#: datagram bridge rotates one file per interval, not one per packet —
+#: thousands of single-datagram files would drown a scan in open() overhead)
+_CAPTURE_MAGIC = b"NF2Q"
+
+
+def write_capture_file(path: str, datagrams: list[bytes]) -> None:
+    """Write a rotation-interval capture file: magic + [len:u32][datagram]*."""
+    with open(path, "wb") as fh:
+        fh.write(_CAPTURE_MAGIC)
+        for d in datagrams:
+            fh.write(struct.pack(">I", len(d)))
+            fh.write(d)
+
+
+def iter_datagrams(buf: bytes):
+    """Yield datagrams from either a capture file or a raw single datagram."""
+    if buf[:4] == _CAPTURE_MAGIC:
+        off = 4
+        while off + 4 <= len(buf):
+            (n,) = struct.unpack_from(">I", buf, off)
+            off += 4
+            yield buf[off:off + n]
+            off += n
+    else:
+        yield buf
+
 
 def _ip_str(v: int) -> str:
     return f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
@@ -229,9 +256,10 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
             exporter = _exporter_of(path)
-            for tid, fields in _iter_template_sets(bytes(content)):
-                for pos, (ie, ln) in enumerate(fields):
-                    rows.append((exporter, tid, pos, ie, ln))
+            for dgram in iter_datagrams(bytes(content)):
+                for tid, fields in _iter_template_sets(dgram):
+                    for pos, (ie, ln) in enumerate(fields):
+                        rows.append((exporter, tid, pos, ie, ln))
         yield pd.DataFrame(rows, columns=["exporter", "tid", "pos", "ie", "ln"])
 
 
@@ -257,14 +285,14 @@ def make_decoder(initial_templates: dict | None = None):
         for pdf in batches:
             rows: list[tuple] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                buf = bytes(content)
                 exporter = _exporter_of(path)
-                version = struct.unpack_from(">H", buf, 0)[0]
-                if version == 5:
-                    rows.extend(_decode_v5(buf, exporter))
-                elif version == 10:
-                    rows.extend(_decode_ipfix(buf, exporter, templates))
-                # unknown versions are skipped, matching collector behavior
+                for buf in iter_datagrams(bytes(content)):
+                    version = struct.unpack_from(">H", buf, 0)[0]
+                    if version == 5:
+                        rows.extend(_decode_v5(buf, exporter))
+                    elif version == 10:
+                        rows.extend(_decode_ipfix(buf, exporter, templates))
+                    # unknown versions are skipped, matching collector behavior
             yield pd.DataFrame(rows, columns=cols)
 
     return decode
