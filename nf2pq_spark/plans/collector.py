@@ -196,11 +196,37 @@ _SQL_Q3 = """
     "through spark.sql over registered views AND as the DuckDB oracle "
     "(TPC-H Q3 shape)",
     tags=("SQL", "J1", "A1"),
+    bench=True,
 )
 def sql1_shipping_priority(spark, sf_dir):
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_Q3)
+
+
+_SQL_CORRELATED = """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT 2 * AVG(o.o_totalprice) / 100
+                       FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'O')
+"""
+
+
+@register(
+    "sql2_correlated_subquery",
+    oracle=_SQL_CORRELATED,
+    description="correlated scalar + EXISTS subqueries via the SQL path: "
+    "Catalyst decorrelates both into joins (SURVEY §4). avg/2/100 keeps "
+    "the comparison away from float-boundary territory.",
+    tags=("SQL", "J3"),
+)
+def sql2_correlated_subquery(spark, sf_dir):
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_CORRELATED)
 
 
 @register(

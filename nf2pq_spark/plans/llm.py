@@ -342,6 +342,7 @@ def x4_udtf_shingles(spark, sf_dir):
     "the oracle recomputes the byte features from hex arithmetic. Real "
     "codec backends are stubbed (functions.multimodal).",
     tags=("MM", "X5"),
+    bench=True,
 )
 def mm1_media_features(spark, sf_dir):
     from ..functions.multimodal import extract_features, synthesize_media

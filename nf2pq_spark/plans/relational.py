@@ -580,7 +580,8 @@ def a6_stats_agg(spark, sf_dir):
     "a7_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           {ocents_sum('CAST(l_quantity AS BIGINT)', 1, 'sum_qty')}
+           {ocents_sum('CAST(l_quantity AS BIGINT)', 1, 'sum_qty')},
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     description="rollup subtotals (A7)",
@@ -590,7 +591,9 @@ def a6_stats_agg(spark, sf_dir):
 def a7_rollup(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), cents_sum(F.col("l_quantity").cast("long"), 1, "sum_qty")
+        F.count(F.lit(1)).alias("n"),
+        cents_sum(F.col("l_quantity").cast("long"), 1, "sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
     )
 
 

@@ -160,6 +160,7 @@ def j8_asof_join(spark, sf_dir):
     "decomposable aggs re-aggregate exactly (operators.rollup). Scale: the "
     "coarse query scans the small partitioned aggregate only.",
     tags=("T1", "S2"),
+    bench=True,
 )
 def rl1_hypertable_rollup(spark, sf_dir):
     import os

@@ -1,0 +1,103 @@
+"""UDP datagram bridge — the collector's front door (SURVEY §2.1 S5, §3.3).
+
+Spark has no UDP source, so the nf2pq-equivalent deployment is:
+
+    exporters ──UDP──▶ bridge (this module) ──capture files──▶
+        spark.readStream.format("binaryFile") ──▶ decode (sources.ipfix)
+
+The bridge is deliberately tiny and stateless: receive datagrams, frame
+them (length-prefixed capture format, ``sources.ipfix.write_capture_file``),
+rotate the output file on a time interval — exactly the reference daemon's
+buffer-and-rotate front end, minus decoding, which belongs in Spark where
+it scales horizontally. One bridge process per listener address; files land
+in ``out_dir/<exporter-ip>/`` so the per-exporter IPFIX template streams
+stay keyed by directory (see ``ipfix._exporter_of``).
+
+At 100 TB/day the bridge is the only vertical component; it does no
+parsing, so a single socket loop sustains the O(10⁵) datagrams/s a busy
+exporter emits; shard by listener port for more.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+import time
+
+from .ipfix import _CAPTURE_MAGIC
+
+
+class UdpCaptureBridge:
+    """Listen on UDP, write rotation-interval capture files per exporter."""
+
+    def __init__(self, host: str, port: int, out_dir: str,
+                 rotate_seconds: float = 60.0, bufsize: int = 65535):
+        self.addr = (host, port)
+        self.out_dir = out_dir
+        self.rotate_seconds = rotate_seconds
+        self.bufsize = bufsize
+        self._sock: socket.socket | None = None
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self._files: dict[str, tuple[object, float, str]] = {}
+        self.datagrams_received = 0
+
+    # -- file management ----------------------------------------------------
+
+    def _sink_for(self, exporter_ip: str, now: float):
+        entry = self._files.get(exporter_ip)
+        if entry is not None and now - entry[1] < self.rotate_seconds:
+            return entry[0]
+        if entry is not None:
+            self._finalize(exporter_ip)
+        d = os.path.join(self.out_dir, exporter_ip)
+        os.makedirs(d, exist_ok=True)
+        # write to a dot-prefixed temp name; the streaming source must never
+        # observe a half-written capture file
+        tmp = os.path.join(d, f".cap_{int(now * 1000)}.bin.tmp")
+        fh = open(tmp, "wb")
+        fh.write(_CAPTURE_MAGIC)
+        self._files[exporter_ip] = (fh, now, tmp)
+        return fh
+
+    def _finalize(self, exporter_ip: str) -> None:
+        fh, _, tmp = self._files.pop(exporter_ip)
+        fh.close()
+        final = os.path.join(os.path.dirname(tmp),
+                             os.path.basename(tmp)[1:-4])  # drop dot + .tmp
+        os.rename(tmp, final)
+
+    # -- socket loop ---------------------------------------------------------
+
+    def _loop(self) -> None:
+        assert self._sock is not None
+        self._sock.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                data, (src_ip, _src_port) = self._sock.recvfrom(self.bufsize)
+            except socket.timeout:
+                continue
+            now = time.monotonic()
+            fh = self._sink_for(src_ip, now)
+            fh.write(struct.pack(">I", len(data)))
+            fh.write(data)
+            self.datagrams_received += 1
+
+    def start(self) -> "UdpCaptureBridge":
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind(self.addr)
+        self.addr = self._sock.getsockname()  # resolve port 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+        for exporter in list(self._files):
+            self._finalize(exporter)
+        if self._sock:
+            self._sock.close()

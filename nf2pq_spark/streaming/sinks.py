@@ -63,6 +63,40 @@ def compact_partitions(spark, path: str, target_partitions: int = 1) -> None:
        .parquet(path + "_compacted"))
 
 
+#: Spark SQL type → ClickHouse type (flow-schema subset)
+_CLICKHOUSE_TYPES = {
+    "long": "Int64", "bigint": "Int64", "int": "Int32", "integer": "Int32",
+    "smallint": "Int16", "tinyint": "Int8", "double": "Float64",
+    "float": "Float32", "string": "String", "boolean": "UInt8",
+    "timestamp": "DateTime64(6)", "timestamp_ntz": "DateTime64(6)",
+    "date": "Date32", "binary": "String",
+}
+
+
+def clickhouse_ddl(df: DataFrame, table: str, order_by: list[str],
+                   partition_by: str | None = None) -> str:
+    """CREATE TABLE DDL for a MergeTree table matching a DataFrame schema.
+
+    The reference inserts decoded flows into ClickHouse; MergeTree ordered
+    by (exporter, time) with a daily partition is the canonical flow-table
+    layout. Generated (not hand-written per table) so the sink stays in
+    lock-step with FLOW_SCHEMA.
+    """
+    cols = []
+    for f in df.schema.fields:
+        ch = _CLICKHOUSE_TYPES.get(f.dataType.simpleString())
+        if ch is None:
+            raise ValueError(f"no ClickHouse mapping for {f.name}: "
+                             f"{f.dataType.simpleString()}")
+        cols.append(f"    `{f.name}` {'Nullable(' + ch + ')' if f.nullable and f.name not in order_by else ch}")
+    parts = [f"CREATE TABLE IF NOT EXISTS {table} (", ",\n".join(cols), ")",
+             "ENGINE = MergeTree()"]
+    if partition_by:
+        parts.append(f"PARTITION BY {partition_by}")
+    parts.append(f"ORDER BY ({', '.join(order_by)})")
+    return "\n".join(parts)
+
+
 def jdbc_batch_writer(url: str, table: str, properties: dict | None = None
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body appending each micro-batch over JDBC (ClickHouse:

@@ -206,6 +206,41 @@ def test_foreach_batch_sink_receives_all_rows(spark, sf_dir):
     assert sum(counts) == load_table(spark, sf_dir, "events").count()
 
 
+def test_clickhouse_ddl_from_flow_schema(spark, sf_dir):
+    """S7: generated MergeTree DDL covers the decoded flow schema."""
+    from nf2pq_spark.plans.collector import _datagram_dir
+    from nf2pq_spark.sources.ipfix import read_flow_files
+    from nf2pq_spark.streaming.sinks import clickhouse_ddl
+
+    flows = read_flow_files(spark, _datagram_dir(spark, sf_dir, "v5"))
+    ddl = clickhouse_ddl(flows, "flows", order_by=["exporter", "ts_ms"],
+                         partition_by="toDate(ts_ms / 1000)")
+    assert "ENGINE = MergeTree()" in ddl
+    assert "`sa` Nullable(String)" in ddl
+    assert "`ts_ms` Int64" in ddl          # ORDER BY column stays non-null
+    assert "ORDER BY (exporter, ts_ms)" in ddl
+    assert "PARTITION BY toDate(ts_ms / 1000)" in ddl
+
+
+def test_compact_partitions(spark, sf_dir):
+    """S3 maintenance: the small-file compaction pass preserves data and
+    reduces file counts."""
+    import glob
+
+    from nf2pq_spark.streaming.sinks import compact_partitions, with_partition_columns
+
+    src = tempfile.mkdtemp(prefix="compact_") + "/data"
+    ev = with_partition_columns(load_table(spark, sf_dir, "events"))
+    # simulate streaming small-file buildup: many partitions per (date,hour)
+    ev.repartition(8).write.partitionBy("date", "hour").parquet(src)
+    n_before = len(glob.glob(f"{src}/date=*/hour=*/*.parquet"))
+    compact_partitions(spark, src, target_partitions=1)
+    out = src + "_compacted"
+    n_after = len(glob.glob(f"{out}/date=*/hour=*/*.parquet"))
+    assert n_after < n_before
+    assert spark.read.parquet(out).count() == ev.count()
+
+
 def test_rate_source_smoke(spark):
     """S8: built-in rate source runs one bounded trigger."""
     stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
