@@ -124,9 +124,9 @@ def f2b_timestamp_parse(spark, sf_dir):
            CAST(ROUND(exp(l_discount), 6) AS DOUBLE) AS exp_disc,
            CAST(ROUND(pow(l_quantity, 2), 4) AS DOUBLE) AS qty_sq,
            abs(l_quantity - 25.0) AS qty_dev,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
-           sign(l_quantity - 25.0) AS qty_sign,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
            CAST(l_orderkey % 7 AS BIGINT) AS m7,
            greatest(l_quantity, 10.0) AS qmax,
            least(l_quantity, 10.0) AS qmin

@@ -57,6 +57,13 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     )
     s, d = _canon(spark_pdf), _canon(duck_pdf)
     for c in s.columns:
+        # mirror the driver's schema strictness: int vs float vs object must
+        # agree (repr-level hashing distinguishes 1 from 1.0)
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        assert sk == dk or {sk, dk} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {sk} != oracle {dk}"
+        )
+    for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
         mism = [
             (i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if not _cells_equal(a, b)
