@@ -1,0 +1,65 @@
+"""Physical-plan quality assertions (SURVEY §4): the optimizations the
+engine relies on must actually appear in the executed plans — pushdown,
+pruning, broadcast selection, top-k physical op, no stray shuffles."""
+
+from __future__ import annotations
+
+import pytest
+
+from nf2pq_spark import plans
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the 11-column table scans only the 7 needed columns
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_j5_all_broadcast_no_smj(spark, sf_dir):
+    p = _plan(spark, sf_dir, "j5_star_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_j6_broadcast_nested_loop(spark, sf_dir):
+    p = _plan(spark, sf_dir, "j6_theta_join")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_o1_take_ordered(spark, sf_dir):
+    p = _plan(spark, sf_dir, "o1_top10_orders")
+    assert "TakeOrderedAndProject" in p  # no global sort for sort+limit
+
+
+def test_l3_broadcasts_queries(spark, sf_dir):
+    p = _plan(spark, sf_dir, "l3_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_f1_projection_no_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "f1_strings")
+    assert "Exchange" not in p  # pure projection stays shuffle-free
+
+
+def test_semi_anti_join_physical(spark, sf_dir):
+    for name in ("j3_semi_join", "j4_anti_join"):
+        p = _plan(spark, sf_dir, name)
+        assert "LeftSemi" in p or "LeftAnti" in p
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE hides WSCG until the final plan; the codegen explain mode shows
+    # the fused subtrees regardless
+    df = plans.REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen" in p
