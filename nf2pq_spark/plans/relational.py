@@ -867,6 +867,36 @@ def a12_bool_agg(spark, sf_dir):
     )
 
 
+@register(
+    "a13_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+    FROM events GROUP BY user_id
+    """,
+    description="pivot: per-user event-type counts as columns (explicit "
+    "pivot values → no extra distinct-scan pass, deterministic columns)",
+    tags=("A1",),
+)
+def a13_pivot(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+    )
+    # pivot-count yields nulls for absent combos; oracle FILTER yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "error", "signup")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sort / limit / top-k
 # ---------------------------------------------------------------------------

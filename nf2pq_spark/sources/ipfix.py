@@ -73,6 +73,15 @@ _IPFIX_TEMPLATE_ID = 256
 
 _IE_UNPACK = {1: ">B", 2: ">H", 4: ">I", 8: ">Q"}
 
+#: 16-byte address IEs (sourceIPv6Address / destinationIPv6Address)
+_IPV6_IES = {27, 28}
+
+
+def _ipv6_str(b: bytes) -> str:
+    """16 bytes → canonical compressed IPv6 text (RFC 5952)."""
+    import ipaddress
+    return str(ipaddress.IPv6Address(b))
+
 #: capture-file magic: files hold many length-prefixed datagrams (the
 #: datagram bridge rotates one file per interval, not one per packet —
 #: thousands of single-datagram files would drown a scan in open() overhead)
@@ -130,12 +139,22 @@ def encode_netflow_v5(flows: list[dict], per_packet: int = 30) -> list[bytes]:
     return out
 
 
+#: flow-dict key for each default template IE, in template order
+_IE_KEYS = {8: "sa_int", 12: "da_int", 7: "sp", 11: "dp", 4: "pr", 6: "flg",
+            2: "ipkt", 1: "ibyt", 152: "ts_ms", 153: "te_ms",
+            16: "sas", 17: "das", 27: "sa6", 28: "da6"}
+
+
 def encode_ipfix(flows: list[dict], per_packet: int = 30,
-                 template_every: int = 10) -> list[bytes]:
+                 template_every: int = 10,
+                 template_fields: list[tuple[int, int]] | None = None,
+                 template_id: int = _IPFIX_TEMPLATE_ID) -> list[bytes]:
     """Pack flow dicts into IPFIX messages; the template set is re-sent every
-    ``template_every`` messages (in-band template refresh, RFC 7011 §8)."""
-    tmpl_body = struct.pack(">HH", _IPFIX_TEMPLATE_ID, len(_IPFIX_TEMPLATE_FIELDS))
-    tmpl_body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in _IPFIX_TEMPLATE_FIELDS)
+    ``template_every`` messages (in-band template refresh, RFC 7011 §8).
+    16-byte IEs take raw ``bytes`` values (IPv6 addresses)."""
+    fields = template_fields or _IPFIX_TEMPLATE_FIELDS
+    tmpl_body = struct.pack(">HH", template_id, len(fields))
+    tmpl_body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
     tmpl_set = struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
 
     out = []
@@ -144,13 +163,13 @@ def encode_ipfix(flows: list[dict], per_packet: int = 30,
         chunk = flows[i:i + per_packet]
         recs = b""
         for f in chunk:
-            vals = [f["sa_int"], f["da_int"], f["sp"], f["dp"], f["pr"], f["flg"],
-                    f["ipkt"], f["ibyt"], f["ts_ms"], f["te_ms"], f["sas"], f["das"]]
-            recs += b"".join(
-                struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
-                for (_, ln), v in zip(_IPFIX_TEMPLATE_FIELDS, vals)
-            )
-        data_set = struct.pack(">HH", _IPFIX_TEMPLATE_ID, 4 + len(recs)) + recs
+            for ie, ln in fields:
+                v = f[_IE_KEYS[ie]]
+                if ln == 16:
+                    recs += bytes(v)
+                else:
+                    recs += struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
+        data_set = struct.pack(">HH", template_id, 4 + len(recs)) + recs
         body = (tmpl_set if msg_i % template_every == 0 else b"") + data_set
         header = struct.pack(">HHIII", 10, 16 + len(body), 0, seq, 1)
         out.append(header + body)
@@ -206,12 +225,17 @@ def _decode_ipfix(buf: bytes, exporter: str,
                 while p + rec_len <= set_end:
                     vals = {}
                     for ie, ln in fields:
-                        (v,) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
-                        vals[ie] = v
+                        if ln == 16 and ie in _IPV6_IES:
+                            vals[ie] = _ipv6_str(buf[p:p + 16])
+                        else:
+                            (vals[ie],) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
                         p += ln
+                    # dual-stack: v6 address IEs (27/28) take precedence over
+                    # the v4 ones (8/12) when the template carries them
+                    sa = vals.get(27) or _ip_str(vals.get(8, 0))
+                    da = vals.get(28) or _ip_str(vals.get(12, 0))
                     rows.append((
-                        vals.get(152, 0), vals.get(153, 0),
-                        _ip_str(vals.get(8, 0)), _ip_str(vals.get(12, 0)),
+                        vals.get(152, 0), vals.get(153, 0), sa, da,
                         vals.get(7, 0), vals.get(11, 0), vals.get(4, 0),
                         vals.get(6, 0), vals.get(2, 0), vals.get(1, 0),
                         vals.get(16, 0), vals.get(17, 0), exporter,

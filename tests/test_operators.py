@@ -185,3 +185,33 @@ def test_broadcast_in_star_join_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ipfix_ipv6_template_decode(spark, tmp_path):
+    """Dual-stack IPFIX: a v6 template (IEs 27/28, 16-byte addresses)
+    decodes to canonical compressed IPv6 text."""
+    import ipaddress
+
+    from nf2pq_spark.sources.ipfix import (encode_ipfix, read_flow_files,
+                                           write_capture_file)
+
+    flows = [
+        {"sa6": ipaddress.IPv6Address(f"2001:db8::{i:x}").packed,
+         "da6": ipaddress.IPv6Address("fe80::1").packed,
+         "sp": 1000 + i, "dp": 443, "pr": 6, "flg": 16,
+         "ipkt": 10, "ibyt": 1000, "ts_ms": 1704067200000 + i,
+         "te_ms": 1704067201000 + i, "sas": 1, "das": 2}
+        for i in range(8)
+    ]
+    v6_fields = [(27, 16), (28, 16), (7, 2), (11, 2), (4, 1), (6, 1),
+                 (2, 4), (1, 4), (152, 8), (153, 8)]
+    dgrams = encode_ipfix(flows, template_fields=v6_fields, template_id=300)
+    out = str(tmp_path / "v6caps")
+    import os
+    os.makedirs(out)
+    write_capture_file(os.path.join(out, "cap_0.bin"), dgrams)
+    decoded = read_flow_files(spark, out).collect()
+    assert len(decoded) == 8
+    assert {r.sa for r in decoded} == {
+        str(ipaddress.IPv6Address(f"2001:db8::{i:x}")) for i in range(8)}
+    assert all(r.da == "fe80::1" and r.dp == 443 for r in decoded)
