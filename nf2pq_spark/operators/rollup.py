@@ -40,7 +40,10 @@ def build_rollup(events: DataFrame, path: str, bucket: str = "1 hour") -> None:
         .agg(*_AGGS)
         .withColumn("date", F.to_date("bucket"))
     )
-    rolled.write.mode("overwrite").partitionBy("date").parquet(path)
+    # one file per date partition: the rollup is tiny relative to raw data,
+    # and a small-file-per-shuffle-task layout would dominate read cost
+    (rolled.repartition("date")
+           .write.mode("overwrite").partitionBy("date").parquet(path))
 
 
 def stream_maintain_rollup(stream: DataFrame, path: str, checkpoint: str,

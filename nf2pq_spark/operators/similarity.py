@@ -67,6 +67,48 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 2, seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+
+    Candidates are assigned to their nearest of ``n_cells`` centroids
+    (built with MLlib KMeans, fixed seed); each query exactly ranks only
+    the candidates in its ``n_probe`` nearest cells. The classic ANN
+    recall/cost dial: probe more cells → higher recall.
+
+    Scale: the index build is one KMeans pass; search shuffles candidates
+    once on cell id and broadcasts the (tiny) query set per probed cell —
+    ~n_probe/n_cells of the corpus scanned per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    cand_vec = candidates.withColumn("__v", array_to_vector(F.col("cv")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(cand_vec)
+    c_assigned = model.transform(cand_vec).select("c_id", "cv", "__cell")
+
+    centers = [list(c) for c in model.clusterCenters()]
+    centers_df = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, centroid array<double>",
+    )
+    q_cells = (
+        queries.crossJoin(F.broadcast(centers_df))
+        .withColumn("__d", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("__rk", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("__d"), F.asc("cell"))))
+        .filter(F.col("__rk") <= n_probe)
+        .select("q_id", "qv", F.col("cell").alias("__cell"))
+    )
+    j = (
+        c_assigned.join(F.broadcast(q_cells), on="__cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("__cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked(j, k)
+
+
 def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
              bits: int = 4, dim: int = 64) -> DataFrame:
     """Approximate top-k: exact ranking within the query's SRP bucket.

@@ -15,7 +15,7 @@ from ..functions.text import (LANG_MARKERS, STOPWORDS, fingerprint, lang_guess,
 from ..functions.vectors import as_double_array
 from ..operators.dedup import (exact_dedup, jaccard_pairs, lsh_candidate_pairs,
                                minhash_signature, simhash64)
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from .registry import register
 
@@ -160,6 +160,22 @@ def l3b_lsh_topk(spark, sf_dir):
     )
     c = e.select(F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("cv"))
     return lsh_topk(q, c, k=5, bits=2)
+
+
+@register(
+    "l3d_ivf_topk",
+    oracle=None,  # approximate by construction (KMeans coarse quantizer)
+    description="IVF approximate top-k cosine: KMeans(16) coarse cells, "
+    "2-probe exact rank within probed cells (L3 scale path; rows-only)",
+    tags=("L3",),
+)
+def l3d_ivf_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("cv"))
+    return ivf_topk(q, c, k=5, n_cells=16, n_probe=2)
 
 
 @register(

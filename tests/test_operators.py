@@ -215,3 +215,19 @@ def test_ipfix_ipv6_template_decode(spark, tmp_path):
     assert {r.sa for r in decoded} == {
         str(ipaddress.IPv6Address(f"2001:db8::{i:x}")) for i in range(8)}
     assert all(r.da == "fe80::1" and r.dp == 443 for r in decoded)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from nf2pq_spark.functions.vectors import as_double_array
+    from nf2pq_spark.operators.similarity import ivf_topk
+    from nf2pq_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv"))
+    c = e.select(F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("cv"))
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, c, k=5).collect()}
+    approx_rows = ivf_topk(q, c, k=5, n_cells=8, n_probe=3).collect()
+    approx = {(r.q_id, r.c_id) for r in approx_rows}
+    assert len(approx_rows) == 25  # 5 per query — probed cells have depth
+    assert len(approx & exact) / len(exact) >= 0.4
