@@ -529,6 +529,7 @@ def a4_approx_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_median_value"),
     )
 
 

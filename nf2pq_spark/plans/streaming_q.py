@@ -38,6 +38,71 @@ def st1_stream_tumbling(spark, sf_dir):
 
 
 @register(
+    "st4_stream_sliding",
+    oracle="""
+    WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, value FROM events),
+         u AS (SELECT b AS ws, value FROM x
+               UNION ALL
+               SELECT b - INTERVAL 15 MINUTE AS ws, value FROM x)
+    SELECT ws AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM u GROUP BY 1
+    """,
+    description="Structured Streaming sliding 30/15min windows (T2 under a "
+    "real stream): every event lands in two overlapping windows",
+    tags=("T2",),
+)
+def st4_stream_sliding(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+             .alias("sum_value"))
+    )
+    _, name = run_available_now(agg, output_mode="complete")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n", "sum_value"
+    )
+
+
+@register(
+    "st5_stream_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    description="Structured Streaming session windows (T3 under a real "
+    "stream), 30min gap, complete mode",
+    tags=("T3",),
+)
+def st5_stream_session(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _, name = run_available_now(sess, output_mode="complete")
+    return spark.table(name).select(
+        "user_id", F.col("session_window.start").alias("session_start"), "n_events"
+    )
+
+
+@register(
     "st2_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     description="streaming stateful dedup (T5): dropDuplicates over the "

@@ -311,12 +311,17 @@ def make_decoder(initial_templates: dict | None = None):
             for path, content in zip(pdf["path"], pdf["content"]):
                 exporter = _exporter_of(path)
                 for buf in iter_datagrams(bytes(content)):
-                    version = struct.unpack_from(">H", buf, 0)[0]
-                    if version == 5:
-                        rows.extend(_decode_v5(buf, exporter))
-                    elif version == 10:
-                        rows.extend(_decode_ipfix(buf, exporter, templates))
-                    # unknown versions are skipped, matching collector behavior
+                    try:
+                        version = struct.unpack_from(">H", buf, 0)[0]
+                        if version == 5:
+                            rows.extend(_decode_v5(buf, exporter))
+                        elif version == 10:
+                            rows.extend(_decode_ipfix(buf, exporter, templates))
+                        # unknown versions skipped, matching collector behavior
+                    except (struct.error, IndexError):
+                        # truncated/garbled datagram: a collector drops the
+                        # packet, never the pipeline
+                        continue
             yield pd.DataFrame(rows, columns=cols)
 
     return decode

@@ -231,3 +231,24 @@ def test_ivf_topk_recall(spark, sf_dir):
     approx = {(r.q_id, r.c_id) for r in approx_rows}
     assert len(approx_rows) == 25  # 5 per query — probed cells have depth
     assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_decoder_drops_truncated_datagrams(spark, tmp_path):
+    """Malformed/truncated datagrams are dropped per-packet, never failing
+    the scan (collector semantics)."""
+    import os
+
+    from nf2pq_spark.sources.ipfix import (encode_netflow_v5, read_flow_files,
+                                           write_capture_file)
+
+    flows = [{"sa_int": 1, "da_int": 2, "sp": 1, "dp": 2, "pr": 6, "flg": 0,
+              "ipkt": 1, "ibyt": 10, "ts_ms": 0, "te_ms": 1,
+              "sas": 0, "das": 0} for _ in range(35)]
+    good = encode_netflow_v5(flows)          # 2 datagrams (30 + 5)
+    truncated = good[0][:40]                 # header claims 30 recs, cut mid-record
+    garbage = b"\x00\x05" + b"\xff" * 10     # v5 version then junk
+    out = str(tmp_path / "caps")
+    os.makedirs(out)
+    write_capture_file(os.path.join(out, "cap.bin"),
+                       [good[0], truncated, garbage, good[1]])
+    assert read_flow_files(spark, out).count() == 35  # both intact dgrams only
