@@ -904,6 +904,40 @@ def a13_pivot(spark, sf_dir):
 
 
 @register(
+    "o3_global_sort",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_regionkey DESC, n_name NULLS LAST
+    """,
+    description="full global sort (O1): range-partitioned total order with "
+    "explicit null placement (Spark asc default NULLS FIRST vs DuckDB "
+    "NULLS LAST — always stated)",
+    tags=("O1",),
+)
+def o3_global_sort(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    return n.orderBy(F.desc("n_regionkey"), F.asc_nulls_last("n_name")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "p7_sample",
+    oracle=None,  # sampling is engine-specific by nature
+    description="Bernoulli sample with fixed seed (rows-only: sample "
+    "semantics are engine-private)",
+    tags=("P2",),
+)
+def p7_sample(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
     "o1_top10_orders",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderdate

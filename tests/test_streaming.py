@@ -288,3 +288,32 @@ def test_ipfix_streaming_source(spark, sf_dir):
                           lambda flows, bid: got.append(flows.count()), ckpt)
     q.awaitTermination()
     assert sum(got) == batch_n == 1000
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """T5: dropDuplicatesWithinWatermark dedups re-deliveries inside the
+    watermark window while allowing state eviction."""
+    src = tempfile.mkdtemp(prefix="ddww_src_")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    _write_chunk(src, "c1.parquet", [
+        {"ts": base, "k": 1}, {"ts": base + pd.Timedelta(seconds=30), "k": 1},
+        {"ts": base + pd.Timedelta(seconds=10), "k": 2},
+    ], spark)
+    stream = (spark.readStream.schema("ts timestamp, k long").parquet(src))
+    deduped = (stream.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["k"]))
+    _, name = run_available_now(deduped.select("k"), output_mode="append")
+    ks = sorted(r.k for r in spark.table(name).collect())
+    assert ks == [1, 2]  # the re-delivered k=1 inside the window deduped
+
+
+def test_kafka_flow_stream_builder(spark):
+    """S5 Kafka path: builder constructs the plan; executing needs a broker
+    + kafka package, absent here."""
+    from nf2pq_spark.streaming.jobs import read_kafka_flow_stream
+
+    try:
+        df = read_kafka_flow_stream(spark, "localhost:9092", "flows")
+        assert [f.name for f in df.schema.fields][:4] == ["ts_ms", "te_ms", "sa", "da"]
+    except Exception as e:
+        pytest.skip(f"kafka source unavailable in this env: {type(e).__name__}")
