@@ -63,6 +63,32 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(text))
 
 
+#: BPE-ish tokenizer regex: word runs or single non-space symbols
+BPE_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (words + punctuation symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("long")
+
+
+def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the token stream (Karp-Rabin style).
+
+    Per-token value = len(w)*256 + ascii(first char); fold h = (h*131 + v)
+    mod p. Pure integer column arithmetic → exact, order-defined, and
+    reproducible by the oracle (DuckDB list_reduce over the same values).
+    """
+    vals = F.transform(
+        tokens(text),
+        lambda w: (F.length(w).cast("long") * 256 + F.ascii(w).cast("long")),
+    )
+    return F.aggregate(
+        vals, F.lit(0).cast("long"),
+        lambda acc, v: (acc * 131 + v) % F.lit(mod),
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """All k-token shingles of the text, in document order (array<string>).
     Documents shorter than k tokens yield an empty array.

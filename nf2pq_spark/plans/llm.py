@@ -473,6 +473,34 @@ def l4c_lang_id(spark, sf_dir):
 
 
 @register(
+    "l4d_token_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              w -> CAST(length(w) * 256 + ascii(w) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+    description="BPE-ish regex token counting + Karp-Rabin rolling-hash "
+    "document fingerprint (L4): integer fold, fully oracle-exact",
+    tags=("L4",),
+)
+def l4d_token_fingerprints(spark, sf_dir):
+    from ..functions.text import bpe_token_count, rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+@register(
     "l5_multimodal_join",
     oracle="""
     SELECT d.lang, e.label, COUNT(*) AS n,
