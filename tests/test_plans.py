@@ -63,3 +63,18 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     p = df._jdf.queryExecution().explainString(mode)
     assert "WholeStageCodegen" in p
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Join strategy is controllable per-query via hints when the optimizer
+    default isn't what an operator wants at scale."""
+    import pyspark.sql.functions as F
+
+    from nf2pq_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+    smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
