@@ -21,13 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: decomposable aggregate set maintained in the rollup
-_AGGS = [
-    F.count(F.lit(1)).alias("n"),
-    F.sum(F.col("value").cast("decimal(10,2)")).alias("sum_value_dec"),
-    F.min("value").alias("min_value"),
-    F.max("value").alias("max_value"),
-]
+def _aggs():
+    """Decomposable aggregate set maintained in the rollup (built lazily —
+    Column construction needs an active SparkContext)."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).alias("sum_value_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
 
 
 def build_rollup(events: DataFrame, path: str, bucket: str = "1 hour") -> None:
@@ -37,7 +39,7 @@ def build_rollup(events: DataFrame, path: str, bucket: str = "1 hour") -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     rolled = (
         events.groupBy(F.window("ts", bucket).start.alias("bucket"), "event_type")
-        .agg(*_AGGS)
+        .agg(*_aggs())
         .withColumn("date", F.to_date("bucket"))
     )
     # one file per date partition: the rollup is tiny relative to raw data,

@@ -222,21 +222,29 @@ def p6_distinct(spark, sf_dir):
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderkey, o_orderdate
     """,
-    description="inner equi-join + group (J1). Scale: both sides shuffle on "
-    "orderkey; AQE handles skew. Filter pushed below the join.",
+    description="inner equi-join + group (J1). Scale: lineitem pre-aggregates "
+    "by orderkey BEFORE the join (map-side partial combine shrinks the "
+    "shuffle to one row per order), then joins the filtered orders — the "
+    "joined rows never re-shuffle. Equivalent to join-then-group because the "
+    "grouping key contains the join key.",
     tags=("J1",),
     bench=True,
 )
 def j1_inner_join(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        o.join(li, li.l_orderkey == o.o_orderkey, "inner")
-        .groupBy("o_orderkey", "o_orderdate")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
         .agg(
             cents_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 10000, "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .select("o_orderkey", "o_orderdate", "revenue", "n_items")
     )
 
 

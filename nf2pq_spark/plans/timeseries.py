@@ -173,8 +173,13 @@ def rl1_hypertable_rollup(spark, sf_dir):
     # incrementally in production — tests/test_streaming.py covers that);
     # repeated queries then show the rollup's point: answering from the
     # small aggregate, not the raw events
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # dynamic partitionOverwriteMode leaves no top-level _SUCCESS, so use an
+    # explicit marker — otherwise every call re-materializes the rollup
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
         build_rollup(load_table(spark, sf_dir, "events"), path)
+        with open(marker, "w"):
+            pass
     return query_rollup(spark, path, grain="day")
 
 
