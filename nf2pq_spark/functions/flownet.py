@@ -65,6 +65,59 @@ def decode_tcp_flags(bits: Column) -> Column:
     return F.concat(*parts)
 
 
+def ipv6_normalize(ip: Column) -> Column:
+    """IPv6 text → canonical 32-char lowercase hex string (no colons).
+
+    Expands ``::`` and left-pads each group to 4 nibbles, entirely with
+    built-in array/string expressions (split / filter / array_repeat /
+    transform / lpad), so it stays inside codegen like the IPv4 helpers.
+    Handles ``::``-only, leading/trailing ``::``, and mixed-case input;
+    IPv4-mapped forms (``::ffff:a.b.c.d``) are out of scope (the decoder
+    emits pure hex groups).
+    """
+    parts = F.split(ip, "::")
+    not_empty = lambda x: x != ""  # noqa: E731
+    left = F.filter(F.split(F.element_at(parts, 1), ":"), not_empty)
+    right = F.when(
+        F.size(parts) > 1,
+        F.filter(F.split(F.element_at(parts, 2), ":"), not_empty),
+    ).otherwise(F.array().cast("array<string>"))
+    fill = F.array_repeat(F.lit("0"), F.lit(8) - F.size(left) - F.size(right))
+    groups = F.concat(left, fill, right)
+    return F.array_join(F.transform(groups, lambda g: F.lpad(F.lower(g), 4, "0")), "")
+
+
+def ipv6_prefix(ip: Column, bits: int) -> Column:
+    """Nibble-aligned prefix (bits % 4 == 0) of the canonical hex form —
+    the natural grouping key for per-/32, /48, /64 flow rollups."""
+    if bits % 4 != 0:
+        raise ValueError("ipv6_prefix needs a nibble-aligned length; use in_cidr6")
+    return F.substring(ipv6_normalize(ip), 1, bits // 4)
+
+
+def in_cidr6(ip: Column, cidr: str) -> Column:
+    """Boolean: is ``ip`` inside the IPv6 ``cidr`` ('net/len', any length)?
+
+    Full nibbles compare as a hex-prefix string; a non-nibble-aligned
+    remainder masks the next nibble via ``conv(hex, 16, 10)``. The network
+    constant is normalized driver-side with stdlib ``ipaddress``.
+    """
+    import ipaddress
+
+    net = ipaddress.IPv6Network(cidr, strict=False)
+    bits = net.prefixlen
+    net_hex = format(int(net.network_address), "032x")
+    full = bits // 4
+    rem = bits % 4
+    norm = ipv6_normalize(ip)
+    cond = F.substring(norm, 1, full) == F.lit(net_hex[:full])
+    if rem:
+        mask = (0xF << (4 - rem)) & 0xF
+        nib = F.conv(F.substring(norm, full + 1, 1), 16, 10).cast("int")
+        cond = cond & (nib.bitwiseAND(F.lit(mask)) == F.lit(int(net_hex[full], 16) & mask))
+    return cond
+
+
 def service_class(port: Column) -> Column:
     """Coarse well-known-port classification for flow rollups."""
     return (

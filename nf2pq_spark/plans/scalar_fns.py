@@ -279,6 +279,65 @@ def f7_flownet(spark, sf_dir):
 
 
 @register(
+    "f7b_flownet6",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             '2001:db8:' || to_hex(event_id % 256) ||
+             CASE WHEN event_id % 2 = 0
+                  THEN '::' || to_hex(event_id % 65536)
+                  ELSE ':1::' || to_hex(event_id % 4096) || ':5' END AS src6
+      FROM events
+    ), s AS (
+      SELECT event_id, src6, string_split(src6, '::') AS p2 FROM t
+    ), g AS (
+      SELECT event_id, src6,
+             list_filter(string_split(p2[1], ':'), x -> x <> '') AS lg,
+             CASE WHEN len(p2) > 1
+                  THEN list_filter(string_split(p2[2], ':'), x -> x <> '')
+                  ELSE [] END AS rg
+      FROM s
+    ), n AS (
+      SELECT event_id,
+             array_to_string(list_transform(
+               list_concat(list_concat(
+                 lg, list_transform(range(8 - len(lg) - len(rg)), y -> '0')), rg),
+               y -> lpad(lower(y), 4, '0')), '') AS norm
+      FROM g
+    )
+    SELECT substr(norm, 1, 12) AS net48,
+           COUNT(*) AS n_flows,
+           MIN(norm) AS sample_norm,
+           COUNT(*) FILTER (WHERE substr(norm, 1, 11) = '20010db8000') AS n_in_44
+    FROM n GROUP BY 1
+    """,
+    description="IPv6 flow helpers (F7): '::'-expanding canonical "
+    "normalization, nibble-aligned /48 prefix grouping, /44 CIDR membership "
+    "— all built-in array/string expressions, no UDFs (functions.flownet; "
+    "non-nibble-aligned masks unit-tested vs stdlib ipaddress)",
+    tags=("F7",),
+)
+def f7b_flownet6(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    src6 = F.concat(
+        F.lit("2001:db8:"),
+        F.lower(F.hex(eid % 256)),
+        F.when(eid % 2 == 0, F.concat(F.lit("::"), F.lower(F.hex(eid % 65536))))
+        .otherwise(F.concat(F.lit(":1::"), F.lower(F.hex(eid % 4096)), F.lit(":5"))),
+    )
+    t = ev.select("event_id", src6.alias("src6"))
+    return (
+        t.groupBy(flownet.ipv6_prefix(F.col("src6"), 48).alias("net48"))
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.min(flownet.ipv6_normalize(F.col("src6"))).alias("sample_norm"),
+            F.count_if(flownet.in_cidr6(F.col("src6"), "2001:db8::/44")).alias("n_in_44"),
+        )
+    )
+
+
+@register(
     "f8_hash",
     oracle="""
     SELECT doc_id,

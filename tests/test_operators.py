@@ -29,6 +29,28 @@ def test_in_cidr(spark):
     assert [r.x for r in out] == [True, True, False]
 
 
+def test_ipv6_normalize_and_cidr_vs_stdlib(spark):
+    """Helpers agree with Python's ipaddress module, including '::' in every
+    position, mixed case, and non-nibble-aligned prefix lengths."""
+    import ipaddress
+
+    ips = ["2001:db8::1", "::", "::1", "fe80::", "2001:DB8:0:0:1::ff",
+           "1:2:3:4:5:6:7:8", "2001:db8:a:b::c:d", "ff02::2:ff00:0",
+           "2001:db8:1fff::", "2001:db8:2000::"]
+    cidrs = ["2001:db8::/32", "2001:db8::/35", "2001:db8::/45", "ff00::/8"]
+    df = spark.createDataFrame([(i,) for i in ips], ["ip"])
+    cols = [flownet.ipv6_normalize(F.col("ip")).alias("norm"),
+            flownet.ipv6_prefix(F.col("ip"), 48).alias("p48")]
+    cols += [flownet.in_cidr6(F.col("ip"), c).alias(f"c{i}")
+             for i, c in enumerate(cidrs)]
+    for r in df.select("ip", *cols).collect():
+        a = ipaddress.IPv6Address(r.ip)
+        assert r.norm == format(int(a), "032x")
+        assert r.p48 == format(int(a), "032x")[:12]
+        for i, c in enumerate(cidrs):
+            assert r[f"c{i}"] == (a in ipaddress.IPv6Network(c)), (r.ip, c)
+
+
 def test_tcp_flags(spark):
     df = spark.createDataFrame([(18,), (2,), (0,), (63,)], ["b"])
     out = df.select(flownet.decode_tcp_flags(F.col("b")).alias("f")).collect()
