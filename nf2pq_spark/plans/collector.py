@@ -229,6 +229,33 @@ def sql2_correlated_subquery(spark, sf_dir):
     return spark.sql(_SQL_CORRELATED)
 
 
+_SQL_BIG_ORDERS = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+"""
+
+
+@register(
+    "sql3_big_orders",
+    oracle=_SQL_BIG_ORDERS,
+    description="TPC-H Q18 shape via the SQL path: IN-subquery with HAVING "
+    "— Catalyst rewrites the IN to a left-semi join and the subquery's "
+    "aggregate pre-shrinks on the shuffle (l_quantity is integral, so the "
+    "double sums are exact cross-engine)",
+    tags=("SQL", "J3", "A1"),
+)
+def sql3_big_orders(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_BIG_ORDERS)
+
+
 @register(
     "m1_map_functions",
     oracle="""
@@ -248,6 +275,59 @@ def m1_map_functions(spark, sf_dir):
         "event_id",
         F.element_at(mp, "k").cast("long").alias("k_val"),
         F.size(F.map_keys(mp)).cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "m1b_map_transform",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+             user_id, event_id % 7 AS c7
+      FROM events WHERE user_id < 20
+    )
+    SELECT event_id,
+           concat('a=', kv * 2, ',b=', user_id * 2, ',c=', c7 * 2) AS doubled,
+           CAST((kv % 2 = 0)::INT + (user_id % 2 = 0)::INT + (c7 % 2 = 0)::INT
+                AS BIGINT) AS n_even,
+           kv + user_id + c7 AS val_sum,
+           'a,b,c,d' AS all_keys,
+           CAST(1 AS BIGINT) AS d_val
+    FROM t
+    """,
+    description="higher-order map surface (F5): create_map, "
+    "transform_values, map_filter, map_concat, map_entries, map_keys, "
+    "aggregate over map_values — keys are fixed literals, so the oracle "
+    "computes the same entries directly from the source columns",
+    tags=("F5",),
+)
+def m1b_map_transform(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    kv = F.get_json_object("props", "$.k").cast("long")
+    m = F.create_map(
+        F.lit("a"), kv,
+        F.lit("b"), F.col("user_id"),
+        F.lit("c"), F.col("event_id") % 7,
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    evens = F.map_filter(m, lambda _, v: v % 2 == 0)
+    mc = F.map_concat(m, F.create_map(F.lit("d"), F.lit(1).cast("long")))
+    return ev.select(
+        "event_id",
+        F.array_join(
+            F.transform(
+                F.map_entries(doubled),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("doubled"),
+        F.size(F.map_keys(evens)).cast("long").alias("n_even"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("val_sum"),
+        F.array_join(F.array_sort(F.map_keys(mc)), ",").alias("all_keys"),
+        F.element_at(mc, "d").alias("d_val"),
     )
 
 

@@ -624,6 +624,27 @@ def a7b_cube(spark, sf_dir):
 
 
 @register(
+    "a7c_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {ocents_sum(ocents('o_totalprice'), 100, 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="explicit GROUPING SETS — per-status, per-priority, and "
+    "grand-total in one pass (A7); Spark expands to a single expand+agg, "
+    "not three scans",
+    tags=("A7",),
+)
+def a7c_grouping_sets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"), cents_sum(cents("o_totalprice"), 100, "sum_price"))
+
+
+@register(
     "a8_collect",
     oracle="""
     SELECT o_custkey,

@@ -142,3 +142,33 @@ def st3_stream_static_join(spark, sf_dir):
     return per_user.groupBy("c_mktsegment").agg(
         F.sum("n").alias("n"), F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "st6_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+    """,
+    description="stream-stream interval join (T7 extended): view→click "
+    "attribution within 4h per user, watermarks on both sides bound the "
+    "join state — inner-join results emit immediately, so the bounded "
+    "availableNow run equals the batch self-join oracle",
+    tags=("T7", "J7"),
+)
+def st6_stream_stream_join(spark, sf_dir):
+    from ..streaming.jobs import stream_stream_interval_join
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(stream, "view", "click", "4 hours")
+    _, name = run_available_now(joined, output_mode="append")
+    return spark.table(name).select(
+        F.col("a_user").alias("user_id"),
+        F.col("a_id").alias("view_id"),
+        F.col("b_id").alias("click_id"),
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )

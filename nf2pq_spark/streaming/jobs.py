@@ -117,3 +117,30 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, cond, how: str = "inne
                        ) -> DataFrame:
     """Enrich the stream with a static dimension (T7) — dim broadcasts."""
     return stream.join(F.broadcast(dim), cond, how)
+
+
+def stream_stream_interval_join(stream: DataFrame, left_type: str,
+                                right_type: str, interval: str = "4 hours",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: pair each ``left_type`` event with the
+    same user's ``right_type`` events that follow within ``interval``.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both ends, so Spark can size the join state and evict rows once the
+    watermark passes — the unbounded-state trap of naive stream joins.
+    """
+    a = (stream.filter(F.col("event_type") == left_type)
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("a_user"), F.col("event_id").alias("a_id"),
+                 F.col("ts").alias("a_ts")))
+    b = (stream.filter(F.col("event_type") == right_type)
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
+                 F.col("ts").alias("b_ts")))
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {interval}")),
+        "inner",
+    )
