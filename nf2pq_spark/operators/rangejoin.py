@@ -1,0 +1,61 @@
+"""Bucketed range join: point-in-interval joins without an equi key.
+
+A pure range join (``p.ts BETWEEN i.lo AND i.hi`` with no shared key) is
+the degenerate case for Spark's join planner — it can only pick a
+broadcast-nested-loop or cartesian product, both O(|points|·|intervals|).
+At 100 TB that is the difference between a job that finishes and one that
+doesn't.
+
+The standard fix (used by Databricks' range-join optimization and
+KDB-style time joins) is to manufacture an equi key from coarse buckets:
+
+- each point lands in exactly ONE bucket: ``floor(ts / B)``;
+- each interval is exploded to EVERY bucket it overlaps via
+  ``sequence(floor(lo/B), floor((hi-1)/B))``;
+- an ordinary shuffle/broadcast equi-join on the bucket index pairs each
+  point with only the intervals overlapping its bucket, and the exact
+  range predicate refines post-match.
+
+No duplicates arise (a point is in one bucket), so no dedup pass is
+needed. Cost moves from O(n·m) to O(n + m·w + matches) where w is the
+mean interval width in buckets — pick ``bucket_seconds`` near the typical
+interval length so w stays small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def bucketed_range_join(points: DataFrame, intervals: DataFrame,
+                        ts_col: str, lo_col: str, hi_col: str,
+                        bucket_seconds: int = 3600,
+                        extra_cond: Column | None = None) -> DataFrame:
+    """Inner-join ``points`` to ``intervals`` on ``lo <= ts < hi`` via a
+    bucket equi key. Column names from both inputs survive in the output
+    (callers select/alias as usual); empty intervals (``hi <= lo``) are
+    dropped, matching the range predicate's semantics.
+    """
+    bus = bucket_seconds * _US
+    pb = points.withColumn("__bucket", F.floor(F.unix_micros(F.col(ts_col)) / bus))
+    iv = intervals.filter(F.col(hi_col) > F.col(lo_col))
+    ib = iv.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(lo_col)) / bus),
+                F.floor((F.unix_micros(F.col(hi_col)) - 1) / bus),
+            )
+        ),
+    )
+    cond = (
+        (pb["__bucket"] == ib["__bucket"])
+        & (F.col(ts_col) >= F.col(lo_col))
+        & (F.col(ts_col) < F.col(hi_col))
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return pb.join(ib, cond, "inner").drop("__bucket")

@@ -432,6 +432,43 @@ def j7_range_join(spark, sf_dir):
 
 
 @register(
+    "j7b_bucketed_range",
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+         wins AS (SELECT d + INTERVAL 2 HOUR AS lo, d + INTERVAL 6 HOUR AS hi
+                  FROM days)
+    SELECT lo AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM wins JOIN events ON ts >= lo AND ts < hi
+    GROUP BY 1
+    """,
+    description="keyless point-in-interval join (J7 hard case) via "
+    "operators.rangejoin: a pure range predicate would force a nested-loop "
+    "O(n*m) plan; bucketing manufactures an equi key (point -> its hour "
+    "bucket, interval -> every overlapped bucket) so it runs as an ordinary "
+    "equi-join + post-match refine",
+    tags=("J7",),
+)
+def j7b_bucketed_range(spark, sf_dir):
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    wins = (
+        ev.select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .select(
+            (F.col("d") + F.expr("INTERVAL 2 HOURS")).alias("lo"),
+            (F.col("d") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+        )
+    )
+    joined = bucketed_range_join(ev.select("ts", "value"), wins, "ts", "lo", "hi")
+    return joined.groupBy(F.col("lo").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "j9_cross_join",
     oracle="""
     SELECT r_name, n_name, CAST(r_regionkey = n_regionkey AS BOOLEAN) AS is_home

@@ -65,6 +65,17 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "WholeStageCodegen" in p
 
 
+def test_bucketed_range_join_avoids_nested_loop(spark, sf_dir):
+    """The keyless range join runs as a bucket equi-join, never a
+    broadcast-nested-loop / cartesian plan."""
+    from nf2pq_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["j7b_bucketed_range"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # it IS a real join, on the manufactured key
+
+
 def test_join_strategy_hints(spark, sf_dir):
     """Join strategy is controllable per-query via hints when the optimizer
     default isn't what an operator wants at scale."""
