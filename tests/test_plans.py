@@ -65,6 +65,35 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "WholeStageCodegen" in p
 
 
+def test_dynamic_partition_pruning_on_rollup(spark, sf_dir, tmp_path):
+    """Joining the date-partitioned rollup table on its partition column
+    against a filtered dim triggers dynamic partition pruning — at 100 TB
+    this is what keeps a dim-filtered fact query from scanning every
+    partition."""
+    from pyspark.sql import functions as F
+
+    from nf2pq_spark.operators.rollup import build_rollup
+    from nf2pq_spark.sources.tables import load_table
+
+    path = str(tmp_path / "rollup")
+    build_rollup(load_table(spark, sf_dir, "events"), path)
+    fact = spark.read.parquet(path)
+    # independent dim with a *selective* predicate — DPP's precondition
+    days = [r.date for r in fact.select("date").distinct().limit(3).collect()]
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(d, "wanted" if i == 0 else "other") for i, d in enumerate(days)],
+        "date date, tag string",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "wanted")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    joined = fact.join(dim.hint("broadcast"), "date").groupBy("tag").agg(
+        F.sum("n").alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_bucketed_range_join_avoids_nested_loop(spark, sf_dir):
     """The keyless range join runs as a bucket equi-join, never a
     broadcast-nested-loop / cartesian plan."""
