@@ -355,3 +355,59 @@ def _seed_csv_fixture() -> None:
 
 
 _seed_csv_fixture()
+
+
+def _seed_json_fixture() -> None:
+    """Same contract as the CSV seed, for the S4 JSON scan: newline-
+    delimited JSON exported once from the grading-scale parquet."""
+    import duckdb
+
+    src = "/root/testdata/sf0.01/events.parquet"
+    dst = "/tmp/nf2pq_json_events.json"
+    if os.path.exists(src) and not os.path.exists(dst):
+        try:
+            con = duckdb.connect()
+            con.execute(
+                f"COPY (SELECT event_id, user_id, event_type, value "
+                f"FROM read_parquet('{src}') ORDER BY event_id) "
+                f"TO '{dst}' (FORMAT JSON)"
+            )
+            con.close()
+        except Exception:
+            pass
+
+
+_seed_json_fixture()
+
+
+@register(
+    "s4b_json_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+           MAX(user_id) AS max_user
+    FROM read_json('/tmp/nf2pq_json_events.json',
+                   format='newline_delimited',
+                   columns={'event_id':'BIGINT','user_id':'BIGINT',
+                            'event_type':'VARCHAR','value':'DOUBLE'})
+    GROUP BY event_type
+    """,
+    description="newline-delimited JSON ingest with explicit schema (S4): "
+    "fixture exported to NDJSON once, read back via spark.read.json — "
+    "explicit schema skips Spark's double-pass inference scan",
+    tags=("S4",),
+)
+def s4b_json_scan(spark, sf_dir):
+    path = "/tmp/nf2pq_json_events.json"
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    pdf = ev.select("event_id", "user_id", "event_type", "value").toPandas()
+    pdf.to_json(path, orient="records", lines=True, double_precision=10)
+    j = spark.read.json(
+        path,
+        schema="event_id long, user_id long, event_type string, value double",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
