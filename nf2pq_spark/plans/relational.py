@@ -1112,6 +1112,74 @@ def u3_intersect(spark, sf_dir):
 
 
 @register(
+    "u3b_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 3 = 0
+    INTERSECT ALL
+    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 2 = 0
+    """,
+    description="intersect preserving multiplicity (U3): min(count_a, "
+    "count_b) copies per value survive",
+    tags=("U3",),
+)
+def u3b_intersect_all(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.col("l_suppkey").alias("k"), F.col("l_linestatus").alias("st"))
+    b = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("k"), F.col("l_linestatus").alias("st"))
+    return a.intersectAll(b)
+
+
+@register(
+    "u4b_except_all",
+    oracle="""
+    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 3 = 0
+    EXCEPT ALL
+    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 2 = 0
+    """,
+    description="bag difference preserving multiplicity (U4): "
+    "max(count_a - count_b, 0) copies per value survive",
+    tags=("U4",),
+)
+def u4b_except_all(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.col("l_suppkey").alias("k"), F.col("l_linestatus").alias("st"))
+    b = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_suppkey").alias("k"), F.col("l_linestatus").alias("st"))
+    return a.exceptAll(b)
+
+
+@register(
+    "j11_nullsafe_join",
+    oracle="""
+    WITH a AS (SELECT event_id, nullif(user_id % 5, 0) AS k
+               FROM events WHERE user_id < 15),
+         b AS (SELECT event_id, nullif(user_id % 5, 0) AS k
+               FROM events WHERE user_id >= 15 AND user_id < 30)
+    SELECT a.k AS k, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+    description="null-safe equality join (J1 variant): <=> treats NULL as a "
+    "joinable key value — EqualNullSafe is still an equi-predicate, so the "
+    "plan stays a hash join, not a nested loop",
+    tags=("J1",),
+)
+def j11_nullsafe_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 5, F.lit(0)).alias("k")
+    a = ev.filter(F.col("user_id") < 15).select("event_id", k)
+    b = ev.filter((F.col("user_id") >= 15) & (F.col("user_id") < 30)).select("event_id", k)
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]), "inner")
+        .groupBy(a["k"].alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
     "u4_except",
     oracle="""
     SELECT c_custkey AS k FROM customer
