@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
+from .parallelize import spread_for_compute
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,6 +48,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_bands: int = 4,
     """
     if n_bands > 4:
         raise ValueError("n_bands > 4 needs a second hash; keep ≤ 4")
+    df = spread_for_compute(df)
     sh = shingles(F.col(text_col), shingle_k)
     hashes = F.transform(sh, lambda s: F.md5(s))
 
@@ -117,6 +119,7 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
     higher-order aggregate); xxhash64 is Spark-native so this variant is
     rows-only for grading (the oracle lacks the same hash).
     """
+    df = spread_for_compute(df)
     toks = F.array_distinct(tokens(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 

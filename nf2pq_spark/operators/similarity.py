@@ -43,8 +43,11 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 5) -> D
     ``queries``: (q_id, qv: array<double>); ``candidates``: (c_id, cv).
     Self-pairs (q_id == c_id) are excluded.
     """
+    from .parallelize import spread_for_compute
+
     j = (
-        candidates.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
+        spread_for_compute(candidates)
+        .join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
         .withColumn("__cos", cosine(F.col("qv"), F.col("cv")))
     )
     return _ranked(j, k)
