@@ -256,6 +256,31 @@ def sql3_big_orders(spark, sf_dir):
     return spark.sql(_SQL_BIG_ORDERS)
 
 
+_SQL_LATERAL = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_nationkey = 3
+"""
+
+
+@register(
+    "sql4_lateral_topn",
+    oracle=_SQL_LATERAL,
+    description="correlated LATERAL subquery with per-row ORDER BY/LIMIT "
+    "(top-2 orders per customer) — Catalyst decorrelates to a ranked "
+    "window join; same text runs on both engines (ties broken by orderkey "
+    "for determinism)",
+    tags=("SQL", "W4", "J10"),
+)
+def sql4_lateral_topn(spark, sf_dir):
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_LATERAL)
+
+
 @register(
     "m1_map_functions",
     oracle="""

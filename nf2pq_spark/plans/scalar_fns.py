@@ -188,6 +188,29 @@ def f4_arrays(spark, sf_dir):
 
 
 @register(
+    "f4b_explode_wordcount",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+    description="explode / one-to-many array expansion (F4): token "
+    "wordcount over documents — generator runs inside codegen, partial "
+    "aggregation shrinks the shuffle to one row per distinct token",
+    tags=("F4",),
+)
+def f4b_explode_wordcount(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "f6_json",
     oracle="""
     SELECT event_id,
