@@ -111,6 +111,59 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str = "doc_id",
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list ``(u, v)`` →
+    ``(n, component)`` where component is the minimum node id reachable.
+
+    The graph step a real dedup pipeline needs after candidate pairs:
+    near-dup RELATIONS are pairwise, but dedup KEEPS one doc per
+    transitive cluster. Min-label propagation: every round each node
+    takes the min of its own and its neighbors' labels — one shuffle
+    join + min-aggregate per round, converging in O(component diameter)
+    rounds, which is right for near-dup graphs whose components are tiny
+    and dense. For web-scale graphs with long chains swap the update for
+    the large-star/small-star contraction (Kiveris et al., same
+    join/groupBy primitives, O(log n) rounds). Lineage is cut per round
+    with an eager localCheckpoint so the plan doesn't grow unboundedly;
+    convergence is detected with a scalar count, never a collect.
+
+    Nodes with no edges don't appear (a singleton is its own cluster by
+    definition — callers union them back if needed).
+    """
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("n")).distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("n", "v"), "v")
+            .groupBy("u").agg(F.min("lbl").alias("nbr_min"))
+            .withColumnRenamed("u", "n")
+        )
+        new = (
+            labels.join(nbr, "n", "left")
+            .select(
+                "n",
+                F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "n")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("lbl", "component")
+
+
 def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash from per-token xxhash64 bit votes.
 

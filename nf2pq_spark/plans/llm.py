@@ -115,6 +115,58 @@ def l2c_simhash(spark, sf_dir):
 
 
 @register(
+    "l2d_neardup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [] END AS h
+      FROM toks
+    ), bands AS (
+      SELECT doc_id,
+             list_min(list_transform(h, x -> substr(x, 1, 8))) AS b0,
+             list_min(list_transform(h, x -> substr(x, 9, 8))) AS b1
+      FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), walk(n, l) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n
+    )
+    SELECT component, COUNT(*) AS n_docs, MAX(n) AS max_doc FROM (
+      SELECT n, MIN(l) AS component FROM walk GROUP BY n
+    ) GROUP BY component
+    """,
+    description="transitive near-dup clusters (L2): LSH candidate pairs -> "
+    "connected components via min-label propagation "
+    "(operators.dedup.connected_components) — dedup keeps one doc per "
+    "TRANSITIVE cluster, not per pair. Oracle recomputes the same graph "
+    "with a recursive CTE; singleton docs (no candidate edge) are not "
+    "clusters and don't appear",
+    tags=("L2",),
+)
+def l2d_neardup_components(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(d, n_bands=2)
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("n").alias("max_doc")
+    )
+
+
+@register(
     "l3_cosine_topk",
     oracle="""
     SELECT q_id, c_id, rn, cos_sim FROM (

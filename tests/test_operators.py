@@ -107,6 +107,19 @@ def test_exact_dedup(spark):
     assert kept == [1, 3]  # case-normalized dup collapses to min id
 
 
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    triangle 10-11-12, isolated pair 20-21."""
+    from nf2pq_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "u long, v long",
+    )
+    got = {r.n: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_lsh_finds_planted_neardup(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")
