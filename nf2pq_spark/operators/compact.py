@@ -1,0 +1,50 @@
+"""Small-file compaction for parquet datasets.
+
+The reference's rotating file sink — and any streaming micro-batch sink —
+accretes one small file per trigger per partition. At 100 TB that layout
+kills scan performance: every file costs a task, a footer read, and NN/
+object-store metadata calls. Compaction rewrites a dataset into files
+near a target size.
+
+Sizing comes from the file-system listing (``getContentSummary``), not a
+data scan, so planning is O(metadata). The rewrite itself is one shuffle
+to exactly the output file count. Writes go to a fresh directory — object
+stores have no atomic rename-over-directory, so the swap (point readers /
+a table location at the new path, then delete the old) is the caller's
+transactional step.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dataset_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — works on
+    local/HDFS/S3A alike, no data scan."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_mb: int = 512,
+                    partition_col: str | None = None) -> DataFrame:
+    """Rewrite the parquet dataset at ``src`` into ``dst`` with ~target_mb
+    files. With ``partition_col``, the hive layout is preserved and each
+    partition directory compacts to one file (the rollup-table case);
+    otherwise the file count is ``ceil(total_bytes / target)``.
+
+    Returns the compacted DataFrame (re-read from ``dst``).
+    """
+    df = spark.read.parquet(src)
+    if partition_col is not None:
+        (df.repartition(partition_col)
+           .write.mode("overwrite").partitionBy(partition_col).parquet(dst))
+    else:
+        n_files = max(1, math.ceil(dataset_bytes(spark, src) / (target_mb << 20)))
+        df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)

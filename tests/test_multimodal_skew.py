@@ -92,3 +92,35 @@ def test_batch_partitioned_sink_prunes(spark, sf_dir):
     assert "PartitionFilters: [" in plan and "date" in plan.split("PartitionFilters")[1][:120]
     n_expected = ev.filter(F.col("date") == "2024-01-05").count()
     assert back.count() == n_expected
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir):
+    """Compaction rewrites a many-small-file dataset into few files with
+    identical contents; partitioned mode keeps the hive layout at one
+    file per partition."""
+    from nf2pq_spark.operators.compact import compact_parquet, dataset_bytes
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="compact_")
+    src = base + "/src"
+    ev.repartition(64).write.parquet(src)  # simulate micro-batch debris
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= 32
+    assert dataset_bytes(spark, src) > 0
+
+    out = compact_parquet(spark, src, base + "/dst", target_mb=512)
+    files = [f for f in os.listdir(base + "/dst") if f.endswith(".parquet")]
+    assert len(files) == 1  # tiny dataset packs into a single target file
+    assert out.count() == ev.count()
+    a = ev.agg(F.sum("value").cast("decimal(20,2)").alias("s")).collect()[0].s
+    b = out.agg(F.sum("value").cast("decimal(20,2)").alias("s")).collect()[0].s
+    assert a == b
+
+    evd = ev.withColumn("part", (F.col("user_id") % 3).cast("int"))
+    srcp = base + "/srcp"
+    evd.repartition(16).write.partitionBy("part").parquet(srcp)
+    outp = compact_parquet(spark, srcp, base + "/dstp", partition_col="part")
+    for d in os.listdir(base + "/dstp"):
+        if d.startswith("part="):
+            inner = [f for f in os.listdir(f"{base}/dstp/{d}") if f.endswith(".parquet")]
+            assert len(inner) == 1
+    assert outp.count() == evd.count()
