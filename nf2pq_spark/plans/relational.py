@@ -623,6 +623,55 @@ def a6_stats_agg(spark, sf_dir):
 
 
 @register(
+    "a6b_regression_agg",
+    oracle="""
+    SELECT event_type,
+           regr_count(value, user_id) AS n,
+           CAST(ROUND(regr_slope(value, user_id), 6) AS DOUBLE) AS slope,
+           CAST(ROUND(regr_intercept(value, user_id), 4) AS DOUBLE) AS icept,
+           CAST(ROUND(regr_r2(value, user_id), 6) AS DOUBLE) AS r2,
+           CAST(ROUND(regr_avgx(value, user_id), 6) AS DOUBLE) AS avgx
+    FROM events GROUP BY event_type
+    """,
+    description="linear-regression aggregates (A6): regr_slope/intercept/"
+    "r2/avgx/count per event type (rounded — order-dependent float sums)",
+    tags=("A6",),
+)
+def a6b_regression_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    y, x = F.col("value"), F.col("user_id")
+    return ev.groupBy("event_type").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+    )
+
+
+@register(
+    "a14_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) t
+    GROUP BY c_nationkey
+    """,
+    description="ordered string aggregation (A8 cousin): per-nation sorted "
+    "'|'-joined distinct segments — sort inside the group makes the "
+    "concatenation deterministic",
+    tags=("A8",),
+)
+def a14_string_agg(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment").distinct()
+        .groupBy("c_nationkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("c_mktsegment")), "|").alias("segs"))
+    )
+
+
+@register(
     "a7_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
