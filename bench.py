@@ -47,7 +47,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in bench_names:
         run_query(spark, name, sf_dir)  # warm-up: JIT, file listings, synth inputs
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        # min-of-2 timed runs: one GC pause or compaction hiccup otherwise
+        # lands in the recorded number
+        timings[name] = round(min(run_query(spark, name, sf_dir),
+                                  run_query(spark, name, sf_dir)), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
