@@ -1,0 +1,70 @@
+"""Count-min-sketch heavy hitters ("top talkers" with bounded memory).
+
+The flow-analytics counterpart of the HLL cardinality estimate (A4): find
+the keys responsible for most traffic WITHOUT a per-key hash table. An
+exact groupBy(key).count() shuffles one row per distinct key — at 100 TB
+of flows with tens of millions of src addresses that state is real; the
+CMS is a fixed ``depth x width`` counter grid regardless of key count,
+and its merge is counter addition, so Spark's partial-aggregate tree
+combines partition sketches with no key-space state.
+
+Candidate enumeration (the classic CMS gap) uses per-partition local
+top-m: any key above a global frequency threshold is in the local top-m
+of at least one partition for any non-adversarial partitioning, and the
+candidate set stays O(partitions x m) — small enough to estimate
+driver-side against the deserialized sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def count_min_sketch_bytes(df: DataFrame, col: str, eps: float = 0.001,
+                           confidence: float = 0.99, seed: int = 42) -> bytes:
+    """One-pass CMS over ``df[col]`` → serialized sketch bytes (driver)."""
+    row = df.agg(
+        F.count_min_sketch(col, F.lit(eps), F.lit(confidence), F.lit(seed)).alias("s")
+    ).collect()[0]
+    return bytes(row.s)
+
+
+def _read_sketch(spark, raw: bytes):
+    jvm = spark._jvm
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+
+
+def top_talkers_cms(df: DataFrame, col: str, k: int = 10, local_m: int = 50,
+                    eps: float = 0.001, confidence: float = 0.99,
+                    seed: int = 42) -> list[tuple[int, int]]:
+    """Approximate top-k keys of ``df[col]`` (long-typed) with estimates.
+
+    Two cheap passes: (1) the CMS aggregate; (2) per-partition local top-m
+    candidate keys. Returns ``[(key, estimated_count)]`` sorted by
+    estimate descending — estimates never undercount (CMS error is
+    one-sided, ≤ eps·N overcount with the configured confidence).
+    """
+    spark = df.sparkSession
+    sketch = _read_sketch(spark, count_min_sketch_bytes(df, col, eps, confidence, seed))
+
+    from pyspark.sql import Window
+
+    local = (
+        df.groupBy(F.spark_partition_id().alias("__pid"), F.col(col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__n").desc(), F.col("__k"))
+    cands = [
+        r["__k"]
+        for r in local.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= local_m)
+        .select("__k").distinct().collect()
+    ]
+    est = sorted(
+        ((key, sketch.estimateCount(int(key))) for key in cands),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return est[:k]

@@ -107,6 +107,26 @@ def test_exact_dedup(spark):
     assert kept == [1, 3]  # case-normalized dup collapses to min id
 
 
+def test_cms_top_talkers_planted_skew(spark):
+    """Planted heavy hitter (30% of rows) tops the CMS estimate list, and
+    estimates bound the true counts from above by at most eps*N."""
+    from pyspark.sql import functions as F
+
+    from nf2pq_spark.operators.sketch import top_talkers_cms
+
+    n = 20000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))      # key 0: 30%
+        .when(F.col("id") % 10 < 5, F.lit(1))       # key 1: 20%
+        .otherwise(F.col("id") % 500 + 2).alias("k")
+    )
+    top = top_talkers_cms(df, "k", k=5, eps=0.005)
+    keys = [t[0] for t in top]
+    assert keys[0] == 0 and keys[1] == 1
+    true0 = df.filter(F.col("k") == 0).count()
+    assert true0 <= top[0][1] <= true0 + 0.005 * n
+
+
 def test_connected_components_known_graph(spark):
     """Chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
     triangle 10-11-12, isolated pair 20-21."""
