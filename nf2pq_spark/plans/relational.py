@@ -579,6 +579,25 @@ def a4_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "a4b_hll_sketch",
+    oracle=None,  # approximate — driver records rows-only check
+    description="Apache DataSketches HLL (A4, Spark 4 surface): "
+    "hll_sketch_agg builds MERGEABLE per-group sketches — at scale the "
+    "binary sketches persist alongside rollups and re-merge (hll_union_agg)"
+    " for coarser grains without rescanning raw data; rows-only by design",
+    tags=("A4",),
+)
+def a4b_hll_sketch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        .alias("nd_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_id", F.lit(12)))
+        .alias("nd_events"),
+    )
+
+
+@register(
     "a5_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -51,6 +51,37 @@ def test_ipv6_normalize_and_cidr_vs_stdlib(spark):
             assert r[f"c{i}"] == (a in ipaddress.IPv6Network(c)), (r.ip, c)
 
 
+def test_ipv6_property_random_addresses(spark):
+    """Property-based: random 128-bit addresses (compressed by the stdlib)
+    normalize and CIDR-match exactly like ipaddress, for every prefix
+    length 1..128 drawn."""
+    import ipaddress
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        addrs=st.lists(st.integers(0, 2**128 - 1), min_size=1, max_size=8),
+        net_int=st.integers(0, 2**128 - 1),
+        bits=st.integers(1, 128),
+    )
+    def check(addrs, net_int, bits):
+        cidr = str(ipaddress.IPv6Network((net_int, bits), strict=False))
+        ips = [str(ipaddress.IPv6Address(a)) for a in addrs]  # compressed form
+        df = spark.createDataFrame([(i,) for i in ips], ["ip"])
+        rows = df.select(
+            "ip",
+            flownet.ipv6_normalize(F.col("ip")).alias("norm"),
+            flownet.in_cidr6(F.col("ip"), cidr).alias("inc"),
+        ).collect()
+        for r in rows:
+            a = ipaddress.IPv6Address(r.ip)
+            assert r.norm == format(int(a), "032x")
+            assert r.inc == (a in ipaddress.IPv6Network(cidr)), (r.ip, cidr)
+
+    check()
+
+
 def test_tcp_flags(spark):
     df = spark.createDataFrame([(18,), (2,), (0,), (63,)], ["b"])
     out = df.select(flownet.decode_tcp_flags(F.col("b")).alias("f")).collect()
