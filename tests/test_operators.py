@@ -138,6 +138,25 @@ def test_exact_dedup(spark):
     assert kept == [1, 3]  # case-normalized dup collapses to min id
 
 
+def test_v5_vectorized_decode_equals_scalar():
+    """The numpy v5 fast path produces exactly the scalar reference
+    decoder's rows (same values, same order within a datagram)."""
+    from nf2pq_spark.sources.ipfix import (_decode_v5, _decode_v5_array,
+                                           _v5_frame, encode_netflow_v5)
+
+    flows = [
+        {"sa_int": (7 * i) % (1 << 32), "da_int": (11 * i + 3) % (1 << 32),
+         "ipkt": i % 1000, "ibyt": i * 13 % (1 << 30), "ts_ms": i * 17,
+         "te_ms": i * 17 + 5, "sp": i % 65536, "dp": (i * 3) % 65536,
+         "flg": i % 64, "pr": i % 256, "sas": i % 70000, "das": (i * 7) % 70000}
+        for i in range(95)
+    ]
+    for dgram in encode_netflow_v5(flows, per_packet=30):
+        scalar = _decode_v5(dgram, "exp")
+        fast = _v5_frame([_decode_v5_array(dgram)], ["exp"])
+        assert [tuple(r) for r in fast.itertuples(index=False)] == scalar
+
+
 def test_cms_top_talkers_planted_skew(spark):
     """Planted heavy hitter (30% of rows) tops the CMS estimate list, and
     estimates bound the true counts from above by at most eps*N."""
