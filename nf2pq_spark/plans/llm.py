@@ -167,6 +167,64 @@ def l2d_neardup_components(spark, sf_dir):
 
 
 @register(
+    "l2e_neardup_dedup_keep",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [] END AS h
+      FROM toks
+    ), bands AS (
+      SELECT doc_id,
+             list_min(list_transform(h, x -> substr(x, 1, 8))) AS b0,
+             list_min(list_transform(h, x -> substr(x, 9, 8))) AS b1
+      FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), walk(n, l) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n
+    ), drop_set AS (
+      SELECT n FROM (SELECT n, MIN(l) AS component FROM walk GROUP BY n)
+      WHERE n <> component
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept
+    FROM documents WHERE doc_id NOT IN (SELECT n FROM drop_set)
+    GROUP BY source
+    """,
+    description="end-to-end near-dup dedup (L2): LSH pairs -> connected "
+    "components -> keep the min-id doc per cluster, anti-join the rest "
+    "out of the corpus — the actual training-data dedup deliverable "
+    "(singletons survive untouched)",
+    tags=("L2", "J4"),
+)
+def l2e_neardup_dedup_keep(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d.select("doc_id", "text"), n_bands=2)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    drop = comp.filter(F.col("n") != F.col("component")).select(
+        F.col("n").alias("doc_id")
+    )
+    kept = d.join(drop, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_kept")
+    )
+
+
+@register(
     "l3_cosine_topk",
     oracle="""
     SELECT q_id, c_id, rn, cos_sim FROM (

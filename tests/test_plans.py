@@ -94,6 +94,35 @@ def test_dynamic_partition_pruning_on_rollup(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With a selective build side, Spark injects a bloom-filter runtime
+    row filter (might_contain) on the probe scan of a shuffle join — the
+    row-level sibling of DPP that prunes shuffle input at 100 TB. The
+    size thresholds exist so it only fires where it pays; zeroing them
+    here just makes the small fixture eligible."""
+    import pyspark.sql.functions as F
+
+    from nf2pq_spark.sources.tables import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold"]}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = (load_table(spark, sf_dir, "orders")
+             .filter(F.col("o_totalprice") > 400000).select("o_orderkey"))
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_range_join_avoids_nested_loop(spark, sf_dir):
     """The keyless range join runs as a bucket equi-join, never a
     broadcast-nested-loop / cartesian plan."""
