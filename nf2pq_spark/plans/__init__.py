@@ -8,5 +8,6 @@ from . import llm  # noqa: E402,F401
 from . import udf_surface  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import collector  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

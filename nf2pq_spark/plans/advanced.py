@@ -1,0 +1,449 @@
+"""Extended relational coverage: classic multi-join SQL shapes (TPC-H
+Q7/Q14/Q19/Q22 analogues on the fixture star schema) plus function-surface
+families not yet exercised elsewhere (unpivot, sequence/explode, date
+arithmetic, string distance, bitwise aggregates, width_bucket histograms,
+time-range window frames, try_* null-safe expressions).
+
+All entries follow the exactness conventions in plans.helpers (integer-cents
+money math, BIGINT casts for computed ints, VARCHAR casts for dates).
+Scale notes: each query states its shuffle/broadcast shape for the 100 TB
+design point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from .helpers import cents, cents_sum, ocents, ocents_sum
+from .registry import register
+
+_REV_C = f"{ocents('l_extendedprice')} * (100 - {ocents('l_discount')})"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape multi-join queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql5_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_C} ELSE 0 END)
+                AS DOUBLE)
+           / CAST(SUM({_REV_C}) AS DOUBLE) AS promo_pct,
+           {ocents_sum(_REV_C, 10000, 'total_revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    description="promo revenue share (TPC-H Q14 shape): fact⋈dim with a "
+    "conditional-aggregate ratio. Scale: part broadcasts (dim ≪ fact), the "
+    "shipdate month filter pushes to the parquet scan, and the global agg is "
+    "a map-side partial + single-row final — no data shuffle of the fact.",
+    tags=("J5", "A9"),
+    bench=True,
+)
+def sql5_promo_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(rev.alias("rev_c"), F.col("p_type"))
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(F.lit(0)))
+    total = F.sum("rev_c")
+    return j.agg(
+        (promo.cast("double") * 100 / total.cast("double")).alias("promo_pct"),
+        cents_sum(F.col("rev_c"), 10000, "total_revenue"),
+    )
+
+
+@register(
+    "sql6_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+           {ocents_sum(_REV_C, 10000, 'revenue')}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    description="bilateral shipping volume (TPC-H Q7 shape): 6-table join "
+    "with a disjunctive nation-pair filter. Scale: the only real shuffle is "
+    "lineitem⋈orders on orderkey; supplier/customer/nation broadcast, and "
+    "the nation-pair predicate semi-filters both broadcast sides before the "
+    "fact join (Catalyst pushes the OR through the join).",
+    tags=("J1", "J5", "A1"),
+    bench=True,
+)
+def sql6_volume_shipping(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s_nat = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey) \
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c_nat = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey) \
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(cents_sum(rev, 10000, "revenue"))
+    )
+
+
+@register(
+    "sql7_disjunctive_pred",
+    oracle=f"""
+    SELECT {ocents_sum(_REV_C, 10000, 'revenue')}, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    description="OR-of-ANDs predicate join (TPC-H Q19 shape). Scale: part "
+    "broadcasts; Catalyst extracts the common l_quantity/p_size bounds from "
+    "the disjunction and pushes them below the join, so the fact scan "
+    "prunes rows before the hash probe.",
+    tags=("J5", "P3"),
+    bench=True,
+)
+def sql7_disjunctive_pred(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & q.between(20, 50))
+    )
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(cents_sum(rev, 10000, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "sql8_inactive_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT CAST(SUM({ocents('c_acctbal')}) AS DOUBLE) / 100.0 / COUNT(*)
+               AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {ocents_sum(ocents('c_acctbal'), 100, 'totacctbal')}
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_nationkey
+    """,
+    description="wealthy customers with no finalized orders (TPC-H Q22 "
+    "shape): scalar avg subquery + anti-join. Scale: the avg is a tiny "
+    "broadcast scalar; the anti-join build side is the distinct custkeys of "
+    "filtered orders (≪ orders), so it broadcasts; one shuffle on "
+    "c_nationkey for the final agg.",
+    tags=("J4", "A2"),
+)
+def sql8_inactive_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(cents("c_acctbal")).cast("double") / 100.0
+              / F.count(F.lit(1))).alias("a"))
+    )
+    f_custkeys = orders.filter(F.col("o_orderstatus") == "F") \
+        .select("o_custkey").distinct()
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(F.broadcast(f_custkeys), F.col("c_custkey") == F.col("o_custkey"),
+              "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             cents_sum(cents("c_acctbal"), 100, "totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Function-surface families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u5_unpivot",
+    oracle="""
+    WITH u AS (
+        SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, COUNT(*) AS n, MIN(val) AS min_val, MAX(val) AS max_val
+    FROM u GROUP BY measure
+    """,
+    description="wide→long unpivot (melt) of three measure columns, then a "
+    "per-measure profile. Scale: unpivot is a narrow (no-shuffle) 3× row "
+    "expansion; min/max aggregate exactly on doubles (order-independent).",
+    tags=("U5",),
+)
+def u5_unpivot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    longf = li.unpivot(
+        ids=[], values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure", valueColumnName="val",
+    )
+    return longf.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@register(
+    "f9_sequence_explode",
+    oracle="""
+    SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+           CAST(SUM(n_seq) AS BIGINT) AS sum_seq
+    FROM orders, unnest(generate_series(1, 3 + o_orderkey % 3)) AS t(n_seq)
+    GROUP BY 1
+    """,
+    description="row-generating sequence + explode (generate_series "
+    "equivalent). Scale: generation is per-row and pipelined (no shuffle "
+    "until the final 10-key agg); the lateral expansion never materializes "
+    "driver-side.",
+    tags=("F4", "X4"),
+)
+def f9_sequence_explode(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            (F.col("o_orderkey") % 10).alias("bucket"),
+            F.explode(F.sequence(F.lit(1), (F.lit(3) + F.col("o_orderkey") % 3)
+                                 .cast("int"))).alias("n_seq"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_seq").cast("bigint").alias("sum_seq"))
+    )
+
+
+@register(
+    "f2c_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                AS BIGINT) AS days_to_1999,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+               AS plus_3_months,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+    FROM orders
+    """,
+    description="date arithmetic family: datediff, add_months (month-end "
+    "clamped identically in both engines), last_day, quarter, dayofweek "
+    "(Spark 1=Sunday vs DuckDB 0=Sunday — oracle shifts). Dates emit as "
+    "VARCHAR (date repr does not round-trip comparably). Scale: pure "
+    "narrow projection, whole-stage codegen, no shuffle.",
+    tags=("F2",),
+)
+def f2c_date_arithmetic(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("1999-01-01").cast("date"), d)
+         .cast("bigint").alias("days_to_1999"),
+        F.add_months(d, 3).cast("string").alias("plus_3_months"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+    )
+
+
+@register(
+    "f1b_string_distance",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS lev,
+           split_part(c_name, '#', 2) AS cust_num,
+           left(c_name, 8) AS l8,
+           right(c_name, 4) AS r4,
+           reverse(split_part(c_name, '#', 2)) AS rev_num,
+           translate(c_name, '#0', '-x') AS translated,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           repeat(c_mktsegment, 2) AS seg2
+    FROM customer
+    """,
+    description="string family 2: edit distance, split_part, left/right, "
+    "reverse, translate, instr/strpos, repeat. Scale: narrow projection in "
+    "whole-stage codegen; levenshtein is O(len²) per row but lengths are "
+    "bounded — still no shuffle.",
+    tags=("F1",),
+)
+def f1b_string_distance(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    n = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(n, F.lit("Customer#000000000")).cast("bigint").alias("lev"),
+        F.split_part(n, F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.left(n, F.lit(8)).alias("l8"),
+        F.right(n, F.lit(4)).alias("r4"),
+        F.reverse(F.split_part(n, F.lit("#"), F.lit(2))).alias("rev_num"),
+        F.translate(n, "#0", "-x").alias("translated"),
+        F.instr(n, "#").cast("bigint").alias("hash_pos"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg2"),
+    )
+
+
+@register(
+    "a15_bitwise_agg",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(event_id % 256) AS bxor
+    FROM events GROUP BY event_type
+    """,
+    description="bitwise aggregates (bit_and/bit_or/bit_xor) — flow-mask "
+    "style rollups (e.g. TCP-flag OR-accumulation in NetFlow reports). "
+    "Scale: commutative/associative → full map-side partial agg.",
+    tags=("A1", "F7"),
+)
+def a15_bitwise_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor(F.col("event_id") % 256).alias("bxor"),
+    )
+
+
+@register(
+    "a16_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+                     WHEN c_acctbal >= 10000.0 THEN 12
+                     ELSE FLOOR((c_acctbal - (-1000.0)) / 1000.0) + 1
+                END AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(c_acctbal) AS lo,
+           MAX(c_acctbal) AS hi
+    FROM customer GROUP BY 1
+    """,
+    description="equi-width histogram via width_bucket over [-1000, 10000) "
+    "in 11 buckets (DuckDB lacks width_bucket → arithmetic oracle; bucket "
+    "edges are exact multiples of 1000, exactly representable, and acctbal "
+    "is cents-grained, so both formulations agree). Scale: 13-key agg with "
+    "map-side partials — histogram of 100 TB costs one tiny shuffle.",
+    tags=("A1", "F3"),
+)
+def a16_histogram(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.width_bucket(F.col("c_acctbal"), F.lit(-1000.0), F.lit(10000.0),
+                           F.lit(11)).cast("bigint").alias("bucket"),
+            "c_acctbal",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("c_acctbal").alias("lo"),
+             F.max("c_acctbal").alias("hi"))
+    )
+
+
+@register(
+    "w3b_time_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0 AS rolling_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    description="time-range window frame: per-user rolling 1-hour value sum "
+    "ordered by event time (RANGE BETWEEN INTERVAL — peers at equal ts "
+    "aggregate identically, so ts ties are deterministic). Scale: one "
+    "shuffle on user_id; frame evaluation is a per-partition sorted sweep.",
+    tags=("W3",),
+)
+def w3b_time_range_frame(spark, sf_dir):
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql("""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS DOUBLE) / 100.0 AS rolling_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """)
+
+
+@register(
+    "p8_try_exprs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / CAST(o_orderkey % 3 AS DOUBLE)
+           END AS safe_ratio,
+           TRY_CAST(split_part(o_orderpriority, '-', 2) AS BIGINT) AS prio_num,
+           CAST(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS BIGINT)
+               AS prio_rank
+    FROM orders
+    """,
+    description="null-safe expression family: try_divide (NULL on /0, vs "
+    "CASE oracle) and try_cast (non-numeric → NULL, '1-URGENT' → 1). "
+    "Scale: narrow codegen projection, no shuffle.",
+    tags=("P4", "P5"),
+)
+def p8_try_exprs(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"),
+                     (F.col("o_orderkey") % 3).cast("double")).alias("safe_ratio"),
+        F.expr("TRY_CAST(split_part(o_orderpriority, '-', 2) AS BIGINT)")
+         .alias("prio_num"),
+        F.expr("CAST(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS BIGINT)")
+         .alias("prio_rank"),
+    )
