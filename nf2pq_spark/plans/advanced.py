@@ -447,3 +447,217 @@ def p8_try_exprs(spark, sf_dir):
         F.expr("CAST(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS BIGINT)")
          .alias("prio_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: existence/decorrelation shapes and remaining agg/array families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql9_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    description="order-priority count gated on an EXISTS subquery (TPC-H Q4 "
+    "shape): decorrelates to a left-semi join. Scale: the semi-join build "
+    "side is lineitem filtered to quantity>45 and projected to orderkey "
+    "only; both sides shuffle on orderkey once, then a 5-key agg.",
+    tags=("J3", "A1"),
+)
+def sql9_priority_exists(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+        )
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "sql10_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {ocents_sum(_REV_C, 10000, 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    description="top supplier by quarterly revenue (TPC-H Q15 shape): "
+    "aggregate, take the max as a scalar, keep the argmax rows. Revenue is "
+    "an exact integer-cents sum → double, so the equality against MAX is "
+    "deterministic cross-engine. Scale: one shuffle on suppkey; the max is "
+    "a single-row broadcast; supplier dim broadcasts.",
+    tags=("A1", "J5", "A10"),
+)
+def sql10_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(cents_sum(rev_c, 10000, "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "sql11_supplier_variety",
+    oracle="""
+    SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+           COUNT(*) AS line_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY p_brand
+    """,
+    description="distinct-supplier variety per brand with a NOT IN "
+    "exclusion list (TPC-H Q16 shape): anti-join against a tiny filtered "
+    "dim (s_suppkey is non-null, so NOT IN ≡ anti-join). Scale: exclusion "
+    "list and part dim both broadcast; count-distinct expands to a "
+    "two-phase agg on (brand, suppkey).",
+    tags=("J4", "A3"),
+)
+def sql11_supplier_variety(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    bad = load_table(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(pt.filter(F.col("p_type") != "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+             F.count(F.lit(1)).alias("line_cnt"))
+    )
+
+
+@register(
+    "sql12_small_qty_revenue",
+    oracle="""
+    WITH pavg AS (
+        SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS threshold
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < threshold
+    """,
+    description="small-quantity order revenue (TPC-H Q17 shape): the "
+    "correlated per-part AVG decorrelates into a pre-aggregate + join. "
+    "Quantities are integral doubles, so AVG = exact_sum/count is "
+    "bit-identical cross-engine and the < threshold comparison is "
+    "deterministic. Scale: pavg shuffles once on partkey (same key as the "
+    "join → AQE reuses the partitioning); part filter broadcasts.",
+    tags=("J1", "A2"),
+)
+def sql12_small_qty_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    pavg = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("threshold"))
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "a5b_exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="exact median / interpolated quantiles per group (both "
+    "engines use the R-7 linear-interpolation definition; quantities are "
+    "integral doubles so the interpolation arithmetic is exact). Scale: "
+    "exact quantiles need per-group sorted values — fine on bounded group "
+    "counts; unbounded cardinality should switch to percentile_approx "
+    "(a4/a5 cover the sketch path).",
+    tags=("A5",),
+)
+def a5b_exact_quantiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "f4c_array_setops",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types,
+           list_filter(list_sort(list_distinct(list(event_type))),
+                       x -> x != 'click') AS minus_click,
+           list_sort(list_distinct(list(event_type) || ['audit'])) AS with_audit,
+           CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    description="array set operations: per-user distinct event-type set, "
+    "array_except / array_union / size (sorted on both sides — Spark's "
+    "set-op order is first-argument order, normalized by array_sort). "
+    "Scale: collect_set is bounded by the type-domain cardinality, not row "
+    "count — safe at 100 TB; one shuffle on user_id.",
+    tags=("F4", "A8"),
+)
+def f4c_array_setops(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.array_except(types, F.array(F.lit("click"))).alias("minus_click"),
+        F.array_sort(F.array_union(F.collect_set("event_type"),
+                                   F.array(F.lit("audit")))).alias("with_audit"),
+        F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
+    )
