@@ -245,10 +245,12 @@ def test_rate_source_smoke(spark):
     """S8: built-in rate source runs one bounded trigger."""
     stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
     name = f"rate_{uuid.uuid4().hex[:8]}"
+    # availableNow bounds the run: rate offsets advance with the wall clock,
+    # so processAllAvailable() on a loaded machine chases them forever
     q = (stream.writeStream.format("memory").queryName(name)
-         .trigger(processingTime="1 second").start())
+         .trigger(availableNow=True).start())
     try:
-        q.processAllAvailable()
+        q.awaitTermination(120)
     finally:
         q.stop()
     assert spark.table(name).count() >= 0
