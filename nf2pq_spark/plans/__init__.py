@@ -9,5 +9,6 @@ from . import udf_surface  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import collector  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,197 @@
+"""Data-quality / profiling operators — the audit pass a 100 TB training
+pipeline runs before (and after) every transform stage.
+
+All are single-scan designs: the profile/audit aggregates compute every
+statistic in one pass over the fact table (map-side partials, tiny final
+row set), never one scan per column. Oracles are plain ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "dq1_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount) FROM lineitem
+    """,
+    description="per-column profile (count / distinct / min / max) emitted "
+    "long-form. Scale: ONE scan computes all twelve statistics (the oracle's "
+    "three scans are the naive form); the wide agg row explodes to long "
+    "driver-free. Distinct counts shuffle once; min/max/count are pure "
+    "map-side partials.",
+    tags=("A2", "U5"),
+)
+def dq1_column_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_quantity").alias("d_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_extendedprice").alias("d_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_discount").alias("d_disc"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+    profile = F.array(
+        F.struct(F.lit("l_quantity").alias("col"), F.col("n"),
+                 F.col("d_qty").alias("n_distinct"),
+                 F.col("min_qty").alias("min_v"), F.col("max_qty").alias("max_v")),
+        F.struct(F.lit("l_extendedprice").alias("col"), F.col("n"),
+                 F.col("d_price").alias("n_distinct"),
+                 F.col("min_price").alias("min_v"),
+                 F.col("max_price").alias("max_v")),
+        F.struct(F.lit("l_discount").alias("col"), F.col("n"),
+                 F.col("d_disc").alias("n_distinct"),
+                 F.col("min_disc").alias("min_v"), F.col("max_disc").alias("max_v")),
+    )
+    return wide.select(F.explode(profile).alias("p")).select("p.*")
+
+
+@register(
+    "dq2_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS edge,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    """,
+    description="foreign-key orphan audit over four star-schema edges, each "
+    "an anti-join count (keys are non-null, so NOT IN ≡ anti-join). Scale: "
+    "every build side is either a broadcastable dim or the distinct "
+    "orderkeys of orders; counts are map-side partials, the union is four "
+    "single-row plans.",
+    tags=("J4", "A2"),
+)
+def dq2_referential_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphan_count(fact, fk, dim_keys, edge):
+        return (
+            fact.join(dim_keys, F.col(fk) == F.col(dim_keys.columns[0]),
+                      "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(edge).alias("edge"), "orphans")
+        )
+
+    edges = [
+        orphan_count(li, "l_orderkey", orders.select("o_orderkey"),
+                     "lineitem->orders"),
+        orphan_count(li, "l_partkey", part.select("p_partkey"),
+                     "lineitem->part"),
+        orphan_count(orders, "o_custkey", cust.select("c_custkey"),
+                     "orders->customer"),
+        orphan_count(cust, "c_nationkey", nation.select("n_nationkey"),
+                     "customer->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
+
+
+@register(
+    "dq3_domain_violations",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+               AS bad_qty,
+           COUNT(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.5)
+               AS bad_discount,
+           COUNT(*) FILTER (WHERE l_extendedprice <= 0.0) AS bad_price,
+           COUNT(*) FILTER (WHERE l_quantity > 45) AS outlier_qty,
+           COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1995-01-01'
+                               OR l_shipdate > TIMESTAMP '2002-01-01')
+               AS bad_shipdate
+    FROM lineitem
+    """,
+    description="single-pass domain-rule audit: every rule is a conditional "
+    "count over one scan (FILTER ↔ count_if). Scale: pure map-side "
+    "partials, one final row — the audit of 100 TB shuffles six longs per "
+    "partition.",
+    tags=("A9", "A2"),
+)
+def dq3_domain_violations(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, p, s = (F.col("l_quantity"), F.col("l_discount"),
+                  F.col("l_extendedprice"), F.col("l_shipdate"))
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("2002-01-01").cast("timestamp_ntz")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if((q < 1) | (q > 50)).alias("bad_qty"),
+        F.count_if((d < 0.0) | (d > 0.5)).alias("bad_discount"),
+        F.count_if(p <= 0.0).alias("bad_price"),
+        F.count_if(q > 45).alias("outlier_qty"),
+        F.count_if((s < lo) | (s > hi)).alias("bad_shipdate"),
+    )
+
+
+@register(
+    "l9_bigram_profile",
+    oracle="""
+    WITH grams AS (
+        SELECT lang, substr(text, i, 2) AS bg
+        FROM documents, unnest(generate_series(1, len(text) - 1)) AS t(i)
+    ),
+    counts AS (
+        SELECT lang, bg, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    )
+    SELECT lang, bg, cnt FROM counts
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) <= 5
+    """,
+    description="character-bigram frequency profile per language — the "
+    "feature table behind n-gram language ID (l4c). Bigrams come from a "
+    "higher-order transform over sequence(1, len-1) (no UDF); top-5 per "
+    "lang via window with a deterministic (cnt, bg) tie-break. Scale: "
+    "bigram explosion is pipelined (no shuffle until the (lang,bg) agg); "
+    "the top-k window partitions by lang only after counts shrink the data.",
+    tags=("L4", "F4", "W4"),
+)
+def l9_bigram_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+        )).alias("bg"),
+    )
+    counts = grams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("bg"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bg", "cnt")
+    )
