@@ -99,18 +99,29 @@ def sql6_volume_shipping(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    s_nat = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey) \
+    # the pair-OR implies membership in {NATION_1, NATION_2} on BOTH sides;
+    # Catalyst doesn't derive IN-sets from a disjunction across two inputs,
+    # so push the implied filter explicitly — it shrinks each broadcast side
+    # ~12× and the join output ~25× before the residual pair filter runs
+    pair_set = ["NATION_1", "NATION_2"]
+    s_nat = supp.join(F.broadcast(nation.filter(F.col("n_name").isin(pair_set))),
+                      supp.s_nationkey == nation.n_nationkey) \
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    c_nat = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey) \
+    c_nat = cust.join(F.broadcast(nation.filter(F.col("n_name").isin(pair_set))),
+                      cust.c_nationkey == nation.n_nationkey) \
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    # join order: broadcast-reduce each side to the pair nations FIRST
+    # (li→~8%, orders→~8%), so the orderkey equi-join runs on two small
+    # inputs and AQE turns it into a broadcast join as well
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c_nat), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.join(F.broadcast(c_nat),
+                          F.col("o_custkey") == F.col("c_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation",
