@@ -663,3 +663,41 @@ def l6_label_centroids(spark, sf_dir):
             .alias("centroid")
         )
     )
+
+
+@register(
+    "l10_vec_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+                            (acc, x) -> acc + x)) AS l2_norm,
+           list_transform(e, x -> CAST(FLOOR(
+               x / sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(e, x2 -> x2 * x2)),
+                        (acc, x2) -> acc + x2)) * 127 + 0.5) AS BIGINT))
+               AS q8,
+           CAST(len(e) AS BIGINT) AS n_dims
+    FROM v
+    """,
+    description="vector L2-normalize + int8 quantization (the storage-"
+    "shrink step before ANN indexing). Exactness: both engines fold the "
+    "squares sequentially in double (F.aggregate ↔ list_reduce), so norms "
+    "are bit-identical and the floor(x*127+0.5) grid never sits on a "
+    "boundary. Scale: pure per-row narrow transform — no shuffle, no UDF, "
+    "4x memory reduction for the index build stage.",
+    tags=("L3", "F4"),
+)
+def l10_vec_quantize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return e.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.transform(v, lambda x: F.floor(x / norm * 127 + F.lit(0.5))
+                    .cast("bigint")).alias("q8"),
+        F.size(v).cast("bigint").alias("n_dims"),
+    )

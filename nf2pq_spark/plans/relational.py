@@ -1265,3 +1265,40 @@ def u4_except(spark, sf_dir):
         .select(F.col("o_custkey").alias("k"))
     )
     return c.subtract(o)
+
+
+@register(
+    "w6_ratio_to_report",
+    oracle="""
+    WITH nat_rev AS (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT c_nationkey, revenue,
+           revenue / SUM(revenue) OVER () AS revenue_share
+    FROM nat_rev
+    """,
+    description="ratio-to-report: each nation's share of total revenue via "
+    "an empty-partition window over the AGGREGATED rows. Scale: the "
+    "unpartitioned window is safe because it runs on 25 post-agg rows, not "
+    "the fact — aggregate first, window second; customer dim broadcasts "
+    "into the fact join.",
+    tags=("W3", "A1", "J5"),
+)
+def w6_ratio_to_report(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat_rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg((F.sum(cents("o_totalprice")).cast("double") / 100.0)
+             .alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return nat_rev.select(
+        "c_nationkey", "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w)).alias("revenue_share"),
+    )

@@ -203,3 +203,68 @@ def t5_dedup_keys(spark, sf_dir):
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n_minutes"))
     )
+
+
+@register(
+    "t6_gap_fill",
+    oracle="""
+    WITH days AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT u.user_id, d.day,
+           COALESCE(n, 0) AS n_filled,
+           last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY u.user_id ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM days d CROSS JOIN users u
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+    """,
+    description="calendar gap-fill with LOCF (hypertable "
+    "time_bucket_gapfill parity): dense day×user scaffold from "
+    "sequence(), left join of daily rollups, zero-fill counts and "
+    "last-observation-carried-forward values via last(ignorenulls) over an "
+    "explicit ROWS frame (default frames differ between engines). Scale: "
+    "the scaffold is dims-only (days × users, both ≪ fact); the fact "
+    "aggregates BEFORE joining, so the big table shuffles once on "
+    "(user, day) and the LOCF window runs on the small dense grid.",
+    tags=("T1", "W2", "J2"),
+)
+def t6_gap_fill(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .helpers import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(F.sequence(
+            F.lit("2024-01-01").cast("timestamp_ntz"),
+            F.lit("2024-01-30").cast("timestamp_ntz"),
+            F.expr("INTERVAL 1 DAY"))).alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(cents("value")).cast("double") / 100.0).alias("day_value"))
+    )
+    grid = days.crossJoin(users)
+    joined = grid.join(
+        daily,
+        (grid.user_id == daily.user_id) & (grid.day == daily.day),
+        "left",
+    ).select(grid.user_id, grid.day, "n", "day_value")
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "user_id", "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_filled"),
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
