@@ -672,3 +672,71 @@ def f4c_array_setops(spark, sf_dir):
                                    F.array(F.lit("audit")))).alias("with_audit"),
         F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
     )
+
+
+@register(
+    "j14_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    description="manually salted equi-join (operators/skew.py): the fact "
+    "side gets a deterministic xxhash64 salt, the dim side replicates "
+    "x8, and the join key becomes (suppkey, salt) — identical results to "
+    "the plain join (the oracle), but each hot key's rows split across 8 "
+    "tasks. Scale: the escape hatch for power-law keys joining a "
+    "non-broadcastable dim where AQE's skew splitting cannot rewrite "
+    "(broadcast disabled here to force the shuffle path under test).",
+    tags=("J1", "A1"),
+)
+def j14_salted_skew_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select(F.col("l_suppkey").alias("k"), "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select(F.col("s_suppkey").alias("k"), "s_nationkey")
+    joined = salted_join(li, supp, on="k", buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@register(
+    "mm2_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 24 + 1 AS INT) AS nf
+        FROM documents
+    ),
+    sized AS (
+        SELECT media_id, nf, GREATEST(16 // nf, 1) AS fsize FROM m
+    )
+    SELECT media_id, CAST(f AS INT) AS frame_no,
+           CAST(GREATEST(LEAST(16, (f + 1) * fsize) - f * fsize, 0) AS BIGINT)
+               AS n_bytes
+    FROM sized, unnest(generate_series(0, nf - 1, 4)) AS t(f)
+    """,
+    description="video frame sampling (functions/multimodal.py "
+    "sample_frames): every-4th frame of each fake-decoded 16-byte buffer "
+    "(content = unhex(md5(text)), n_frames from metadata) emitted as one "
+    "row per frame; the oracle reproduces the slicing arithmetic. Scale: "
+    "one-to-many mapInPandas with Arrow batching — bytes cross to Python "
+    "once per batch, the fan-out never collects, and the real-codec swap "
+    "touches only _decode_bytes.",
+    tags=("L5", "X5"),
+)
+def mm2_frame_sample(spark, sf_dir):
+    from ..functions.multimodal import sample_frames, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, media_type="video")
+    frames = sample_frames(media, every=4, backend="fake")
+    return frames.select(
+        "media_id", "frame_no",
+        F.length("frame").cast("bigint").alias("n_bytes"),
+    )
