@@ -147,3 +147,55 @@ def test_join_strategy_hints(spark, sf_dir):
     assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
     smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
     assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sql5_broadcast_and_month_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sql5_promo_revenue")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "PushedFilters" in p and "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_sql7_disjunction_bounds_pushed_to_scan(spark, sf_dir):
+    # the OR-of-ANDs implies l_quantity ∈ [1,50]; Catalyst must extract the
+    # common bounds and push them into the parquet scan, not evaluate the
+    # whole disjunction only above the join
+    p = _plan(spark, sf_dir, "sql7_disjunctive_pred")
+    scan = [seg for seg in p.split("FileScan")[1:] if "lineitem" in seg][0]
+    assert "l_quantity" in scan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_sql6_fact_reduced_before_orderkey_join(spark, sf_dir):
+    # both fact inputs must be broadcast-filtered to the nation pair before
+    # the orderkey equi-join (which AQE converts to broadcast at runtime —
+    # not visible in the static plan), and the nation scans must carry the
+    # pushed IN filter
+    p = _plan(spark, sf_dir, "sql6_volume_shipping")
+    assert p.count("BroadcastHashJoin") >= 3
+    nation_scans = [seg for seg in p.split("FileScan")[1:] if "nation" in seg]
+    assert any("In(n_name" in seg.split("PushedFilters:")[1].splitlines()[0]
+               for seg in nation_scans if "PushedFilters:" in seg)
+
+
+def test_t6_gap_fill_aggregates_before_join(spark, sf_dir):
+    # the fact must aggregate to (user, day) BEFORE joining the calendar
+    # scaffold — a join-then-aggregate plan would shuffle raw events twice
+    df = plans.REGISTRY["t6_gap_fill"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = opt.find("Aggregate")
+    join_pos = opt.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # optimizedPlan prints top-down: the window/join must appear above
+    # (before) the fact aggregate in the tree dump
+    assert join_pos < opt.rfind("Aggregate")
+
+
+def test_dq1_single_scan_profile(spark, sf_dir):
+    # one scan computes all twelve statistics: exactly one lineitem FileScan
+    p = _plan(spark, sf_dir, "dq1_column_profile")
+    assert sum("lineitem" in seg.splitlines()[0]
+               for seg in p.split("FileScan")[1:]) == 1
+
+
+def test_l10_quantize_no_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "l10_vec_quantize")
+    assert "Exchange" not in p  # pure narrow per-row transform
