@@ -740,3 +740,146 @@ def mm2_frame_sample(spark, sf_dir):
         "media_id", "frame_no",
         F.length("frame").cast("bigint").alias("n_bytes"),
     )
+
+
+@register(
+    "sql13_dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT l_suppkey, supp_qty,
+               CAST(supp_qty AS DOUBLE)
+               / CAST(SUM(supp_qty) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                   AS share
+        FROM ps
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_dominated
+    FROM shares JOIN supplier ON s_suppkey = l_suppkey
+    WHERE share >= 0.3
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+    description="suppliers dominating ≥30% of a part's shipped quantity on "
+    "≥3 parts (TPC-H Q20 flavor): two-level aggregate + per-part window "
+    "share + HAVING. Share = exact-int/exact-int in double, so the 0.3 "
+    "threshold compares identically cross-engine. Scale: one shuffle on "
+    "(partkey, suppkey), the window reuses the partkey grouping; supplier "
+    "dim broadcasts at the end.",
+    tags=("A1", "W3", "J5"),
+)
+def sql13_dominant_suppliers(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    w = Window.partitionBy("l_partkey")
+    shares = ps.select(
+        "l_suppkey", "supp_qty",
+        (F.col("supp_qty").cast("double")
+         / F.sum("supp_qty").over(w).cast("double")).alias("share"))
+    return (
+        shares.filter(F.col("share") >= 0.3)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+        .filter(F.col("n_dominated") >= 3)
+    )
+
+
+@register(
+    "sql14_strict_latest_supplier",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+        FROM lineitem GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT l_orderkey, l_suppkey, supp_last,
+               MAX(supp_last) OVER (PARTITION BY l_orderkey) AS order_last,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp
+        FROM per_supp
+    ),
+    counted AS (
+        SELECT *,
+               SUM(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM marked
+    )
+    SELECT l_suppkey, COUNT(*) AS n_sole_latest
+    FROM counted
+    WHERE n_supp >= 2 AND n_at_max = 1 AND supp_last = order_last
+    GROUP BY 1
+    """,
+    description="per supplier: multi-supplier orders where they were "
+    "STRICTLY the last to ship (TPC-H Q21 flavor) — pre-aggregate to "
+    "(order, supplier), then order-partitioned windows mark the max, its "
+    "multiplicity, and the supplier count; strict latest = unique max. "
+    "Scale: one shuffle on orderkey serves all three windows (same "
+    "partition key); no self-join of the fact (the naive Q21 EXISTS/NOT "
+    "EXISTS pair would scan lineitem three times).",
+    tags=("W3", "A1", "J10"),
+)
+def sql14_strict_latest_supplier(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last"))
+    w = Window.partitionBy("l_orderkey")
+    marked = per_supp.select(
+        "l_orderkey", "l_suppkey", "supp_last",
+        F.max("supp_last").over(w).alias("order_last"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("supp_last") == F.col("order_last"), 1)
+              .otherwise(0)).over(w),
+    )
+    return (
+        marked.filter((F.col("n_supp") >= 2) & (F.col("n_at_max") == 1)
+                      & (F.col("supp_last") == F.col("order_last")))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_sole_latest"))
+    )
+
+
+@register(
+    "f10_bit_manipulation",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 240 AS or_mask,
+           xor(event_id, user_id) AS xored,
+           (event_id % 1024) << 2 AS shl,
+           event_id >> 1 AS shr,
+           ~event_id AS inverted,
+           bin(user_id) AS user_bits,
+           hex(event_id % 4096) AS id_hex
+    FROM events
+    """,
+    description="bit-manipulation family: masks, xor, shifts, complement, "
+    "bin/hex formatting — the flag-field toolkit for NetFlow TCP-flag and "
+    "mask columns (f7 uses these on real flow semantics). Scale: narrow "
+    "codegen projection, no shuffle.",
+    tags=("F7", "F3"),
+)
+def f10_bit_manipulation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(240)).alias("or_mask"),
+        eid.bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(eid % 1024, 2).alias("shl"),
+        F.shiftright(eid, 1).alias("shr"),
+        F.bitwise_not(eid).alias("inverted"),
+        F.bin("user_id").alias("user_bits"),
+        F.hex(eid % 4096).alias("id_hex"),
+    )
