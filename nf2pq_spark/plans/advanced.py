@@ -883,3 +883,216 @@ def f10_bit_manipulation(spark, sf_dir):
         F.bin("user_id").alias("user_bits"),
         F.hex(eid % 4096).alias("id_hex"),
     )
+
+
+@register(
+    "sql15_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {ocents_sum(_REV_C, 10000, 'revenue')}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    description="local-supplier volume (TPC-H Q5 shape): revenue per nation "
+    "where customer and supplier share the nation, region- and year-"
+    "filtered. Scale: region⋈nation prunes supplier AND customer via "
+    "broadcast before the fact join, so the only shuffle is "
+    "lineitem⋈orders on orderkey; the c_nationkey = s_nationkey "
+    "colocation predicate is a post-join filter on already-small rows.",
+    tags=("J1", "J5", "A1"),
+)
+def sql15_local_supplier_volume(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # nation list for the region: tiny broadcast dim reused on both sides
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nat.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.join(F.broadcast(cust),
+                          F.col("o_custkey") == F.col("c_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(cents_sum(rev, 10000, "revenue"))
+    )
+
+
+@register(
+    "sql16_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               {_REV_C} AS revc,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_8' THEN revc ELSE 0 END)
+                AS DOUBLE)
+           / CAST(SUM(revc) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY 1
+    """,
+    description="market share (TPC-H Q8 shape): NATION_8's share of PROMO "
+    "part revenue sold to EUROPE customers, per order year. Share = exact "
+    "cents int / exact cents int, both surfaced as double — bit-identical "
+    "division cross-engine. Scale: part/customer-nation/supplier-nation all "
+    "broadcast-prune the fact; one orderkey shuffle; the conditional "
+    "numerator folds into the same single aggregation pass as the "
+    "denominator.",
+    tags=("J1", "J5", "A9"),
+)
+def sql16_market_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("eu_nationkey"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(eu_nat), F.col("c_nationkey") == F.col("eu_nationkey")
+    ).select("c_custkey")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.join(F.broadcast(cust),
+                          F.col("o_custkey") == F.col("c_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_8", rev)
+                .otherwise(F.lit(0))).cast("double")
+    den = F.sum(rev).cast("double")
+    return (
+        vol.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((num / den).alias("mkt_share"))
+    )
+
+
+@register(
+    "sql17_profit_by_nation",
+    oracle=f"""
+    SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           {ocents_sum(
+               f"{_REV_C} - {ocents('p_retailprice')} "
+               "* CAST(l_quantity AS BIGINT) * 90",
+               10000, 'profit')}
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    description="profit by supplier nation and year (TPC-H Q9 shape, "
+    "adapted: the fixture has no partsupp, so unit cost is modeled as 90% "
+    "of p_retailprice). All arithmetic in exact integer cents at scale "
+    "10000 — revenue minus cost sums exactly, one double division at the "
+    "end. Scale: the p_name LIKE filter prunes part before its broadcast; "
+    "supplier+nation broadcast; one orderkey shuffle against orders.",
+    tags=("J1", "J5", "A1", "F1"),
+)
+def sql17_profit_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        cents("l_extendedprice") * (100 - cents("l_discount"))
+        - cents("p_retailprice") * F.col("l_quantity").cast("bigint") * 90
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(cents_sum(profit, 10000, "profit"))
+    )
+
+
+@register(
+    "sql18_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY 1
+    """,
+    description="customer order-count distribution (TPC-H Q13 shape): "
+    "left join with an ON-clause filter, count per customer including "
+    "zeros, then histogram the counts. Scale: pre-aggregate orders by "
+    "custkey FIRST (shuffle carries one row per customer, not one per "
+    "order), then a single custkey-partitioned join against customer; "
+    "the final tiny histogram aggregation is map-side combinable.",
+    tags=("J2", "A1"),
+)
+def sql18_customer_distribution(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint"))
+                .alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
