@@ -776,8 +776,16 @@ def sql13_dominant_suppliers(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    # one shuffle serves both the (partkey, suppkey) aggregate and the
+    # partkey window: hashpartitioning(l_partkey) satisfies the clustered
+    # distribution of BOTH (partkey ⊆ the group keys), so an explicit
+    # repartition on the window key removes the re-shuffle between them
+    ps = (
+        li.select("l_partkey", "l_suppkey", "l_quantity")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    )
     w = Window.partitionBy("l_partkey")
     shares = ps.select(
         "l_suppkey", "supp_qty",
@@ -829,8 +837,14 @@ def sql14_strict_latest_supplier(spark, sf_dir):
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("supp_last"))
+    # single orderkey shuffle feeds the (orderkey, suppkey) aggregate AND
+    # all three orderkey-partitioned windows (same trick as sql13)
+    per_supp = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
     w = Window.partitionBy("l_orderkey")
     marked = per_supp.select(
         "l_orderkey", "l_suppkey", "supp_last",
@@ -1095,4 +1109,51 @@ def sql18_customer_distribution(spark, sf_dir):
                 .alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "sql19_returned_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, {ocents_sum(_REV_C, 10000, 'revenue')}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    description="top-20 customers by returned-item revenue in a year "
+    "(TPC-H Q10 shape): join + aggregate + global top-k in one pipeline. "
+    "Scale: the returnflag and orderdate filters push to both scans; "
+    "revenue is pre-aggregated per custkey BEFORE the customer join "
+    "(the join input carries one row per customer, not one per lineitem), "
+    "and sort+limit plans as TakeOrderedAndProject — per-partition heaps, "
+    "no global sort. Tie-break on c_custkey keeps the LIMIT frontier "
+    "deterministic cross-engine.",
+    tags=("J1", "A1", "O3"),
+)
+def sql19_returned_top_customers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(cents_sum(rev, 10000, "revenue"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )

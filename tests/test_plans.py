@@ -199,3 +199,60 @@ def test_dq1_single_scan_profile(spark, sf_dir):
 def test_l10_quantize_no_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "l10_vec_quantize")
     assert "Exchange" not in p  # pure narrow per-row transform
+
+
+def test_sql13_single_shuffle_feeds_agg_and_window(spark, sf_dir):
+    # the explicit repartition(l_partkey) must serve BOTH the
+    # (partkey, suppkey) aggregate and the partkey window — no re-shuffle
+    # between them; the only other hash exchange is the tiny final
+    # (s_suppkey, s_name) aggregate
+    p = _plan(spark, sf_dir, "sql13_dominant_suppliers")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in p  # supplier joins via broadcast
+
+
+def test_sql14_single_shuffle_feeds_agg_and_windows(spark, sf_dir):
+    # one orderkey exchange for aggregate + all three windows, one tiny
+    # final l_suppkey aggregate exchange
+    p = _plan(spark, sf_dir, "sql14_strict_latest_supplier")
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_sql15_broadcast_star_single_fact_shuffle(spark, sf_dir):
+    # the orderkey fact join stays SMJ in the static plan (AQE converts it
+    # at runtime once both inputs shrink — same caveat as the sql6 test);
+    # every dimension join must already be broadcast statically
+    p = _plan(spark, sf_dir, "sql15_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+    # region filter pushed into its scan
+    region_scan = [s for s in p.split("FileScan")[1:]
+                   if "region.parquet" in s.splitlines()[0]][0]
+    assert "EqualTo(r_name,ASIA)" in region_scan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_sql17_like_filter_pushed_to_part_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sql17_profit_by_nation")
+    part_scan = [s for s in p.split("FileScan")[1:]
+                 if "/part.parquet" in s.splitlines()[0]][0]
+    assert "StringContains(p_name,red)" in part_scan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_sql18_aggregates_orders_before_customer_join(spark, sf_dir):
+    # orders must collapse to one row per custkey BEFORE joining customer;
+    # the ON-clause priority filter must reach the orders scan
+    df = plans.REGISTRY["sql18_customer_distribution"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = opt.find("Join")
+    assert join_pos != -1 and join_pos < opt.rfind("Aggregate")
+    p = _plan(spark, sf_dir, "sql18_customer_distribution")
+    orders_scan = [s for s in p.split("FileScan")[1:]
+                   if "orders.parquet" in s.splitlines()[0]][0]
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in \
+        orders_scan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_sql19_topk_physical_and_preagg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sql19_returned_top_customers")
+    assert "TakeOrderedAndProject" in p  # heap top-k, not global sort
+    li_scan = [s for s in p.split("FileScan")[1:] if "lineitem" in s][0]
+    assert "EqualTo(l_returnflag,R)" in li_scan.split("PushedFilters:")[1].splitlines()[0]
