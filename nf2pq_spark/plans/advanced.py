@@ -1157,3 +1157,37 @@ def sql19_returned_top_customers(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "w7_cume_dist_nth_value",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           cume_dist() OVER w AS cd,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="cume_dist + nth_value window functions (W1/W2 "
+    "completion): cumulative distribution and the customer's second-ever "
+    "order price as of each row. Total order via (orderdate, orderkey) "
+    "tie-break keeps nth_value deterministic; o_totalprice is picked, not "
+    "computed, so values match bit-exactly. Scale: one custkey shuffle "
+    "serves both windows (same partition+order spec).",
+    tags=("W1", "W2"),
+)
+def w7_cume_dist_nth_value(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
