@@ -1191,3 +1191,44 @@ def w7_cume_dist_nth_value(spark, sf_dir):
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
     )
+
+
+@register(
+    "sql20_late_shipment_priority",
+    oracle="""
+    SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    description="late shipments by order priority (TPC-H Q12 shape, "
+    "adapted: the fixture has no l_shipmode, so 'late' = shipped more than "
+    "90 days after the order date, split urgent vs non-urgent). Scale: "
+    "orders projects just (orderkey, orderdate, priority) into the single "
+    "orderkey shuffle; the cross-table lateness predicate filters at the "
+    "join before the tiny per-year aggregate, and both conditional counts "
+    "fold into one map-side-combinable pass.",
+    tags=("J1", "A9"),
+)
+def sql20_late_shipment_priority(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
