@@ -1232,3 +1232,54 @@ def sql20_late_shipment_priority(spark, sf_dir):
             .alias("low_line_count"),
         )
     )
+
+
+@register(
+    "t7_funnel_conversion",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS next_click
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_views,
+           CAST(SUM(CASE WHEN next_click <= ts + INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM ordered
+    WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+    description="view→click funnel conversion per user: a conditional "
+    "forward-looking window (earliest following click per user) marks each "
+    "view that converts within 30 minutes — sequence detection without a "
+    "self-join. Total order (ts, event_id) keeps the ROWS frame "
+    "deterministic under timestamp ties. Scale: ONE user_id shuffle serves "
+    "the window and the per-user aggregate (same partitioning); the "
+    "self-join formulation would shuffle events twice and explode "
+    "view×click pairs before filtering.",
+    tags=("W2", "W3", "T6"),
+)
+def t7_funnel_conversion(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, Window.unboundedFollowing))
+    next_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("next_click", next_click)
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(F.when(F.col("next_click")
+                         <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_converted"),
+        )
+    )
