@@ -1,0 +1,251 @@
+"""Modern-SQL surface: Spark 4 features and remaining ANSI coverage.
+
+- recursive CTEs (``WITH RECURSIVE`` landed in Spark 4.0) for calendar-spine
+  generation — the canonical gap-free reporting scaffold;
+- distribution-shape aggregates (skewness / kurtosis / deterministic mode);
+- the calendar scalar-function battery (dayofweek/weekofyear/quarter/
+  dayofyear/last_day/add_months/datediff);
+- the VARIANT semi-structured type (``parse_json`` → ``variant_get``);
+- ``regexp_extract_all`` token extraction over the documents corpus.
+
+Cross-engine notes (verified live against DuckDB 1.0.0):
+- Spark ``skewness``/``kurtosis`` are *population* moments (g1, excess g2);
+  DuckDB's same-named functions are sample-corrected, so the oracles spell
+  out the moment arithmetic explicitly.
+- Spark ``dayofweek`` is 1-based (Sunday=1); DuckDB's is 0-based → oracle
+  adds 1.
+- Spark ``mode(expr, true)`` breaks ties by smallest value; the oracle uses
+  the equivalent ``ORDER BY cnt DESC, value ASC LIMIT 1`` per group.
+
+Scale notes: the recursive spine materializes O(months) rows on the driver
+side of the plan — trivially small — and joins against a pre-aggregated
+(already-reduced) monthly rollup, so the recursion never touches fact-table
+volume. All other queries are single-scan aggregations with map-side
+partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from .helpers import ocents
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: gap-free month spine (WITH RECURSIVE — Spark 4.0+)
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = f"""
+WITH RECURSIVE spine(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < DATE '2001-08-01'
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+         COUNT(*) AS n_orders,
+         SUM({ocents('o_totalprice')}) AS rev_c
+  FROM orders
+  GROUP BY 1
+)
+SELECT CAST(m AS STRING) AS month,
+       COALESCE(n_orders, 0) AS n_orders,
+       CAST(COALESCE(rev_c, 0) AS DOUBLE) / 100 AS revenue
+FROM spine LEFT JOIN monthly ON om = m
+"""
+
+
+@register(
+    "sql21_recursive_spine",
+    oracle=_SPINE_SQL,
+    description="gap-free monthly revenue via WITH RECURSIVE calendar spine "
+    "(Spark 4.0 recursive CTE) left-joined to a pre-aggregated monthly "
+    "rollup. Scale: orders aggregates down to O(months) rows *before* the "
+    "spine join, so the recursion and join are both tiny regardless of fact "
+    "size; the single shuffle is the monthly groupBy.",
+    tags=("SQL-recursive", "T1"),
+)
+def sql21_recursive_spine(spark, sf_dir):
+    # Recursion has no DataFrame-API form; the SQL path shares Catalyst's
+    # analyzer/optimizer with the DataFrame path (SURVEY.md §3.2), and the
+    # oracle string runs verbatim on both engines.
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SPINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-shape aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a17_distribution_shape",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag, AVG(l_quantity) AS mean_q, COUNT(*) AS n,
+             SUM(l_quantity) AS s1, SUM(l_quantity*l_quantity) AS s2,
+             SUM(l_quantity*l_quantity*l_quantity) AS s3,
+             SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n, mean_q,
+             s2/n - mean_q*mean_q AS m2,
+             s3/n - 3*mean_q*s2/n + 2*mean_q*mean_q*mean_q AS m3,
+             s4/n - 4*mean_q*s3/n + 6*mean_q*mean_q*s2/n
+                  - 3*mean_q*mean_q*mean_q*mean_q AS m4
+      FROM mu
+    ),
+    md AS (
+      SELECT l_returnflag, l_quantity AS mode_q,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT m.l_returnflag,
+           ROUND(m3 / POWER(m2, 1.5), 6) AS skew_q,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurt_q,
+           md.mode_q AS mode_q
+    FROM m JOIN md ON m.l_returnflag = md.l_returnflag AND md.rn = 1
+    """,
+    description="per-group skewness / kurtosis / deterministic mode of "
+    "l_quantity. Spark's skewness/kurtosis are population g1/g2 moments; "
+    "the oracle derives the same moments from exact power sums (l_quantity "
+    "is integral, so s1..s4 are exact in both engines). mode(x, true) "
+    "tie-breaks to the smallest value ↔ ORDER BY cnt DESC, value ASC. "
+    "Scale: single scan, map-side partial aggregation; the mode needs one "
+    "(key,value)-grained shuffle — bounded by distinct-value count, not "
+    "row count.",
+    tags=("A6", "A17"),
+)
+def a17_distribution_shape(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    shape = li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew_q"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_q"),
+        F.expr("mode(l_quantity, true)").alias("mode_q"),
+    )
+    return shape
+
+
+# ---------------------------------------------------------------------------
+# Calendar scalar-function battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f2d_calendar_functions",
+    oracle="""
+    SELECT CAST(d AS VARCHAR) AS d,
+           CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+           CAST(weekofyear(d) AS BIGINT) AS iso_week,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           CAST(dayofyear(d) AS BIGINT) AS doy,
+           CAST(last_day(d) AS VARCHAR) AS month_end,
+           CAST(CAST(d + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+           CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+    description="calendar battery over distinct order dates: dayofweek "
+    "(Spark 1-based Sunday ↔ DuckDB 0-based, oracle adds 1), ISO "
+    "weekofyear, quarter, dayofyear, last_day, add_months (+3, both engines "
+    "clamp to month end), datediff from the epoch of the dataset. Scale: "
+    "distinct-date projection collapses the fact table to O(days) rows "
+    "before any per-row function work.",
+    tags=("F2",),
+)
+def f2d_calendar_functions(spark, sf_dir):
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    return od.select(
+        F.col("d").cast("string").alias("d"),
+        F.dayofweek("d").cast("bigint").alias("dow"),
+        F.weekofyear("d").cast("bigint").alias("iso_week"),
+        F.quarter("d").cast("bigint").alias("qtr"),
+        F.dayofyear("d").cast("bigint").alias("doy"),
+        F.last_day("d").cast("string").alias("month_end"),
+        F.add_months("d", 3).cast("string").alias("plus3m"),
+        F.datediff("d", F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured type (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v1_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="semi-structured path via Spark 4's VARIANT type: "
+    "parse_json(props) → variant_get('$.k', 'bigint'), aggregated per "
+    "event_type; oracle uses DuckDB json_extract_string + CAST. Scale: "
+    "variant parse is a per-row JVM expression inside whole-stage codegen "
+    "(no Python boundary); the shuffle carries only (event_type, partial "
+    "agg) pairs.",
+    tags=("F6", "V1"),
+)
+def v1_variant_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.avg("k").alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp_extract_all token extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f11_regexp_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_long_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+           MIN(tok) AS first_token
+    FROM toks
+    GROUP BY lang
+    """,
+    description="regexp_extract_all over the documents corpus: extract all "
+    "tokens of ≥6 letters, explode, count total/distinct per language. "
+    "Scale: regex runs JVM-side in codegen; explode multiplies rows before "
+    "the shuffle, but the per-lang distinct is bounded by vocabulary size — "
+    "at 100 TB swap COUNT(DISTINCT) for approx_count_distinct or a "
+    "two-level (lang, tok) pre-aggregation, which the l4/l9 queries "
+    "demonstrate.",
+    tags=("F1", "L4"),
+)
+def f11_regexp_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(r"[a-z]{6,}"), 0)).alias("tok"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_long_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.min("tok").alias("first_token"),
+    )
