@@ -15,7 +15,8 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from ..sources.ipfix import (encode_ipfix, encode_netflow_v5, read_flow_files,
+from ..sources.ipfix import (encode_ipfix, encode_netflow_v5,
+                             encode_netflow_v9, read_flow_files,
                              write_capture_file)
 from ..sources.tables import load_table
 from .registry import register
@@ -76,7 +77,8 @@ def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
         flows = _synth_flows(spark, sf_dir)
-        encode = encode_netflow_v5 if kind == "v5" else encode_ipfix
+        encode = {"v5": encode_netflow_v5, "v9": encode_netflow_v9,
+                  "ipfix": encode_ipfix}[kind]
         dgrams = encode(flows)
         # rotation-interval capture files, ~100 datagrams each
         per_file = 100
@@ -141,6 +143,34 @@ def s6b_ipfix_decode(spark, sf_dir):
         F.min("ts_ms").alias("first_ms"),
         F.max("ts_ms").alias("last_ms"),
         F.sum(F.col("sp").cast("long")).alias("sum_sport"),
+    )
+
+
+@register(
+    "s6c_netflow_v9_decode",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(MIN(ts_ms % 4294967296) AS BIGINT) AS first_ms,
+           CAST(SUM(dp) AS BIGINT) AS sum_dport,
+           CAST(SUM(ibyt) AS BIGINT) AS sum_bytes
+    FROM f GROUP BY pr
+    """,
+    description="NetFlow v9 template-driven decode (S6, RFC 3954): template "
+    "FlowSet id 0 cached per exporter like IPFIX, FIRST/LAST_SWITCHED "
+    "uptime-relative timestamps converted to absolute ms via the header's "
+    "(unixSecs, sysUptime) boot epoch — the oracle models the uint32 ms "
+    "truncation explicitly (% 2^32)",
+    tags=("S5", "S6"),
+)
+def s6c_netflow_v9_decode(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "v9")
+    flows = read_flow_files(spark, path)
+    return flows.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.min("ts_ms").alias("first_ms"),
+        F.sum(F.col("dp").cast("long")).alias("sum_dport"),
+        F.sum("ibyt").alias("sum_bytes"),
     )
 
 

@@ -1,5 +1,5 @@
-"""NetFlow v5 / IPFIX (v10) datagram decoding — the reference's front door
-(SURVEY §2.1 S5/S6, §3.3).
+"""NetFlow v5 / v9 / IPFIX (v10) datagram decoding — the reference's front
+door (SURVEY §2.1 S5/S6, §3.3).
 
 nf2pq is a NetFlow/IPFIX → Parquet collector: UDP datagrams arrive packed
 binary, NetFlow v9/IPFIX records are decoded against in-band templates
@@ -54,6 +54,11 @@ FLOW_SCHEMA = StructType([
 
 _V5_HEADER = struct.Struct(">HHIIIIBBH")   # 24 bytes
 _V5_RECORD = struct.Struct(">IIIHHIIIIHHBBBBHHBBH")  # 48 bytes
+
+#: NetFlow v9 header (RFC 3954 §5.1): version, count, sysUptime(ms),
+#: unixSecs, sequence, sourceId — 20 bytes, no byte-length field (flowsets
+#: run to the end of the datagram)
+_V9_HEADER = struct.Struct(">HHIIII")
 
 #: IPFIX information elements used by our template (RFC 7012 ids)
 _IPFIX_TEMPLATE_FIELDS = [
@@ -143,7 +148,17 @@ def encode_netflow_v5(flows: list[dict], per_packet: int = 30) -> list[bytes]:
 #: flow-dict key for each default template IE, in template order
 _IE_KEYS = {8: "sa_int", 12: "da_int", 7: "sp", 11: "dp", 4: "pr", 6: "flg",
             2: "ipkt", 1: "ibyt", 152: "ts_ms", 153: "te_ms",
-            16: "sas", 17: "das", 27: "sa6", 28: "da6"}
+            16: "sas", 17: "das", 27: "sa6", 28: "da6",
+            22: "ts_ms", 21: "te_ms"}
+
+#: NetFlow v9 field set (RFC 3954 §8): same low-range type ids as IPFIX,
+#: but timestamps are FIRST_SWITCHED(22)/LAST_SWITCHED(21) — uint32 ms
+#: relative to exporter sysUptime — and AS numbers are 2 bytes
+_V9_TEMPLATE_FIELDS = [
+    (8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (6, 1),
+    (2, 4), (1, 4), (22, 4), (21, 4), (16, 2), (17, 2),
+]
+_V9_TEMPLATE_ID = 300
 
 
 def encode_ipfix(flows: list[dict], per_packet: int = 30,
@@ -175,6 +190,39 @@ def encode_ipfix(flows: list[dict], per_packet: int = 30,
         header = struct.pack(">HHIII", 10, 16 + len(body), 0, seq, 1)
         out.append(header + body)
         seq += len(chunk)
+    return out
+
+
+def encode_netflow_v9(flows: list[dict], per_packet: int = 30,
+                      template_every: int = 10) -> list[bytes]:
+    """Pack flow dicts into NetFlow v9 datagrams (RFC 3954).
+
+    Template FlowSet (id 0) is re-sent every ``template_every`` packets.
+    Timestamps go out as FIRST/LAST_SWITCHED — uint32 ms relative to
+    sysUptime; the header carries (sysUptime=100000ms, unixSecs=100) so the
+    exporter boot epoch is exactly 0 and 32-bit-truncated absolute ms
+    round-trip through the uptime arithmetic.
+    """
+    fields = _V9_TEMPLATE_FIELDS
+    tmpl_body = struct.pack(">HH", _V9_TEMPLATE_ID, len(fields))
+    tmpl_body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
+    tmpl_set = struct.pack(">HH", 0, 4 + len(tmpl_body)) + tmpl_body
+
+    out = []
+    seq = 0
+    for msg_i, i in enumerate(range(0, len(flows), per_packet)):
+        chunk = flows[i:i + per_packet]
+        recs = b""
+        for f in chunk:
+            for ie, ln in fields:
+                v = f[_IE_KEYS[ie]]
+                recs += struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
+        data_set = struct.pack(">HH", _V9_TEMPLATE_ID, 4 + len(recs)) + recs
+        body = (tmpl_set if msg_i % template_every == 0 else b"") + data_set
+        n_sets = (2 if msg_i % template_every == 0 else 1)
+        header = _V9_HEADER.pack(9, n_sets, 100_000, 100, seq, 1)
+        out.append(header + body)
+        seq += 1
     return out
 
 
@@ -298,6 +346,61 @@ def _decode_ipfix(buf: bytes, exporter: str,
     return rows
 
 
+def _decode_v9(buf: bytes, exporter: str,
+               templates: dict[tuple[str, int], list[tuple[int, int]]]) -> list[tuple]:
+    """NetFlow v9 datagram → flow tuples (RFC 3954).
+
+    Shares the (exporter, template-id) cache with IPFIX: v9 template ids
+    live at ≥256 like IPFIX's, and the field-type numbering is the IPFIX
+    low range. The differences handled here: 20-byte header with no byte
+    length (flowsets run to end of datagram), template FlowSet id 0, and
+    sysUptime-relative FIRST/LAST_SWITCHED timestamps converted to absolute
+    ms via the header's (unixSecs, sysUptime) boot epoch.
+    """
+    version, _count, sys_uptime, unix_secs, _seq, _src = _V9_HEADER.unpack_from(buf, 0)
+    assert version == 9
+    boot_ms = unix_secs * 1000 - sys_uptime
+    rows = []
+    off = _V9_HEADER.size
+    while off + 4 <= len(buf):
+        set_id, set_len = struct.unpack_from(">HH", buf, off)
+        if set_len < 4:
+            break  # malformed padding — stop, keep what we decoded
+        set_end = min(off + set_len, len(buf))
+        p = off + 4
+        if set_id == 0:  # template FlowSet
+            while p + 4 <= set_end:
+                tid, n_fields = struct.unpack_from(">HH", buf, p)
+                p += 4
+                fields = []
+                for _ in range(n_fields):
+                    ie, ln = struct.unpack_from(">HH", buf, p)
+                    p += 4
+                    fields.append((ie, ln))
+                templates[(exporter, tid)] = fields
+        elif set_id >= 256:
+            fields = templates.get((exporter, set_id))
+            if fields is None:
+                p = set_end  # template not yet seen — drop, like a collector
+            else:
+                rec_len = sum(ln for _, ln in fields)
+                while p + rec_len <= set_end:
+                    vals = {}
+                    for ie, ln in fields:
+                        (vals[ie],) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
+                        p += ln
+                    ts = vals.get(152, boot_ms + vals.get(22, 0))
+                    te = vals.get(153, boot_ms + vals.get(21, 0))
+                    rows.append((
+                        ts, te, _ip_str(vals.get(8, 0)), _ip_str(vals.get(12, 0)),
+                        vals.get(7, 0), vals.get(11, 0), vals.get(4, 0),
+                        vals.get(6, 0), vals.get(2, 0), vals.get(1, 0),
+                        vals.get(16, 0), vals.get(17, 0), exporter,
+                    ))
+        off = set_end
+    return rows
+
+
 def _exporter_of(path: str) -> str:
     """Exporter identity for a datagram file: its directory (the datagram
     bridge writes one directory per exporter, standing in for the UDP
@@ -306,15 +409,23 @@ def _exporter_of(path: str) -> str:
 
 
 def _iter_template_sets(buf: bytes):
-    """Yield (tid, fields) for every template set in an IPFIX message."""
-    version, length = struct.unpack_from(">HH", buf, 0)
-    if version != 10:
+    """Yield (tid, fields) for every template set in an IPFIX or NetFlow v9
+    message (template set id 2 at offset 16 for IPFIX; id 0 at offset 20
+    for v9)."""
+    version = struct.unpack_from(">H", buf, 0)[0]
+    if version == 10:
+        length = struct.unpack_from(">H", buf, 2)[0]
+        off, tmpl_id = 16, 2
+    elif version == 9:
+        length, off, tmpl_id = len(buf), _V9_HEADER.size, 0
+    else:
         return
-    off = 16
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
-        set_end = off + set_len
-        if set_id == 2:
+        if set_len < 4:
+            break
+        set_end = min(off + set_len, length)
+        if set_id == tmpl_id:
             p = off + 4
             while p + 4 <= set_end:
                 tid, n_fields = struct.unpack_from(">HH", buf, p)
@@ -372,6 +483,8 @@ def make_decoder(initial_templates: dict | None = None):
                         if version == 5:
                             v5_arrs.append(_decode_v5_array(buf))
                             v5_exps.append(exporter)
+                        elif version == 9:
+                            rows.extend(_decode_v9(buf, exporter, templates))
                         elif version == 10:
                             rows.extend(_decode_ipfix(buf, exporter, templates))
                         # unknown versions skipped, matching collector behavior

@@ -357,3 +357,33 @@ def test_decoder_drops_truncated_datagrams(spark, tmp_path):
     write_capture_file(os.path.join(out, "cap.bin"),
                        [good[0], truncated, garbage, good[1]])
     assert read_flow_files(spark, out).count() == 35  # both intact dgrams only
+
+
+def test_v9_template_in_separate_file(spark, tmp_path):
+    """NetFlow v9 (RFC 3954): data FlowSets landing in a different file
+    (→ potentially a different scan partition) than their template FlowSet
+    still decode — the two-phase harvest removes ordering assumptions —
+    and FIRST/LAST_SWITCHED uptime arithmetic reconstructs absolute ms."""
+    import os
+
+    from nf2pq_spark.sources.ipfix import (encode_netflow_v9, read_flow_files,
+                                           write_capture_file)
+
+    flows = [{"sa_int": (10 << 24) + i, "da_int": (20 << 24) + i,
+              "sp": 1000 + i, "dp": 53, "pr": 17, "flg": 0,
+              "ipkt": 5, "ibyt": 512, "ts_ms": 7_000_000 + i,
+              "te_ms": 7_001_000 + i, "sas": 64500, "das": 64501}
+             for i in range(45)]
+    # one template packet (first), then data-only packets
+    dgrams = encode_netflow_v9(flows, per_packet=30, template_every=1000)
+    assert len(dgrams) == 2
+    out = str(tmp_path / "v9caps")
+    os.makedirs(out)
+    # data-only packet written FIRST, template-bearing packet elsewhere
+    write_capture_file(os.path.join(out, "cap_data.bin"), [dgrams[1]])
+    write_capture_file(os.path.join(out, "cap_tmpl.bin"), [dgrams[0]])
+    decoded = read_flow_files(spark, out).orderBy("sp").collect()
+    assert len(decoded) == 45
+    assert decoded[0].ts_ms == 7_000_000 and decoded[0].te_ms == 7_001_000
+    assert decoded[0].sa == "10.0.0.0" and decoded[0].dp == 53
+    assert decoded[44].sas == 64500 and decoded[44].pr == 17
