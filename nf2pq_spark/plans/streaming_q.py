@@ -172,3 +172,108 @@ def st6_stream_stream_join(spark, sf_dir):
         F.col("b_id").alias("click_id"),
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
+
+
+def _chunked_events_dir(spark, sf_dir: str, n_chunks: int = 4) -> str:
+    """Split events into ts-ordered parquet chunks once per sf; with
+    maxFilesPerTrigger=1 each chunk becomes one micro-batch, so state
+    genuinely crosses batch boundaries."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_events_chunks_{tag}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pdf = (
+            load_table(spark, sf_dir, "events")
+            .select("ts", "user_id", "value")
+            .orderBy("ts")
+            .toPandas()
+        )
+        step = -(-len(pdf) // n_chunks)
+        for i in range(n_chunks):
+            # µs on the wire: pandas would otherwise write TIMESTAMP(NANOS),
+            # which the session's nanosAsLong flag surfaces as bigint
+            pdf.iloc[i * step:(i + 1) * step].to_parquet(
+                os.path.join(out, f"chunk_{i}.parquet"), index=False,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+@register(
+    "st7_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    description="custom stateful per-key processing as a graded query (T6): "
+    "applyInPandasWithState keeps (count, cents-sum, max) per user across 4 "
+    "real micro-batches (ts-ordered file chunks, maxFilesPerTrigger=1); the "
+    "final cumulative emission per key equals the batch groupBy — the "
+    "stream-batch equivalence guarantee under the hash gate. State is "
+    "integer cents so cross-batch accumulation is exact. Scale: state is "
+    "O(distinct users), partitioned by key across executors; at 100 TB the "
+    "same processor runs on the RocksDB state store with watermark-driven "
+    "eviction.",
+    tags=("T6", "X2"),
+)
+def st7_stateful_totals(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..session import ensure_session_conf
+
+    # the chunk cache can make this the only query path that never touches
+    # load_table — apply the engine conf (shuffle sizing for the state
+    # store, Arrow) explicitly
+    ensure_session_conf(spark)
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def totals_fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        n, sum_c, mx = state.get if state.exists else (0, 0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            v = pdf["value"].to_numpy()
+            sum_c += int(np.rint(v * 100).astype("int64").sum())
+            mx = max(mx, float(v.max()))
+        state.update((n, sum_c, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "sum_c": [sum_c], "max_value": [mx]})
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        totals_fn,
+        outputStructType="user_id long, n_events long, sum_c long, "
+                         "max_value double",
+        stateStructType="n long, sum_c long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _, name = run_available_now(result, output_mode="update")
+    # each emission is cumulative; the final state per key is the row with
+    # the largest running count
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "n_events",
+            (F.col("sum_c").cast("double") / 100).alias("sum_value"),
+            "max_value",
+        )
+    )
