@@ -50,7 +50,7 @@ monthly AS (
   FROM orders
   GROUP BY 1
 )
-SELECT CAST(m AS STRING) AS month,
+SELECT /*+ BROADCAST(monthly) */ CAST(m AS STRING) AS month,
        COALESCE(n_orders, 0) AS n_orders,
        CAST(COALESCE(rev_c, 0) AS DOUBLE) / 100 AS revenue
 FROM spine LEFT JOIN monthly ON om = m

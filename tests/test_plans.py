@@ -256,3 +256,38 @@ def test_sql19_topk_physical_and_preagg(spark, sf_dir):
     assert "TakeOrderedAndProject" in p  # heap top-k, not global sort
     li_scan = [s for s in p.split("FileScan")[1:] if "lineitem" in s][0]
     assert "EqualTo(l_returnflag,R)" in li_scan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_sql21_spine_join_is_broadcast(spark, sf_dir):
+    """The recursive spine (O(months) rows) must never shuffle the monthly
+    rollup via sort-merge: the join is broadcast, and orders aggregates down
+    before joining the spine."""
+    p = _plan(spark, sf_dir, "sql21_recursive_spine")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_a17_single_scan_shape_aggs(spark, sf_dir):
+    """skewness/kurtosis/mode compute per-group in one scan of lineitem
+    (one scan; no join materializes the fact twice)."""
+    p = _plan(spark, sf_dir, "a17_distribution_shape")
+    assert p.count("FileScan parquet") == 1
+
+
+def test_v1_variant_stays_in_codegen(spark, sf_dir):
+    """VARIANT parse/extract is a JVM expression — no Python (Arrow) eval
+    node in the plan, and only the single agg exchange."""
+    p = _plan(spark, sf_dir, "v1_variant_json")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange") == 1
+
+
+def test_f2d_distinct_before_function_battery(spark, sf_dir):
+    """Calendar functions run after the distinct collapses the scan: one
+    scan reading only o_orderdate, one distinct exchange, and the function
+    battery folded into the final aggregate's output projection."""
+    p = _plan(spark, sf_dir, "f2d_calendar_functions")
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Exchange") == 1
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" in read_schema and "o_custkey" not in read_schema
