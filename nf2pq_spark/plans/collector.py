@@ -175,6 +175,35 @@ def s6c_netflow_v9_decode(spark, sf_dir):
 
 
 @register(
+    "s5b_capture_datasource",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(SUM(sp + dp) AS BIGINT) AS sum_ports,
+           COUNT(DISTINCT dp) AS n_dports
+    FROM f GROUP BY pr
+    """,
+    description="Spark 4 Python DataSource API (S5): the capture-file "
+    "format registered as spark.read.format('nfcapture') — schema, "
+    "file-per-partition planning, and Arrow-batch row production all in "
+    "the source; decodes the same v9 captures as s6c through the reader "
+    "UX instead of the binaryFile+mapInPandas path",
+    tags=("S5", "S6"),
+)
+def s5b_capture_datasource(spark, sf_dir):
+    from ..sources.datasource import register_capture_source
+
+    path = _datagram_dir(spark, sf_dir, "v9")
+    register_capture_source(spark)
+    flows = spark.read.format("nfcapture").load(path)
+    return flows.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum((F.col("sp") + F.col("dp")).cast("long")).alias("sum_ports"),
+        F.countDistinct("dp").alias("n_dports"),
+    )
+
+
+@register(
     "s4_csv_scan",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n,

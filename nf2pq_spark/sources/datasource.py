@@ -1,0 +1,141 @@
+"""Custom Python DataSource (Spark 4): capture files as a first-class
+``spark.read.format("nfcapture")`` source.
+
+The Spark 4 Python DataSource API (SPARK-44076, ``pyspark.sql.datasource``)
+lets the collector's capture-file format plug into the normal reader UX —
+schema discovery, partition planning, and Arrow-batched row production all
+live engine-side, so a user writes
+
+    spark.dataSource.register(CaptureDataSource)
+    flows = spark.read.format("nfcapture").load("/data/captures")
+
+and gets the typed flow DataFrame directly.
+
+Partitioning = one input partition per capture file: the datagram bridge
+rotates files per interval per exporter, so files are the natural parallel
+unit and a 1000-executor scan spreads them evenly (matching binaryFile's
+behavior, minus its content-column copy through the JVM).
+
+Template handling inside a partition is self-contained: each file is scanned
+once for template sets (v9 id-0 / IPFIX id-2) and then decoded against that
+cache, so in-file ordering doesn't matter. Templates announced in a
+*different* file are not visible — the bridge writes template refreshes into
+every rotation file (RFC 7011 §8.1 periodic re-announcement); for captures
+that violate that, :func:`nf2pq_spark.sources.ipfix.read_flow_files` remains
+the cross-file two-phase path.
+
+Rows are yielded as pyarrow RecordBatches (the API's fast path) — one batch
+per file, zero per-row Python loops beyond the decoders themselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .ipfix import FLOW_SCHEMA
+
+
+class CaptureDataSource(DataSource):
+    """``format("nfcapture")`` — NetFlow v5/v9/IPFIX capture-file reader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nfcapture"
+
+    def schema(self):
+        return FLOW_SCHEMA
+
+    def reader(self, schema) -> "CaptureReader":
+        return CaptureReader(self.options)
+
+
+class CaptureReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("nfcapture: .load(<capture dir or file>) required")
+        self.path = path
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".bin")
+            )
+        else:
+            files = [self.path]
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        # runs on executors: imports stay inside so only the partition's
+        # worker pays them
+        import struct
+
+        import pyarrow as pa
+
+        from .ipfix import (_decode_ipfix, _decode_v5_array, _decode_v9,
+                            _iter_template_sets, _v5_frame, iter_datagrams)
+
+        fname = partition.value
+        exporter = fname.rsplit("/", 1)[0]
+        with open(fname, "rb") as fh:
+            buf = fh.read()
+
+        # pass 1: in-file template harvest (order-independence within file)
+        templates = {}
+        for dgram in iter_datagrams(buf):
+            try:
+                for tid, fields in _iter_template_sets(dgram):
+                    templates[(exporter, tid)] = fields
+            except (struct.error, IndexError):
+                continue
+
+        # pass 2: decode — same per-version dispatch as make_decoder
+        import pandas as pd
+
+        rows: list[tuple] = []
+        v5_arrs, v5_exps = [], []
+        for dgram in iter_datagrams(buf):
+            try:
+                version = struct.unpack_from(">H", dgram, 0)[0]
+                if version == 5:
+                    v5_arrs.append(_decode_v5_array(dgram))
+                    v5_exps.append(exporter)
+                elif version == 9:
+                    rows.extend(_decode_v9(dgram, exporter, templates))
+                elif version == 10:
+                    rows.extend(_decode_ipfix(dgram, exporter, templates))
+            except (struct.error, IndexError):
+                continue  # drop the datagram, never the partition
+
+        cols = [f.name for f in FLOW_SCHEMA.fields]
+        frames = []
+        if rows:
+            frames.append(pd.DataFrame(rows, columns=cols))
+        if v5_arrs:
+            frames.append(_v5_frame(v5_arrs, v5_exps))
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        # arrow schema must match FLOW_SCHEMA's int widths exactly
+        schema = pa.schema([
+            ("ts_ms", pa.int64()), ("te_ms", pa.int64()),
+            ("sa", pa.string()), ("da", pa.string()),
+            ("sp", pa.int32()), ("dp", pa.int32()), ("pr", pa.int32()),
+            ("flg", pa.int32()), ("ipkt", pa.int64()), ("ibyt", pa.int64()),
+            ("sas", pa.int32()), ("das", pa.int32()),
+            ("exporter", pa.string()),
+        ])
+        table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        yield from table.to_batches()
+
+
+def register_capture_source(spark) -> None:
+    """Idempotently register ``format("nfcapture")`` on a session."""
+    try:
+        spark.dataSource.register(CaptureDataSource)
+    except Exception:
+        pass  # already registered

@@ -387,3 +387,30 @@ def test_v9_template_in_separate_file(spark, tmp_path):
     assert decoded[0].ts_ms == 7_000_000 and decoded[0].te_ms == 7_001_000
     assert decoded[0].sa == "10.0.0.0" and decoded[0].dp == 53
     assert decoded[44].sas == 64500 and decoded[44].pr == 17
+
+
+def test_capture_datasource_partition_per_file(spark, tmp_path):
+    """The nfcapture Python DataSource plans one input partition per
+    capture file and its decode agrees with the binaryFile two-phase path."""
+    import os
+
+    from nf2pq_spark.sources.datasource import register_capture_source
+    from nf2pq_spark.sources.ipfix import (encode_netflow_v9, read_flow_files,
+                                           write_capture_file)
+
+    flows = [{"sa_int": (10 << 24) + i, "da_int": (20 << 24), "sp": i,
+              "dp": 443, "pr": 6, "flg": 16, "ipkt": 2, "ibyt": 80,
+              "ts_ms": 1_000_000 + i, "te_ms": 1_000_500 + i,
+              "sas": 1, "das": 2} for i in range(120)]
+    dgrams = encode_netflow_v9(flows, per_packet=30, template_every=1)
+    out = str(tmp_path / "caps")
+    os.makedirs(out)
+    for i, d in enumerate(dgrams):  # one datagram per file → 4 files
+        write_capture_file(os.path.join(out, f"cap_{i}.bin"), [d])
+
+    register_capture_source(spark)
+    ds = spark.read.format("nfcapture").load(out)
+    assert ds.rdd.getNumPartitions() == 4
+    via_ds = {(r.sp, r.ts_ms) for r in ds.collect()}
+    via_files = {(r.sp, r.ts_ms) for r in read_flow_files(spark, out).collect()}
+    assert via_ds == via_files and len(via_ds) == 120
