@@ -249,3 +249,73 @@ def f11_regexp_tokens(spark, sf_dir):
         F.countDistinct("tok").alias("n_distinct_tokens"),
         F.min("tok").alias("first_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# from_xml round-trip (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f12_xml_roundtrip",
+    oracle="""
+    SELECT event_type AS t,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_u
+    FROM events WHERE user_id < 50
+    GROUP BY event_type
+    """,
+    description="XML surface (Spark 4 from_xml): rows serialized to XML "
+    "strings in-plan, parsed back with a typed schema, aggregated on the "
+    "parsed struct — the oracle computes the same aggregates from the "
+    "source columns, so the round-trip itself is under the hash gate. "
+    "Scale: both serialize and parse are JVM codegen expressions, "
+    "single-scan single-shuffle.",
+    tags=("F6", "F12"),
+)
+def f12_xml_roundtrip(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    xml = F.concat(
+        F.lit("<e><u>"), F.col("user_id").cast("string"),
+        F.lit("</u><t>"), F.col("event_type"), F.lit("</t></e>"),
+    )
+    parsed = F.expr(
+        "from_xml(concat('<e><u>', user_id, '</u><t>', event_type, "
+        "'</t></e>'), 'u BIGINT, t STRING')"
+    )
+    return (
+        ev.select(parsed.alias("x"))
+        .select(F.col("x.t").alias("t"), F.col("x.u").alias("u"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("u").alias("sum_u"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# string collations (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f13_collation",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) FILTER (WHERE lower(c_mktsegment) = 'building')
+                AS BIGINT) AS n_building,
+           CAST(COUNT(DISTINCT lower(c_mktsegment)) AS BIGINT) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    description="string collations (Spark 4): case-insensitive comparison "
+    "and DISTINCT under UNICODE_CI — the oracle lower()s both sides, which "
+    "is the same equivalence relation for this ASCII domain. Scale: "
+    "collation-aware compare/hash run inside codegen; distinct-per-group "
+    "is bounded by segment cardinality.",
+    tags=("F1", "F13"),
+)
+def f13_collation(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    seg_ci = F.expr("collate(c_mktsegment, 'UNICODE_CI')")
+    return cu.groupBy("c_nationkey").agg(
+        F.count_if(seg_ci == F.lit("building")).alias("n_building"),
+        F.countDistinct(seg_ci).alias("n_segments"),
+    )
