@@ -701,3 +701,149 @@ def l10_vec_quantize(spark, sf_dir):
                     .cast("bigint")).alias("q8"),
         F.size(v).cast("bigint").alias("n_dims"),
     )
+
+
+@register(
+    "l11_pii_redaction",
+    oracle="""
+    WITH enriched AS (
+      SELECT lang,
+             text || ' contact user' || doc_id ||
+             '@example.com from 10.' || (doc_id % 256) || '.0.' ||
+             (doc_id % 100) AS raw
+      FROM documents
+    ),
+    red AS (
+      SELECT lang, raw,
+             regexp_replace(
+               regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>',
+               'g') AS redacted,
+             len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS n_email,
+             len(regexp_extract_all(
+               raw,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip
+      FROM enriched
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+           CAST(SUM(length(redacted)) AS BIGINT) AS total_len
+    FROM red GROUP BY lang
+    """,
+    description="PII scrubbing (training-data hygiene): e-mail and IPv4 "
+    "literals replaced by placeholder tokens via chained regexp_replace, "
+    "with per-language redaction counts — PII is synthesized onto the "
+    "corpus deterministically from doc_id so the oracle sees identical "
+    "input. Scale: pure per-row regex in JVM codegen, no shuffle before "
+    "the per-lang rollup; the same shape handles SSNs/phones/keys by "
+    "extending the pattern list.",
+    tags=("L4", "F1"),
+)
+def l11_pii_redaction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+    )
+    email_pat = r"[a-z0-9]+@[a-z0-9.]+"
+    ip_pat = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    d = docs.select(
+        "lang",
+        raw.alias("raw"),
+        F.size(F.regexp_extract_all(raw, F.lit(email_pat), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(raw, F.lit(ip_pat), 0)).alias("n_ip"),
+    ).withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace("raw", email_pat, "<EMAIL>"), ip_pat, "<IP>"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_ip").cast("bigint").alias("n_ips"),
+        F.sum(F.length("redacted")).cast("bigint").alias("total_len"),
+    )
+
+
+@register(
+    "l12_train_val_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN (doc_id * 2654435761) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    description="reproducible train/val split (90/10): assignment by "
+    "Knuth multiplicative hash of the stable doc id — deterministic, "
+    "data-independent, and identical on any engine or cluster size (no "
+    "rand(), no partition sensitivity). Scale: the split is a pure "
+    "projection; downstream writers partitionBy('split') to materialize "
+    "the two corpora in one pass.",
+    tags=("L1", "P7"),
+)
+def l12_train_val_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when((F.col("doc_id") * 2654435761) % 100 < 90, "train") \
+             .otherwise("val")
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "l13_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tok,
+             CAST(FLOOR(
+               (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok)
+               / 512.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed GROUP BY lang, bin
+    """,
+    description="sequence packing for pretraining batches: concatenate the "
+    "per-language token stream in stable doc_id order and chunk it into "
+    "512-token context windows — each doc lands in the window holding its "
+    "start offset (running-sum window minus own length, floor-divided by "
+    "the budget). Scale: one shuffle on lang for the ordered cumsum; at "
+    "100 TB the partition key becomes (lang, shard) with per-shard "
+    "offsets, same plan shape.",
+    tags=("L4", "W3"),
+)
+def l13_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0)
+        .cast("bigint"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
