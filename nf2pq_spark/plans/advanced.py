@@ -1283,3 +1283,44 @@ def t7_funnel_conversion(spark, sf_dir):
                   .otherwise(0)).cast("bigint").alias("n_converted"),
         )
     )
+
+
+@register(
+    "sql22_forecast_revenue",
+    oracle=f"""
+    SELECT {ocents_sum(f"{ocents('l_extendedprice')} * {ocents('l_discount')}",
+                       10000, 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND {ocents('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    description="forecast-revenue-change (TPC-H Q6 shape): tight multi-"
+    "predicate scan with a products-of-money global sum. Completes the "
+    "runnable TPC-H analog set (all shapes except Q2/Q11, which need the "
+    "absent partsupp table). Discount selector compares integer cents, not "
+    "raw doubles, on both engines. Scale: all four predicates push to the "
+    "parquet scan (year range prunes row groups via min/max stats); the "
+    "global agg is map-side partials into a single-row final — zero data "
+    "shuffle.",
+    tags=("P2", "A2"),
+    bench=True,
+)
+def sql22_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = cents("l_discount")
+    rev = cents("l_extendedprice") * disc_c
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            cents_sum(rev, 10000, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
