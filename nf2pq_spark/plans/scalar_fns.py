@@ -380,3 +380,77 @@ def f8_hash(spark, sf_dir):
         F.md5(F.lower("text")).alias("norm_md5"),
         F.sha2("source", 256).alias("src_sha"),
     )
+
+
+@register(
+    "f4d_array_predicates",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           len(list_filter(toks, x -> length(x) >= 8)) > 0 AS has_long,
+           len(list_filter(toks, x -> NOT (length(x) < 10))) = 0 AS all_short,
+           CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+           array_to_string(list_slice(toks, 1, 3), '-') AS first3,
+           array_to_string(list_transform(range(2), i -> lang), ',') AS rep,
+           CAST(len(list_filter([nullif(lang, 'en'), source],
+                                x -> x IS NOT NULL)) AS BIGINT) AS n_nonnull
+    FROM t
+    """,
+    description="array predicate/indexing battery (F4): exists / forall "
+    "(higher-order predicates), array_position (1-based, 0 when absent — "
+    "DuckDB NULL coalesced), slice (Spark length vs DuckDB end-inclusive "
+    "mapped), array_repeat, array_compact over a nullable constructed "
+    "array. Scale: all per-row codegen lambdas, no shuffle.",
+    tags=("F4",),
+)
+def f4d_array_predicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda x: F.length(x) >= 8).alias("has_long"),
+        F.forall(toks, lambda x: F.length(x) < 10).alias("all_short"),
+        F.array_position(toks, "the").cast("bigint").alias("pos_the"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.array_join(F.array_repeat(F.col("lang"), 2), ",").alias("rep"),
+        F.size(F.array_compact(F.array(F.nullif("lang", F.lit("en")),
+                                       F.col("source"))))
+        .cast("bigint").alias("n_nonnull"),
+    )
+
+
+@register(
+    "f14_struct_ops",
+    oracle="""
+    SELECT o_custkey,
+           o_totalprice AS best_price,
+           o_orderkey AS best_key
+    FROM (
+      SELECT o_custkey, o_totalprice, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+               AS rn
+      FROM orders WHERE o_custkey < 300
+    ) WHERE rn = 1
+    """,
+    description="struct surface (F-struct): per-customer argmax via "
+    "max(struct(price, key)) — Spark orders structs lexicographically, so "
+    "one hash aggregate replaces the window-rank plan the oracle uses "
+    "(DuckDB max(struct) ranks NULLs differently, hence the rn form). "
+    "Field access via s.field after the agg. Scale: map-side partial max "
+    "per key — no window sort, no row shuffle beyond the keyed agg.",
+    tags=("A10", "F-struct"),
+)
+def f14_struct_ops(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    best = o.groupBy("o_custkey").agg(
+        F.max(F.struct("o_totalprice", "o_orderkey")).alias("s")
+    )
+    return best.select(
+        "o_custkey",
+        F.col("s.o_totalprice").alias("best_price"),
+        F.col("s.o_orderkey").alias("best_key"),
+    )
