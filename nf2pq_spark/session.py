@@ -36,6 +36,9 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for every pandas UDF / toPandas path
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs also cross the JVM boundary Arrow-batched
+    # (BatchEvalPythonUDTF → ArrowEvalPythonUDTF)
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # right-size shuffles for the local grading env (the 200 default wastes
     # task overhead at sf≤0.1); AQE coalesces further at runtime. On a real
     # cluster this would be sized to executor count — see bench.py.

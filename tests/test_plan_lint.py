@@ -1,0 +1,39 @@
+"""Registry-wide physical-plan lint: every graded batch query's plan is
+checked for scale red flags (SURVEY §4) without executing it.
+
+- no CartesianProduct anywhere (broadcast-nested-loop with a predicate is
+  the accepted non-equi form; an unconstrained cartesian is always a bug
+  at 100 TB) — except the explicitly-cartesian j9;
+- no BatchEvalPython (row-at-a-time Python UDF): Python must only appear
+  as Arrow-batched nodes (ArrowEvalPython / FlatMapGroupsInPandas /
+  MapInPandas / FlatMapGroupsInPandasWithState).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nf2pq_spark import plans
+
+#: queries whose fn itself runs a stream / heavy synthesis — their shape is
+#: covered by dedicated tests; planning them here would execute real work
+_SKIP_PREFIXES = ("st", "s6", "s5b", "s4", "mm2")
+
+#: intentional cartesian (J9 is the cross-join operator itself)
+_CARTESIAN_OK = {"j9_cross_join"}
+
+_BATCH_SPECS = [
+    s for s in plans.REGISTRY.values()
+    if not s.name.startswith(_SKIP_PREFIXES)
+]
+
+
+@pytest.mark.parametrize("spec", _BATCH_SPECS, ids=lambda s: s.name)
+def test_plan_has_no_scale_red_flags(spark, sf_dir, spec):
+    df = spec.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if spec.name not in _CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{spec.name}: cartesian join"
+    assert "BatchEvalPython" not in plan, (
+        f"{spec.name}: row-at-a-time Python UDF in plan"
+    )
