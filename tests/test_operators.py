@@ -414,3 +414,31 @@ def test_capture_datasource_partition_per_file(spark, tmp_path):
     via_ds = {(r.sp, r.ts_ms) for r in ds.collect()}
     via_files = {(r.sp, r.ts_ms) for r in read_flow_files(spark, out).collect()}
     assert via_ds == via_files and len(via_ds) == 120
+
+
+def test_ipv4_cidr_property_vs_stdlib(spark):
+    """Property: in_cidr / ipv4_to_long agree with the stdlib ipaddress
+    module on random addresses x random prefixes (the IPv4 sibling of the
+    v6 property test above)."""
+    import ipaddress
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.functions.flownet import in_cidr, ipv4_to_long
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1),
+           st.integers(0, 32))
+    def check(a, n, bits):
+        ip = str(ipaddress.IPv4Address(a))
+        net = ipaddress.IPv4Network((n, bits), strict=False)
+        cidr = str(net)
+        row = (spark.range(1)
+               .select(ipv4_to_long(F.lit(ip)).alias("v"),
+                       in_cidr(F.lit(ip), cidr).alias("m"))
+               .collect()[0])
+        assert row.v == a
+        assert row.m == (ipaddress.IPv4Address(a) in net)
+
+    check()
