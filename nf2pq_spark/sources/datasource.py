@@ -76,8 +76,9 @@ class CaptureReader(DataSourceReader):
 
         import pyarrow as pa
 
-        from .ipfix import (_decode_ipfix, _decode_v5_array, _decode_v9,
-                            _iter_template_sets, _v5_frame, iter_datagrams)
+        from .ipfix import (_decode_templated_vec, _decode_v5_array,
+                            _iter_template_sets, _v5_frame, _VecAccumulator,
+                            iter_datagrams)
 
         fname = partition.value
         exporter = fname.rsplit("/", 1)[0]
@@ -96,7 +97,8 @@ class CaptureReader(DataSourceReader):
         # pass 2: decode — same per-version dispatch as make_decoder
         import pandas as pd
 
-        rows: list[tuple] = []
+        frames = []
+        acc = _VecAccumulator()
         v5_arrs, v5_exps = [], []
         for dgram in iter_datagrams(buf):
             try:
@@ -104,19 +106,16 @@ class CaptureReader(DataSourceReader):
                 if version == 5:
                     v5_arrs.append(_decode_v5_array(dgram))
                     v5_exps.append(exporter)
-                elif version == 9:
-                    rows.extend(_decode_v9(dgram, exporter, templates))
-                elif version == 10:
-                    rows.extend(_decode_ipfix(dgram, exporter, templates))
+                elif version in (9, 10):
+                    frames.extend(_decode_templated_vec(
+                        dgram, exporter, templates, acc))
             except (struct.error, IndexError):
                 continue  # drop the datagram, never the partition
 
-        cols = [f.name for f in FLOW_SCHEMA.fields]
-        frames = []
-        if rows:
-            frames.append(pd.DataFrame(rows, columns=cols))
+        frames.extend(acc.frames())
         if v5_arrs:
             frames.append(_v5_frame(v5_arrs, v5_exps))
+        frames = [f for f in frames if len(f)]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]

@@ -442,3 +442,41 @@ def test_ipv4_cidr_property_vs_stdlib(spark):
         assert row.m == (ipaddress.IPv4Address(a) in net)
 
     check()
+
+
+def test_templated_vectorized_decode_equals_scalar():
+    """The template-derived-dtype fast path produces exactly the scalar
+    reference decode for IPFIX (v4 + v6 templates) and NetFlow v9."""
+    from nf2pq_spark.sources.ipfix import (_decode_ipfix, _decode_v9,
+                                           _decode_templated_vec,
+                                           _VecAccumulator,
+                                           encode_ipfix, encode_netflow_v9)
+    import ipaddress
+
+    flows = [{"sa_int": (10 << 24) + i, "da_int": (20 << 24) + 2 * i,
+              "sp": i, "dp": 443 + i, "pr": 6 if i % 2 else 17,
+              "flg": i % 64, "ipkt": i + 1, "ibyt": 40 + i,
+              "ts_ms": 1_000_000 + i, "te_ms": 1_000_500 + i,
+              "sas": i, "das": 2 * i,
+              "sa6": ipaddress.IPv6Address(f"2001:db8::{i + 1:x}").packed,
+              "da6": ipaddress.IPv6Address("fe80::1").packed}
+             for i in range(64)]
+    v6_fields = [(27, 16), (28, 16), (7, 2), (11, 2), (4, 1), (6, 1),
+                 (2, 4), (1, 4), (152, 8), (153, 8)]
+    cases = (
+        list(encode_ipfix(flows)) +
+        list(encode_ipfix(flows, template_fields=v6_fields, template_id=301)) +
+        list(encode_netflow_v9(flows))
+    )
+    for dgram in cases:
+        t_scalar, t_vec = {}, {}
+        import struct
+        version = struct.unpack_from(">H", dgram, 0)[0]
+        scalar_fn = _decode_v9 if version == 9 else _decode_ipfix
+        rows = scalar_fn(dgram, "exp", t_scalar)
+        acc = _VecAccumulator()
+        frames = _decode_templated_vec(dgram, "exp", t_vec, acc)
+        frames.extend(acc.frames())
+        got = [tuple(r) for f in frames for r in f.itertuples(index=False)]
+        assert sorted(tuple(r) for r in rows) == sorted(got)
+        assert t_scalar == t_vec
