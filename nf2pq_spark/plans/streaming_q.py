@@ -277,3 +277,77 @@ def st7_stateful_totals(spark, sf_dir):
             "max_value",
         )
     )
+
+
+@register(
+    "s2_partitioned_sink",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    description="batch partitioned parquet sink round-trip (S2): events "
+    "written partitionBy(date), read back through the partition-discovery "
+    "scan, aggregated per partition value — the sink itself sits under the "
+    "hash gate. Scale: partitionBy bounds per-directory file counts and "
+    "gives every date-ranged query static partition pruning; the read-back "
+    "groupBy keys on the partition column, so input pruning is free.",
+    tags=("S2",),
+)
+def s2_partitioned_sink(spark, sf_dir):
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="s2_sink_"), "events_by_date")
+    (ev.withColumn("date", F.to_date("ts"))
+       .write.mode("overwrite").partitionBy("date").parquet(out))
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("date").cast("string").alias("date")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "st8_streaming_sink_roundtrip",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="streaming rotated parquet sink round-trip (S3): the "
+    "collector's output path — file stream → writeStream parquet "
+    "partitionBy(date, hour) with availableNow trigger → read back → "
+    "per-partition rollup under the hash gate. The (date, hour) layout is "
+    "the rotation scheme flow queries prune on. Scale: append-mode file "
+    "sink parallelizes per partition; small files are the compaction "
+    "pass's job (operators/compact.py).",
+    tags=("S3", "T8"),
+)
+def st8_streaming_sink_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..streaming.sinks import parquet_rotating_sink
+
+    stream = read_events_stream(spark, sf_dir).select("ts", "value")
+    base = tempfile.mkdtemp(prefix="st8_sink_")
+    out = os.path.join(base, "flows")
+    ckpt = os.path.join(base, "ckpt")
+    q = parquet_rotating_sink(stream, out, ckpt, ts_col="ts",
+                              available_now=True)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("date").cast("string").alias("date"),
+        F.col("hour").cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("sum_value"),
+    )
