@@ -495,3 +495,37 @@ def s4b_json_scan(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("sum_value"),
         F.max("user_id").alias("max_user"),
     )
+
+
+@register(
+    "s9_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(MAX(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    description="columnar-format round-trip beyond parquet (S4 extended): "
+    "events written as zstd ORC and read back through Spark's native "
+    "vectorized ORC reader, aggregated under the hash gate (the oracle "
+    "reads the original parquet — equality proves the format round-trip). "
+    "Scale: ORC scans get the same pushdown/pruning treatment as parquet "
+    "in the FileScan operator.",
+    tags=("S4", "S9"),
+)
+def s9_orc_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="s9_orc_"), "events_orc")
+    ev.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.max(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("max_value"),
+    )
