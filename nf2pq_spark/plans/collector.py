@@ -529,3 +529,46 @@ def s9_orc_roundtrip(spark, sf_dir):
         F.max(F.col("value").cast("decimal(10,2)")).cast("double")
         .alias("max_value"),
     )
+
+
+@register(
+    "s10_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(user_id) AS BIGINT) AS n_with_user,
+           CAST(SUM(COALESCE(user_id, 0)) AS BIGINT) AS sum_user
+    FROM (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN user_id ELSE NULL END AS user_id
+      FROM events
+    ) GROUP BY event_type
+    """,
+    description="schema evolution across file batches (lake reality): an "
+    "early batch written WITHOUT the user_id column, a later batch with it, "
+    "read as one dataset via mergeSchema — missing columns surface as NULL, "
+    "aggregates skip them. The oracle models the evolution with a CASE on "
+    "the same even/odd split. Scale: mergeSchema reads every footer at "
+    "planning time — at 100 TB pin the unified schema explicitly (as the "
+    "collector's FLOW_SCHEMA does) and let old files project NULLs.",
+    tags=("S2", "S10"),
+)
+def s10_schema_evolution(spark, sf_dir):
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="s10_evo_")
+    old_batch = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type")                      # pre-evolution schema
+    new_batch = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "user_id")           # evolved schema
+    old_batch.write.parquet(os.path.join(base, "b0"))
+    new_batch.write.parquet(os.path.join(base, "b1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b0"), os.path.join(base, "b1"))
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").alias("n_with_user"),
+        F.sum(F.coalesce("user_id", F.lit(0))).alias("sum_user"),
+    )
