@@ -847,3 +847,65 @@ def l13_sequence_packing(spark, sf_dir):
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+@register(
+    "l14_corpus_curation",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_chars >= 50 AND n_tok >= 8
+        AND n_uniq * 1.0 / n_tok > 0.3
+    ),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+                                   ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM dedup WHERE rn = 1
+    GROUP BY lang
+    """,
+    description="end-to-end corpus curation (the L-pipeline composed): "
+    "length + token-count + lexical-diversity quality gates, exact "
+    "dedup on md5(lower(text)) keeping the lowest doc_id, per-language "
+    "kept-corpus stats — one declarative plan, fully oracle-checked. "
+    "Scale: the quality gates are per-row codegen (run before any "
+    "shuffle), dedup shuffles on the 128-bit hash (uniform, skew-free), "
+    "and the final rollup is map-side partial. This is the one-query "
+    "skeleton a 100 TB curation run extends with the MinHash (l2*) and "
+    "PII (l11) stages.",
+    tags=("L1", "L4"),
+    bench=True,
+)
+def l14_corpus_curation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    kept = scored.filter(
+        (F.col("n_chars") >= 50) & (F.col("n_tok") >= 8)
+        & (F.col("n_uniq") * 1.0 / F.col("n_tok") > 0.3)
+    )
+    w = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
