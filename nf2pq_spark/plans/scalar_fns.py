@@ -454,3 +454,52 @@ def f14_struct_ops(spark, sf_dir):
         F.col("s.o_totalprice").alias("best_price"),
         F.col("s.o_orderkey").alias("best_key"),
     )
+
+
+@register(
+    "f15_url_parsing",
+    oracle="""
+    WITH u AS (
+      SELECT 'cdn' || (doc_id % 5) || '.example.org' AS host,
+             '/' || lang || '/doc' || doc_id AS path,
+             CAST(n_chars AS VARCHAR) AS qn,
+             n_chars
+      FROM documents
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(path) AS first_path,
+           CAST(SUM(CAST(qn AS BIGINT)) AS BIGINT) AS sum_query_n
+    FROM u GROUP BY host
+    """,
+    description="URL parsing surface (F-url): deterministic URLs built "
+    "from document fields, then parse_url(HOST/PATH/QUERY-key) extracts "
+    "the components back — the oracle recomputes the components from the "
+    "same construction, so the parser itself is under the hash gate. "
+    "Scale: JVM codegen expression, no shuffle before the host rollup "
+    "(the host-cardinality grouping is the classic web-corpus "
+    "provenance breakdown).",
+    tags=("F1", "F15"),
+)
+def f15_url_parsing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/"), F.col("lang"),
+        F.lit("/doc"), F.col("doc_id").cast("string"),
+        F.lit("?src="), F.col("source"),
+        F.lit("&n="), F.col("n_chars").cast("string"),
+    )
+    parsed = docs.select(
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("n")).alias("qn"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("path").alias("first_path"),
+        F.sum(F.col("qn").cast("bigint")).alias("sum_query_n"),
+    )
