@@ -70,16 +70,30 @@ def _synth_flows(spark, sf_dir: str) -> list[dict]:
 
 
 def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
-    """Write synthetic datagram files once per (kind, sf); reuse after."""
+    """Write synthetic datagram files once per (kind, sf); reuse after.
+
+    ``kind="mixed"`` interleaves v5/v9/IPFIX datagrams in the same capture
+    files — the on-the-wire reality of a collector port shared by
+    heterogeneous exporters.
+    """
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_{kind}_{tag}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
         flows = _synth_flows(spark, sf_dir)
-        encode = {"v5": encode_netflow_v5, "v9": encode_netflow_v9,
-                  "ipfix": encode_ipfix}[kind]
-        dgrams = encode(flows)
+        if kind == "mixed":
+            parts = [encode_netflow_v5(flows), encode_netflow_v9(flows),
+                     encode_ipfix(flows)]
+            dgrams = [d for trio in zip(*parts) for d in trio]
+            # tails beyond the shortest list (packet counts differ per format)
+            shortest = min(len(p) for p in parts)
+            for p in parts:
+                dgrams.extend(p[shortest:])
+        else:
+            encode = {"v5": encode_netflow_v5, "v9": encode_netflow_v9,
+                      "ipfix": encode_ipfix}[kind]
+            dgrams = encode(flows)
         # rotation-interval capture files, ~100 datagrams each
         per_file = 100
         for i in range(0, len(dgrams), per_file):
@@ -571,4 +585,33 @@ def s10_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.count("user_id").alias("n_with_user"),
         F.sum(F.coalesce("user_id", F.lit(0))).alias("sum_user"),
+    )
+
+
+@register(
+    "s6d_mixed_format_demux",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr,
+           CAST(3 * COUNT(*) AS BIGINT) AS n_flows,
+           CAST(3 * SUM(ibyt) AS BIGINT) AS sum_bytes,
+           COUNT(DISTINCT sa) AS n_src
+    FROM f GROUP BY pr
+    """,
+    description="mixed-format version demux (S6): the same flows packed as "
+    "NetFlow v5 AND v9 AND IPFIX, interleaved in the same capture files — "
+    "one scan decodes all three by version header, so every flow appears "
+    "exactly three times with identical format-invariant fields (the "
+    "oracle multiplies counts/sums by 3; distinct sources are unchanged). "
+    "This is the collector port's real traffic shape: heterogeneous "
+    "exporters on one listener.",
+    tags=("S5", "S6"),
+)
+def s6d_mixed_format_demux(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "mixed")
+    flows = read_flow_files(spark, path)
+    return flows.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.countDistinct("sa").alias("n_src"),
     )
