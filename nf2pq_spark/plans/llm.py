@@ -909,3 +909,46 @@ def l14_corpus_curation(spark, sf_dir):
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+@register(
+    "l15_bpe_pretokenize",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+')) AS n_bpe,
+             len(string_split(text, ' ')) AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*) AS avg_bpe_per_doc
+    FROM t GROUP BY lang
+    """,
+    description="BPE-style pre-tokenization (the GPT-2 pre-tokenizer regex "
+    "shape, simplified to this corpus's alphabet): leading-space word/"
+    "number/punctuation chunks via regexp_extract_all, counted against the "
+    "whitespace tokenization — the token-budget estimator a training "
+    "pipeline runs before packing (l13). Identical RE2/Java regex "
+    "semantics verified cross-engine. Scale: per-row regex in codegen, "
+    "map-side partial rollup.",
+    tags=("L4",),
+)
+def l15_bpe_pretokenize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r" ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+"
+    t = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count(F.lit(1)))
+        .alias("avg_bpe_per_doc"),
+    )
