@@ -35,6 +35,10 @@ _FLOW_SQL = """
                   CAST((event_id // 7) % 256 AS VARCHAR), '.',
                   CAST((event_id // 11) % 256 AS VARCHAR), '.',
                   CAST(event_id % 256 AS VARCHAR)) AS sa,
+           concat(CAST((event_id // 5) % 200 + 20 AS VARCHAR), '.',
+                  CAST((event_id // 13) % 256 AS VARCHAR), '.',
+                  CAST((event_id // 17) % 256 AS VARCHAR), '.',
+                  CAST((event_id // 19) % 256 AS VARCHAR)) AS da,
            epoch_ms(ts) AS ts_ms
     FROM events
 """
@@ -614,4 +618,38 @@ def s6d_mixed_format_demux(spark, sf_dir):
         F.count(F.lit(1)).alias("n_flows"),
         F.sum("ibyt").alias("sum_bytes"),
         F.countDistinct("sa").alias("n_src"),
+    )
+
+
+@register(
+    "s6e_top_conversations",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT sa, da,
+           CAST(SUM(ibyt) AS BIGINT) AS total_bytes,
+           CAST(SUM(ipkt) AS BIGINT) AS total_pkts,
+           CAST(COUNT(*) AS BIGINT) AS n_flows
+    FROM f GROUP BY sa, da
+    ORDER BY total_bytes DESC, sa, da LIMIT 10
+    """,
+    description="top conversations (the nfdump flagship report): decoded "
+    "v5 flows aggregated per (src, dst) pair, top-10 by bytes with "
+    "deterministic tie-break. Scale: pair-keyed partial aggregation "
+    "shrinks before the shuffle, and the sort+limit plans as "
+    "TakeOrderedAndProject — per-partition top-10s merged on the driver, "
+    "no global sort.",
+    tags=("S6", "A1", "O3"),
+)
+def s6e_top_conversations(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "v5")
+    flows = read_flow_files(spark, path)
+    return (
+        flows.groupBy("sa", "da")
+        .agg(
+            F.sum("ibyt").alias("total_bytes"),
+            F.sum("ipkt").alias("total_pkts"),
+            F.count(F.lit(1)).alias("n_flows"),
+        )
+        .orderBy(F.col("total_bytes").desc(), "sa", "da")
+        .limit(10)
     )
