@@ -952,3 +952,169 @@ def l15_bpe_pretokenize(spark, sf_dir):
         (F.sum("n_bpe").cast("double") / F.count(F.lit(1)))
         .alias("avg_bpe_per_doc"),
     )
+
+
+@register(
+    "l16_decontamination",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN len(t) >= 5
+                  THEN list_transform(range(1, len(t) - 3),
+                       i -> array_to_string(t[i:i+4], ' '))
+                  ELSE [] END AS gs
+      FROM g
+    ),
+    eval_g AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE source = 'src0'
+    ),
+    train_g AS (
+      SELECT doc_id, lang, unnest(gs) AS gram FROM grams
+      WHERE source <> 'src0'
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared
+    FROM train_g t JOIN eval_g e USING (gram)
+    GROUP BY t.doc_id, t.lang
+    """,
+    description="train/test decontamination: flag training docs sharing "
+    "any word 5-gram with the held-out benchmark set (source src0), with "
+    "the count of distinct shared 5-grams per contaminated doc — the "
+    "standard pre-training contamination sweep. Scale: the eval 5-gram "
+    "set is tiny relative to the corpus and is broadcast, so the 100 TB "
+    "training side is scanned once with a map-side hash probe; only "
+    "contaminated (doc, gram) survivors reach the one aggregation "
+    "shuffle.",
+    tags=("L2", "L4"),
+)
+def l16_decontamination(spark, sf_dir):
+    from ..functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    g = shingles(F.col("text"), 5)
+    eval_grams = (docs.filter(F.col("source") == "src0")
+                  .select(F.explode(g).alias("gram")).distinct())
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "lang", F.explode(g).alias("gram"))
+    return (train.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id", "lang")
+            .agg(F.countDistinct("gram").cast("bigint").alias("n_shared")))
+
+
+@register(
+    "l17_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT lang, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS g3
+      FROM t
+    ),
+    m AS (
+      SELECT lang,
+             len(w)  AS n_w, len(list_distinct(w))  AS u_w,
+             len(g2) AS n_2, len(list_distinct(g2)) AS u_2,
+             len(g3) AS n_3, len(list_distinct(g3)) AS u_3
+      FROM grams
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE
+                (n_w - u_w) / greatest(n_w, 1) > 0.30
+             OR (n_2 - u_2) / greatest(n_2, 1) > 0.20
+             OR (n_3 - u_3) / greatest(n_3, 1) > 0.15) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(n_w - u_w) AS DOUBLE) / SUM(n_w) AS dup_word_ratio,
+           CAST(SUM(n_2 - u_2) AS DOUBLE) / SUM(n_2) AS dup_2gram_ratio,
+           CAST(SUM(n_3 - u_3) AS DOUBLE) / SUM(n_3) AS dup_3gram_ratio
+    FROM m GROUP BY lang
+    """,
+    description="Gopher-style within-document repetition filter: per doc, "
+    "duplicate-word / duplicate-2-gram / duplicate-3-gram fractions; docs "
+    "over threshold on any signal are flagged, rolled up per language "
+    "with exact integer sums (one double division at the end — "
+    "order-independent). Scale: all signals are per-row array ops in "
+    "codegen, one map-side-combined shuffle on lang.",
+    tags=("L4",),
+)
+def l17_repetition_filter(spark, sf_dir):
+    from ..functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    g2 = shingles(F.col("text"), 2)
+    g3 = shingles(F.col("text"), 3)
+    m = docs.select(
+        "lang",
+        F.size(w).alias("n_w"), F.size(F.array_distinct(w)).alias("u_w"),
+        F.size(g2).alias("n_2"), F.size(F.array_distinct(g2)).alias("u_2"),
+        F.size(g3).alias("n_3"), F.size(F.array_distinct(g3)).alias("u_3"),
+    )
+    flagged = (
+        ((F.col("n_w") - F.col("u_w")) / F.greatest("n_w", F.lit(1)) > 0.30)
+        | ((F.col("n_2") - F.col("u_2")) / F.greatest("n_2", F.lit(1)) > 0.20)
+        | ((F.col("n_3") - F.col("u_3")) / F.greatest("n_3", F.lit(1)) > 0.15)
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(flagged).alias("n_flagged"),
+        (F.sum(F.col("n_w") - F.col("u_w")).cast("double")
+         / F.sum("n_w")).alias("dup_word_ratio"),
+        (F.sum(F.col("n_2") - F.col("u_2")).cast("double")
+         / F.sum("n_2")).alias("dup_2gram_ratio"),
+        (F.sum(F.col("n_3") - F.col("u_3")).cast("double")
+         / F.sum("n_3")).alias("dup_3gram_ratio"),
+    )
+
+
+@register(
+    "l18_domain_reweight",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(MAX(c.n_total) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (
+                WHERE (d.doc_id * 2654435761) % c.n_total < 20) AS BIGINT)
+             AS n_kept,
+           CAST(MIN(d.doc_id) FILTER (
+                WHERE (d.doc_id * 2654435761) % c.n_total < 20) AS BIGINT)
+             AS first_kept
+    FROM documents d JOIN c USING (source)
+    GROUP BY d.source
+    """,
+    description="deterministic domain rebalancing: cap every source at "
+    "~20 docs by keeping rows whose Knuth-multiplicative doc_id hash mod "
+    "the domain size lands under the cap — reproducible on any engine or "
+    "cluster size (no rand()). Scale: per-domain counts are a tiny "
+    "aggregate broadcast back onto the corpus scan, so rebalancing 100 TB "
+    "is one pass + one 20-row broadcast; the final per-source rollup is "
+    "map-side combined.",
+    tags=("L1", "P7"),
+)
+def l18_domain_reweight(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"))
+    j = docs.join(F.broadcast(counts), "source")
+    kept = ((F.col("doc_id") * 2654435761) % F.col("n_total")) < 20
+    return j.groupBy("source").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.count_if(kept).alias("n_kept"),
+        F.min(F.when(kept, F.col("doc_id"))).cast("bigint")
+         .alias("first_kept"),
+    )
