@@ -1324,3 +1324,127 @@ def sql22_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "sql23_min_cost_supplier",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN({ocents('l.l_extendedprice')}) AS cost_c
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'LARGE' AND p.p_size < 20
+      GROUP BY 1, 2
+    ),
+    eur AS (
+      SELECT pr.l_partkey, pr.cost_c, s.s_name, n.n_name,
+             MIN(pr.cost_c) OVER (PARTITION BY pr.l_partkey) AS mc
+      FROM pr
+      JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name,
+           CAST(e.cost_c AS DOUBLE) / 100 AS min_cost
+    FROM eur e JOIN part p ON e.l_partkey = p.p_partkey
+    WHERE e.cost_c = e.mc
+    """,
+    description="min-cost supplier per part (TPC-H Q2 shape, adapted: "
+    "lineitem stands in for the absent partsupp as the part-supplier "
+    "price relation): region-restricted suppliers, per-part minimum "
+    "price via the decorrelated form of Q2's correlated scalar "
+    "subquery (window min + filter). Scale: the part filter broadcasts "
+    "onto the fact scan BEFORE the big (partkey, suppkey) aggregation, "
+    "so only 1/6th of lineitem shuffles; supplier/nation/region fold "
+    "into one broadcast; the window runs on the already-aggregated "
+    "relation (bounded by |part|x|supplier|, not by fact rows).",
+    tags=("J2", "W3", "SQL"),
+)
+def sql23_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 20))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    eur_sup = (sup.join(F.broadcast(nat),
+                        sup.s_nationkey == nat.n_nationkey)
+               .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+               .select("s_suppkey", "s_name", "n_name"))
+    pr = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                  li.l_partkey == F.col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey", "p_brand")
+          .agg(F.min(cents("l_extendedprice")).alias("cost_c")))
+    eur = pr.join(F.broadcast(eur_sup),
+                  pr.l_suppkey == eur_sup.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (eur.withColumn("mc", F.min("cost_c").over(w))
+            .filter(F.col("cost_c") == F.col("mc"))
+            .select(F.col("l_partkey").alias("p_partkey"), "p_brand",
+                    "s_name", "n_name",
+                    (F.col("cost_c").cast("double") / 100)
+                    .alias("min_cost")))
+
+
+@register(
+    "sql24_important_inventory",
+    oracle=f"""
+    WITH asia_sup AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    val AS (
+      SELECT l.l_partkey,
+             SUM({ocents('l.l_extendedprice')}
+                 * {ocents('l.l_quantity')}) AS value_c
+      FROM lineitem l JOIN asia_sup a ON l.l_suppkey = a.s_suppkey
+      GROUP BY 1
+    )
+    SELECT l_partkey,
+           CAST(value_c AS DOUBLE) / 10000 AS part_value
+    FROM (SELECT l_partkey, value_c,
+                 SUM(value_c) OVER () AS total_c
+          FROM val)
+    WHERE CAST(value_c AS DOUBLE) > 0.001 * CAST(total_c AS DOUBLE)
+    """,
+    description="important inventory share (TPC-H Q11 shape, adapted to "
+    "the lineitem-as-partsupp relation): per-part value of "
+    "region-restricted suppliers' shipments, kept where it exceeds a "
+    "fraction of the global total. The Q11 global scalar subquery is a "
+    "single-partition window over the ALREADY-aggregated per-part "
+    "relation — the fact table is scanned and shuffled exactly once; "
+    "exact integer-cents sums make the threshold compare deterministic "
+    "cross-engine. Scale: window input is bounded by |part|, and the "
+    "supplier filter broadcasts onto the fact scan.",
+    tags=("A2", "W3", "SQL"),
+)
+def sql24_important_inventory(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    asia = (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .select("s_suppkey"))
+    val = (li.join(F.broadcast(asia), li.l_suppkey == asia.s_suppkey)
+           .groupBy("l_partkey")
+           .agg(F.sum(cents("l_extendedprice")
+                      * cents("l_quantity")).alias("value_c")))
+    total = F.sum("value_c").over(Window.partitionBy())
+    return (val.withColumn("total_c", total)
+            .filter(F.col("value_c").cast("double")
+                    > 0.001 * F.col("total_c").cast("double"))
+            .select("l_partkey",
+                    (F.col("value_c").cast("double") / 10000)
+                    .alias("part_value")))
