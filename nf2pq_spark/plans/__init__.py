@@ -11,5 +11,6 @@ from . import collector  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import modern  # noqa: E402,F401
+from . import etl  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,129 @@
+"""Warehouse-maintenance ETL operators: SCD2 merge and Z-order layout.
+
+The reference's ClickHouse leg makes it a warehouse loader; these are the
+two maintenance operations such a loader's users run constantly — slowly-
+changing-dimension upserts (MERGE semantics, expressed as joins since
+plain Spark has no MERGE INTO without a lakehouse format) and
+space-filling-curve layout for multi-column data skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def zvalue(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton/Z-order interleave of the low `bits` bits of two ints.
+
+    Pure integer shift/mask arithmetic — runs in whole-stage codegen and
+    is reproducible by any engine; used to lay out files so min/max
+    stats prune on BOTH columns at once.
+    """
+    # the per-bit terms occupy disjoint bit positions, so summing equals
+    # OR-ing (PySpark's `|` on Columns is logical, not bitwise)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+             + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    return z
+
+
+def _ozvalue(x: str, y: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "z1_zorder_bucketing",
+    oracle=f"""
+    WITH z AS (
+      SELECT ({_ozvalue('(l_partkey % 256)', '(l_suppkey % 256)')}) AS zv,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT CAST(zv >> 10 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zv) AS BIGINT) AS z_min,
+           CAST(MAX(zv) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+    description="Z-order (Morton) layout buckets: interleave the low 8 "
+    "bits of (partkey, suppkey) into a space-filling-curve key and roll "
+    "up per 64-value bucket — the file-layout computation behind "
+    "multi-column data skipping (write with repartitionByRange(zv) + "
+    "sortWithinPartitions(zv) and BOTH key columns prune via parquet "
+    "min/max). Scale: the z-value is pure codegen bit math on the scan; "
+    "one map-side-combined shuffle on the bucket key.",
+    tags=("F10", "S2"),
+)
+def z1_zorder_bucketing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    zv = zvalue(F.col("l_partkey") % 256, F.col("l_suppkey") % 256)
+    return (li.select(zv.alias("zv"))
+            .groupBy(F.shiftright("zv", 10).cast("bigint").alias("z_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("zv").cast("bigint").alias("z_min"),
+                 F.max("zv").cast("bigint").alias("z_max")))
+
+
+@register(
+    "etl1_scd2_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, 'SEGMENT_NEW' AS new_segment
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.new_segment
+                ELSE c.c_mktsegment END AS c_mktsegment,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 2 ELSE 1 END AS version,
+           (u.c_custkey IS NOT NULL) AS is_current_changed
+    FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment AS c_mktsegment,
+           1 AS version, FALSE AS is_current_changed
+    FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+    description="SCD type-2 merge (MERGE INTO semantics as joins): an "
+    "update set touches 1/7th of the customer dimension; changed keys "
+    "get a closed-out historical row (version 1) plus a new current row "
+    "(version 2), unchanged keys pass through — the standard warehouse "
+    "dimension-maintenance op, lakehouse-format-free. Scale: the update "
+    "set broadcasts (dimension deltas are small); the dimension is "
+    "scanned once per branch with no shuffle at all — at 100 TB the "
+    "rewrite is partition-pruned to partitions holding changed keys.",
+    tags=("J2", "U1"),
+)
+def etl1_scd2_merge(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    updates = (cust.filter(F.col("c_custkey") % 7 == 0)
+               .select("c_custkey", F.lit("SEGMENT_NEW").alias("new_segment")))
+    u = F.broadcast(updates)
+    merged = (cust.alias("c")
+              .join(u.alias("u"), F.col("c.c_custkey") == F.col("u.c_custkey"),
+                    "left")
+              .select(
+                  F.col("c.c_custkey").alias("c_custkey"),
+                  F.when(F.col("u.c_custkey").isNotNull(),
+                         F.col("u.new_segment"))
+                   .otherwise(F.col("c.c_mktsegment")).alias("c_mktsegment"),
+                  F.when(F.col("u.c_custkey").isNotNull(), 2)
+                   .otherwise(1).alias("version"),
+                  F.col("u.c_custkey").isNotNull()
+                   .alias("is_current_changed")))
+    history = (cust.alias("c")
+               .join(u.alias("u"),
+                     F.col("c.c_custkey") == F.col("u.c_custkey"))
+               .select(F.col("c.c_custkey").alias("c_custkey"),
+                       F.col("c.c_mktsegment").alias("c_mktsegment"),
+                       F.lit(1).alias("version"),
+                       F.lit(False).alias("is_current_changed")))
+    return merged.unionByName(history)

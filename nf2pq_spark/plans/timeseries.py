@@ -268,3 +268,41 @@ def t6_gap_fill(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0)).alias("n_filled"),
         F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+@register(
+    "t8_cohort_retention",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    c AS (
+      SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY user_id
+    )
+    SELECT c.cohort,
+           CAST(datediff('day', c.cohort, a.wk) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM a JOIN c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    description="weekly cohort retention: users bucketed by first-active "
+    "week, counted per (cohort, weeks-since-cohort) — the standard "
+    "product-analytics retention triangle, here the per-exporter "
+    "device-liveness report of the flow domain. Scale: the raw stream "
+    "collapses to distinct (user, week) FIRST (map-side combine), so "
+    "the self-join and both aggregations run on |users|x|weeks| rows, "
+    "not events; the cohort table broadcasts.",
+    tags=("T1", "A3", "J10"),
+)
+def t8_cohort_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id",
+                  F.date_trunc("week", "ts").alias("wk")).distinct()
+    c = a.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (a.join(F.broadcast(c), "user_id")
+            .groupBy("cohort",
+                     (F.datediff("wk", "cohort") / 7).cast("bigint")
+                     .alias("week_offset"))
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("n_active")))
