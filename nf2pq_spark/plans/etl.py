@@ -9,27 +9,11 @@ space-filling-curve layout for multi-column data skipping.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import functions as F
 
+from ..operators.layout import zvalue2 as zvalue
 from ..sources.tables import load_table
 from .registry import register
-
-
-def zvalue(x: Column, y: Column, bits: int = 8) -> Column:
-    """Morton/Z-order interleave of the low `bits` bits of two ints.
-
-    Pure integer shift/mask arithmetic — runs in whole-stage codegen and
-    is reproducible by any engine; used to lay out files so min/max
-    stats prune on BOTH columns at once.
-    """
-    # the per-bit terms occupy disjoint bit positions, so summing equals
-    # OR-ing (PySpark's `|` on Columns is logical, not bitwise)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (z
-             + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
-             + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
-    return z
 
 
 def _ozvalue(x: str, y: str, bits: int = 8) -> str:
