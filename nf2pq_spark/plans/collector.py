@@ -653,3 +653,77 @@ def s6e_top_conversations(spark, sf_dir):
         .orderBy(F.col("total_bytes").desc(), "sa", "da")
         .limit(10)
     )
+
+
+def _sampled_dir(spark, sf_dir: str) -> str:
+    """Two-exporter sampled capture layout: even event_ids → exp0
+    (sampling interval 64), odd → exp1 (interval 256). Each capture file
+    leads with the exporter's options announcement (periodic re-announce,
+    RFC 7011 §8.1), flows follow as ordinary IPFIX data sets."""
+    from ..sources.ipfix import encode_ipfix_options
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_flows_sampled_{tag}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        flows = _synth_flows(spark, sf_dir)
+        halves = [("exp0", flows[0::2], 64, "samp-a"),
+                  ("exp1", flows[1::2], 256, "samp-b")]
+        per_file = 100
+        for name, half, rate, sname in halves:
+            d = os.path.join(out, name)
+            os.makedirs(d, exist_ok=True)
+            dgrams = encode_ipfix(half)
+            opts = encode_ipfix_options(
+                [{149: 1, 34: rate, 35: 2, 84: sname}])
+            for i in range(0, len(dgrams), per_file):
+                write_capture_file(
+                    os.path.join(d, f"cap_{i // per_file:05d}.bin"),
+                    [opts] + dgrams[i:i + per_file])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+@register(
+    "s6f_sampled_rate_correction",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 6
+                  WHEN event_id % 3 = 1 THEN 17 ELSE 1 END AS pr,
+             CAST(event_id % 5000 + 40 AS BIGINT) AS ibyt,
+             CAST(CASE WHEN event_id % 2 = 0 THEN 64 ELSE 256 END
+                  AS BIGINT) AS rate
+      FROM events
+    )
+    SELECT pr,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(SUM(ibyt) AS BIGINT) AS raw_bytes,
+           CAST(SUM(ibyt * rate) AS BIGINT) AS est_bytes
+    FROM f GROUP BY pr
+    """,
+    description="sampled-flow rate correction: per-exporter sampling "
+    "config decoded from IPFIX options records (set id 3, varlen "
+    "samplerName — RFC 7011 §3.4.2.2/§7) and joined back onto the flow "
+    "table to scale byte counters by the sampling interval — the "
+    "correction a collector MUST apply to sampled NetFlow before any "
+    "traffic accounting. Scale: options records are one row per exporter "
+    "announcement — deduped and broadcast; the flow side stays one scan "
+    "with a map-side hash probe, partial aggs before the single shuffle.",
+    tags=("S6", "J5", "A1"),
+)
+def s6f_sampled_rate_correction(spark, sf_dir):
+    from ..sources.ipfix import read_exporter_options
+
+    d = _sampled_dir(spark, sf_dir)
+    glob = f"{d}/*/*.bin"
+    flows = read_flow_files(spark, glob)
+    rates = (read_exporter_options(spark, glob)
+             .groupBy("exporter")
+             .agg(F.max("sampling_interval").alias("rate")))
+    return (flows.join(F.broadcast(rates), "exporter")
+            .groupBy("pr")
+            .agg(F.count(F.lit(1)).alias("n_flows"),
+                 F.sum("ibyt").cast("bigint").alias("raw_bytes"),
+                 F.sum(F.col("ibyt") * F.col("rate")).cast("bigint")
+                 .alias("est_bytes")))

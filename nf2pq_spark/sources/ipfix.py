@@ -498,6 +498,175 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
     return []
 
 
+# ---------------------------------------------------------------------------
+# IPFIX options templates + variable-length IEs (RFC 7011 §3.4.2.2, §7)
+# ---------------------------------------------------------------------------
+#
+# Options records carry exporter metadata rather than flows — most
+# importantly the packet-sampling configuration (samplingInterval /
+# samplingAlgorithm / samplerName): a collector that ignores them
+# under-reports sampled traffic by the sampling factor. They ride the same
+# wire as flows (set id 3 = options template; data sets use the same
+# ≥256 id space) and may carry variable-length IEs (template length
+# 0xFFFF → per-record length prefix: 1 byte, or 255 + u16).
+
+_VARLEN = 0xFFFF
+
+#: option IEs we normalize (RFC 7012): observationDomainId is the usual
+#: scope; sampling config + sampler name are the payload nfdump-family
+#: collectors track per exporter
+_IE_OBS_DOMAIN = 149
+_IE_SAMPLING_INTERVAL = 34
+_IE_SAMPLING_ALGO = 35
+_IE_SAMPLER_NAME = 84    # string → variable-length on the wire
+
+OPTIONS_SCHEMA = StructType([
+    StructField("exporter", StringType()),
+    StructField("scope_domain", LongType()),
+    StructField("sampling_interval", LongType()),
+    StructField("sampling_algorithm", IntegerType()),
+    StructField("sampler_name", StringType()),
+])
+
+
+def encode_ipfix_options(option_records: list[dict],
+                         template_id: int = 400) -> bytes:
+    """Pack options records into one IPFIX message (options template set
+    id 3 + data set). Each record maps IE id → value; samplerName (84)
+    is emitted variable-length (RFC 7011 §7)."""
+    scope_fields = [(_IE_OBS_DOMAIN, 4)]
+    option_fields = [(_IE_SAMPLING_INTERVAL, 4), (_IE_SAMPLING_ALGO, 1),
+                     (_IE_SAMPLER_NAME, _VARLEN)]
+    fields = scope_fields + option_fields
+    body = struct.pack(">HHH", template_id, len(fields), len(scope_fields))
+    body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
+    tmpl_set = struct.pack(">HH", 3, 4 + len(body)) + body
+
+    recs = b""
+    for r in option_records:
+        for ie, ln in fields:
+            v = r[ie]
+            if ln == _VARLEN:
+                b = v.encode() if isinstance(v, str) else bytes(v)
+                if len(b) >= 255:  # long form: 255 marker + u16 length
+                    recs += bytes([255]) + struct.pack(">H", len(b)) + b
+                else:
+                    recs += bytes([len(b)]) + b
+            else:
+                recs += struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
+    data_set = struct.pack(">HH", template_id, 4 + len(recs)) + recs
+    payload = tmpl_set + data_set
+    return struct.pack(">HHIII", 10, 16 + len(payload), 0, 0, 1) + payload
+
+
+def _parse_options_templates(buf: bytes, exporter: str, cache: dict) -> None:
+    """Harvest options-template sets (id 3) of one IPFIX message into
+    ``cache[(exporter, tid)] = fields`` ((ie, ln) pairs, scope first)."""
+    version = struct.unpack_from(">H", buf, 0)[0]
+    if version != 10:
+        return
+    length = struct.unpack_from(">H", buf, 2)[0]
+    off = 16
+    while off + 4 <= length:
+        set_id, set_len = struct.unpack_from(">HH", buf, off)
+        if set_len < 4:
+            break
+        set_end = min(off + set_len, length)
+        if set_id == 3:
+            p = off + 4
+            # a record needs ≥6 bytes of header; trailing padding is shorter
+            while p + 6 <= set_end:
+                tid, n_fields, _n_scope = struct.unpack_from(">HHH", buf, p)
+                p += 6
+                fields = []
+                for _ in range(n_fields):
+                    ie, ln = struct.unpack_from(">HH", buf, p)
+                    p += 4
+                    fields.append((ie, ln))
+                cache[(exporter, tid)] = fields
+        off = set_end
+
+
+def _decode_ipfix_options(buf: bytes, exporter: str,
+                          cache: dict) -> list[tuple]:
+    """Decode options data records of one IPFIX message (varlen-aware)."""
+    version = struct.unpack_from(">H", buf, 0)[0]
+    if version != 10:
+        return []
+    length = struct.unpack_from(">H", buf, 2)[0]
+    rows = []
+    off = 16
+    while off + 4 <= length:
+        set_id, set_len = struct.unpack_from(">HH", buf, off)
+        if set_len < 4:
+            break
+        set_end = min(off + set_len, length)
+        fields = cache.get((exporter, set_id)) if set_id >= 256 else None
+        if fields is not None:
+            min_len = sum(1 if ln == _VARLEN else ln for _, ln in fields)
+            p = off + 4
+            while p + min_len <= set_end:
+                vals: dict[int, object] = {}
+                for ie, ln in fields:
+                    if ln == _VARLEN:
+                        n = buf[p]
+                        p += 1
+                        if n == 255:  # long form
+                            (n,) = struct.unpack_from(">H", buf, p)
+                            p += 2
+                        vals[ie] = buf[p:p + n].decode(errors="replace")
+                        p += n
+                    else:
+                        (vals[ie],) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
+                        p += ln
+                rows.append((
+                    exporter,
+                    int(vals.get(_IE_OBS_DOMAIN, 0)),
+                    int(vals.get(_IE_SAMPLING_INTERVAL, 1)),
+                    int(vals.get(_IE_SAMPLING_ALGO, 0)),
+                    str(vals.get(_IE_SAMPLER_NAME, "")),
+                ))
+        off = set_end
+    return rows
+
+
+def _options_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: options templates harvested per batch, then data
+    records decoded (templates precede data within a message; exporters
+    re-announce periodically, so a batch is self-resolving like the
+    phase-1 flow path)."""
+    cols = [f.name for f in OPTIONS_SCHEMA.fields]
+    for pdf in batches:
+        cache: dict = {}
+        per_file: list[tuple[str, bytes]] = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            exporter = _exporter_of(path)
+            for dgram in iter_datagrams(bytes(content)):
+                try:
+                    _parse_options_templates(dgram, exporter, cache)
+                    per_file.append((exporter, dgram))
+                except (struct.error, IndexError):
+                    continue
+        rows: list[tuple] = []
+        for exporter, dgram in per_file:
+            try:
+                rows.extend(_decode_ipfix_options(dgram, exporter, cache))
+            except (struct.error, IndexError):
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_exporter_options(spark, path: str) -> DataFrame:
+    """Capture files → per-exporter options records (sampling config).
+
+    The result is tiny (one row per exporter per announcement) — callers
+    dedupe per exporter and broadcast it onto the flow table to
+    rate-correct sampled counters.
+    """
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(_options_pandas, OPTIONS_SCHEMA)
+
+
 def _decode_v9(buf: bytes, exporter: str,
                templates: dict[tuple[str, int], list[tuple[int, int]]]) -> list[tuple]:
     """NetFlow v9 datagram → flow tuples (RFC 3954).
