@@ -559,27 +559,66 @@ def encode_ipfix_options(option_records: list[dict],
     return struct.pack(">HHIII", 10, 16 + len(payload), 0, 0, 1) + payload
 
 
+def encode_netflow_v9_options(option_records: list[dict],
+                              template_id: int = 401) -> bytes:
+    """Pack options records into one NetFlow v9 datagram (options template
+    FlowSet id 1, RFC 3954 §6.1 — scope/option section lengths in BYTES).
+    Values are fixed-width; v9 has no varlen encoding. The data set is
+    padded to a 32-bit boundary like real exporters emit."""
+    scope_fields = [(1, 4)]  # scope type 1 = System
+    option_fields = [(_IE_SAMPLING_INTERVAL, 4), (_IE_SAMPLING_ALGO, 1)]
+    fields = scope_fields + option_fields
+    body = struct.pack(">HHH", template_id,
+                       4 * len(scope_fields), 4 * len(option_fields))
+    body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
+    tmpl_set = struct.pack(">HH", 1, 4 + len(body)) + body
+
+    recs = b""
+    for r in option_records:
+        for ie, ln in fields:
+            recs += struct.pack(_IE_UNPACK[ln], r[ie] & ((1 << (8 * ln)) - 1))
+    pad = (-len(recs)) % 4
+    recs += b"\x00" * pad
+    data_set = struct.pack(">HH", template_id, 4 + len(recs)) + recs
+    return _V9_HEADER.pack(9, 2, 100_000, 100, 0, 1) + tmpl_set + data_set
+
+
 def _parse_options_templates(buf: bytes, exporter: str, cache: dict) -> None:
-    """Harvest options-template sets (id 3) of one IPFIX message into
-    ``cache[(exporter, tid)] = fields`` ((ie, ln) pairs, scope first)."""
+    """Harvest options-template sets of one message into
+    ``cache[(exporter, tid)] = fields`` ((ie, ln) pairs, scope first).
+
+    IPFIX (set id 3, RFC 7011 §3.4.2.2) counts fields; NetFlow v9 (set
+    id 1, RFC 3954 §6.1) gives scope/option section lengths in BYTES —
+    both shapes normalize to the same flat field list here.
+    """
     version = struct.unpack_from(">H", buf, 0)[0]
-    if version != 10:
+    if version == 10:
+        length = struct.unpack_from(">H", buf, 2)[0]
+        off, opts_id = 16, 3
+    elif version == 9:
+        length, off, opts_id = len(buf), _V9_HEADER.size, 1
+    else:
         return
-    length = struct.unpack_from(">H", buf, 2)[0]
-    off = 16
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
         if set_len < 4:
             break
         set_end = min(off + set_len, length)
-        if set_id == 3:
+        if set_id == opts_id:
             p = off + 4
             # a record needs ≥6 bytes of header; trailing padding is shorter
             while p + 6 <= set_end:
-                tid, n_fields, _n_scope = struct.unpack_from(">HHH", buf, p)
-                p += 6
+                if version == 10:
+                    tid, n_fields, _n_scope = struct.unpack_from(">HHH", buf, p)
+                    p += 6
+                    n_entries = n_fields
+                else:
+                    tid, scope_bytes, opt_bytes = struct.unpack_from(
+                        ">HHH", buf, p)
+                    p += 6
+                    n_entries = (scope_bytes + opt_bytes) // 4
                 fields = []
-                for _ in range(n_fields):
+                for _ in range(n_entries):
                     ie, ln = struct.unpack_from(">HH", buf, p)
                     p += 4
                     fields.append((ie, ln))
@@ -589,13 +628,17 @@ def _parse_options_templates(buf: bytes, exporter: str, cache: dict) -> None:
 
 def _decode_ipfix_options(buf: bytes, exporter: str,
                           cache: dict) -> list[tuple]:
-    """Decode options data records of one IPFIX message (varlen-aware)."""
+    """Decode options data records of one IPFIX or NetFlow v9 message
+    (varlen-aware; varlen only occurs on the IPFIX wire)."""
     version = struct.unpack_from(">H", buf, 0)[0]
-    if version != 10:
+    if version == 10:
+        length = struct.unpack_from(">H", buf, 2)[0]
+        off = 16
+    elif version == 9:
+        length, off = len(buf), _V9_HEADER.size
+    else:
         return []
-    length = struct.unpack_from(">H", buf, 2)[0]
     rows = []
-    off = 16
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
         if set_len < 4:

@@ -64,3 +64,15 @@ def test_read_exporter_options_spark(spark, tmp_path):
            read_exporter_options(spark, str(tmp_path) + "/*").collect()}
     exp = "file:" + str(d)  # binaryFile paths are URIs
     assert got == {(exp, 1, 64, 2, "sys-a"), (exp, 2, 128, 1, "sys-b")}
+
+
+def test_v9_options_roundtrip():
+    from nf2pq_spark.sources.ipfix import encode_netflow_v9_options
+
+    msg = encode_netflow_v9_options([{1: 42, 34: 1000, 35: 1}])
+    cache: dict = {}
+    _parse_options_templates(msg, "exp", cache)
+    assert cache[("exp", 401)] == [(1, 4), (34, 4), (35, 1)]
+    rows = _decode_ipfix_options(msg, "exp", cache)
+    # v9 scope "System" isn't IE 149 → scope_domain 0; sampler name n/a
+    assert rows == [("exp", 0, 1000, 1, "")]
