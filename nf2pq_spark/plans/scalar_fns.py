@@ -503,3 +503,113 @@ def f15_url_parsing(spark, sf_dir):
         F.min("path").alias("first_path"),
         F.sum(F.col("qn").cast("bigint")).alias("sum_query_n"),
     )
+
+
+# -- longest-prefix-match enrichment ----------------------------------------
+#
+# The routing-table lookup every flow pipeline needs (ip -> ASN/geo): match
+# each address against a CIDR prefix table and keep the longest matching
+# prefix. A theta join (ip BETWEEN net_start AND net_end) degenerates to a
+# broadcast nested loop; the scalable shape used here is the classic
+# prefix-length expansion: explode each ip once per DISTINCT prefix length
+# (|lens| <= 33, here 7), equi-join on (len, ip >> (32-len)) against the
+# masked prefix table, then keep the longest match per ip. With the prefix
+# table broadcast this is shuffle-free regardless of table size — a real
+# 1M-entry BGP table works the same way.
+_LPM_PREFIXES = [
+    # (asn, dotted net, prefix len) — nets are alignment-checked below
+    (64500, "10.0.0.0", 8),
+    (64501, "10.128.0.0", 9),
+    (64502, "10.128.64.0", 18),
+    (64510, "20.0.0.0", 8),
+    (64511, "20.96.0.0", 11),
+    (64520, "64.0.0.0", 2),
+    (64530, "128.0.0.0", 1),
+    (64540, "100.64.0.0", 10),
+    (0, "0.0.0.0", 0),
+]
+
+
+def _ip4_to_int(dotted: str) -> int:
+    o = [int(x) for x in dotted.split(".")]
+    return (o[0] << 24) + (o[1] << 16) + (o[2] << 8) + o[3]
+
+
+_LPM_ROWS = [(asn, _ip4_to_int(net), ln) for asn, net, ln in _LPM_PREFIXES]
+for _asn, _net, _ln in _LPM_ROWS:
+    assert _net >> (32 - _ln) << (32 - _ln) == _net if _ln else _net == 0, \
+        f"misaligned prefix {_asn}"
+_LPM_LENS = sorted({ln for _, _, ln in _LPM_ROWS})
+
+_LPM_VALUES = ", ".join(f"({asn}, {net}::BIGINT, {ln})"
+                        for asn, net, ln in _LPM_ROWS)
+
+_SA_INT_SQL = """
+    CAST(event_id % 223 + 10 AS BIGINT) * 16777216 +
+    CAST((event_id // 7) % 256 AS BIGINT) * 65536 +
+    CAST((event_id // 11) % 256 AS BIGINT) * 256 +
+    CAST(event_id % 256 AS BIGINT)
+"""
+
+
+@register(
+    "j15_lpm_enrich",
+    oracle=f"""
+    WITH ips AS (
+      SELECT event_id, {_SA_INT_SQL} AS ip,
+             CAST(event_id % 5000 + 40 AS BIGINT) AS ibyt
+      FROM events
+    ), best AS (
+      SELECT i.event_id, i.ip, i.ibyt, p.asn
+      FROM ips i JOIN (VALUES {_LPM_VALUES}) p(asn, net, len)
+        ON (i.ip >> (32 - p.len)) = (p.net >> (32 - p.len))
+      QUALIFY row_number() OVER (PARTITION BY i.event_id
+                                 ORDER BY p.len DESC) = 1
+    )
+    SELECT asn,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+           CAST(SUM(ibyt) AS BIGINT) AS total_bytes
+    FROM best GROUP BY asn
+    """,
+    description="longest-prefix-match ASN enrichment (J-custom, F7): "
+    "synthesized flow source addresses matched against a CIDR prefix "
+    "table, longest prefix wins, per-ASN traffic rollup. Scale: "
+    "prefix-length expansion turns LPM into an equi-join — each ip "
+    "explodes once per distinct prefix length (7 here, <=33 ever) and "
+    "joins on (len, masked ip) against the BROADCAST masked prefix "
+    "table; no nested loop, no shuffle of the fact side beyond the "
+    "final small per-ASN aggregation.",
+    tags=("J1", "J5", "F7", "A1"),
+)
+def j15_lpm_enrich(spark, sf_dir):
+    eid = F.col("event_id")
+    ips = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((eid % 223 + 10).cast("bigint") * 16777216
+         + (F.expr("event_id div 7") % 256).cast("bigint") * 65536
+         + (F.expr("event_id div 11") % 256).cast("bigint") * 256
+         + (eid % 256).cast("bigint")).alias("ip"),
+        (eid % 5000 + 40).cast("bigint").alias("ibyt"),
+    )
+    prefixes = spark.createDataFrame(
+        [(asn, net >> (32 - ln) if ln else 0, ln) for asn, net, ln in _LPM_ROWS],
+        "asn INT, masked BIGINT, len INT")
+    cand = (
+        ips.select("*", F.explode(F.array(
+            *[F.lit(ln) for ln in _LPM_LENS])).alias("len"))
+        .withColumn("masked", F.expr(
+            "CASE WHEN len = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE shiftright(ip, 32 - len) END"))
+        .join(F.broadcast(prefixes), ["len", "masked"])
+    )
+    # longest match via max_by hash-agg (map-side partials), not a
+    # row_number window — a sort-window on the exploded fact has no
+    # partial aggregation and shuffles 7x the rows
+    best = (cand.groupBy("event_id", "ip", "ibyt")
+            .agg(F.max_by("asn", "len").alias("asn")))
+    return best.groupBy("asn").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.countDistinct("ip").alias("n_ips"),
+        F.sum("ibyt").alias("total_bytes"),
+    )

@@ -306,3 +306,105 @@ def t8_cohort_retention(spark, sf_dir):
                      .alias("week_offset"))
             .agg(F.countDistinct("user_id").cast("bigint")
                  .alias("n_active")))
+
+
+# -- exponential smoothing ---------------------------------------------------
+#
+# Geometric-weight trailing smoother (alpha = 1/2, depth 8): the classic
+# EWMA recursion s_n = a*x_n + (1-a)*s_{n-1} truncated to its last 8 terms
+# so every weight is an exact power of two. With the money column viewed as
+# integer cents, numerator and denominator are exact BIGINT sums — the
+# final double division is bit-identical cross-engine, no rounding anywhere.
+_EWMA_DEPTH = 8
+
+_EWMA_ORACLE_TERMS = " + ".join(
+    f"COALESCE(lag(c, {j}) OVER w * {1 << (_EWMA_DEPTH - 1 - j)}, 0)"
+    for j in range(_EWMA_DEPTH))
+_EWMA_ORACLE_WEIGHTS = " + ".join(
+    f"CASE WHEN lag(c, {j}) OVER w IS NOT NULL"
+    f" THEN {1 << (_EWMA_DEPTH - 1 - j)} ELSE 0 END"
+    for j in range(_EWMA_DEPTH))
+
+
+@register(
+    "w8_ewma_smoothing",
+    oracle=f"""
+    WITH src AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(({_EWMA_ORACLE_TERMS}) AS DOUBLE)
+             / CAST(({_EWMA_ORACLE_WEIGHTS}) AS DOUBLE) / 100.0 AS ewma
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="per-user EWMA smoothing of the value stream (W3): "
+    "truncated geometric-weight trailing average, power-of-two weights "
+    "over integer cents so the result is exact. Scale: one shuffle on "
+    "user_id; each partition sorts locally and the fixed-depth lag frame "
+    "streams — state is 8 rows per key, no unbounded frame.",
+    tags=("W2", "W3"),
+)
+def w8_ewma_smoothing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(_EWMA_DEPTH):
+        wt = 1 << (_EWMA_DEPTH - 1 - j)
+        lagged = F.lag("c", j).over(w)
+        term = F.coalesce(lagged * wt, F.lit(0))
+        present = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return ev.select(
+        "user_id", "event_id",
+        (num.cast("double") / den.cast("double") / 100.0).alias("ewma"))
+
+
+@register(
+    "w9_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    description="event-type Markov transition matrix (W2+A1): lag pairs "
+    "per user session stream, transition counts and row-normalized "
+    "probabilities. Scale: lag shuffles once on user_id; the transition "
+    "space is |types|^2 (tiny), so the normalizing window runs post-agg.",
+    tags=("W2", "A1"),
+)
+def w9_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"))
+    counts = (seq.filter(F.col("prev_type").isNotNull())
+              .groupBy("prev_type", F.col("event_type").alias("next_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return counts.select(
+        "prev_type", "next_type", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(Window.partitionBy("prev_type")).cast("double"))
+        .alias("p"))
