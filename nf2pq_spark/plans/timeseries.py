@@ -408,3 +408,61 @@ def w9_transition_matrix(spark, sf_dir):
         (F.col("n").cast("double")
          / F.sum("n").over(Window.partitionBy("prev_type")).cast("double"))
         .alias("p"))
+
+
+# -- traffic anomaly detection ----------------------------------------------
+#
+# The flow-monitoring alert every collector grows eventually: flag hourly
+# buckets whose event volume spikes above the trailing baseline. Kept exact
+# cross-engine by comparing integers — a bucket is anomalous when
+# n * trail_cnt > 2 * trail_sum (i.e. n > 2x the trailing mean) — so no
+# stddev floats enter the hash; the reported ratio divides two exact BIGINTs.
+@register(
+    "t9_traffic_anomaly",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT bucket, event_type, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS trail_sum,
+             CAST(COUNT(n) OVER w AS BIGINT) AS trail_cnt
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT bucket, event_type, n, trail_sum, trail_cnt,
+           CAST(n * trail_cnt AS DOUBLE) / CAST(trail_sum AS DOUBLE)
+             AS spike_ratio
+    FROM t
+    WHERE trail_cnt >= 3 AND n * trail_cnt > 2 * trail_sum
+    """,
+    description="hourly traffic-spike detection (T1+W3): per-type hourly "
+    "volumes compared against the trailing 6-bucket baseline, flagged when "
+    "volume exceeds 2x the trailing mean — integer cross-multiplication "
+    "keeps the predicate exact. Scale: the window runs on the pre-aggregated "
+    "bucket relation (|hours|x|types| rows), so the only big shuffle is the "
+    "map-side-combined count; baseline state per key is 6 rows.",
+    tags=("T1", "W3", "A1"),
+)
+def t9_traffic_anomaly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    buckets = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").start.alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-6, -1))
+    trailed = buckets.select(
+        "bucket", "event_type", "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("n").over(w).alias("trail_cnt"))
+    return (trailed
+            .filter((F.col("trail_cnt") >= 3)
+                    & (F.col("n") * F.col("trail_cnt")
+                       > 2 * F.col("trail_sum")))
+            .select("bucket", "event_type", "n", "trail_sum", "trail_cnt",
+                    (F.col("n").cast("double") * F.col("trail_cnt")
+                     / F.col("trail_sum")).alias("spike_ratio")))
