@@ -291,3 +291,27 @@ def test_f2d_distinct_before_function_battery(spark, sf_dir):
     assert p.count("Exchange") == 1
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderdate" in read_schema and "o_custkey" not in read_schema
+
+
+def test_j15_lpm_is_broadcast_equijoin(spark, sf_dir):
+    # LPM must run as the prefix-length-expansion equi-join, never a
+    # nested-loop theta join against the prefix table
+    p = _plan(spark, sf_dir, "j15_lpm_enrich")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    # longest-match selection is a hash agg (map-side partials on the
+    # exploded candidates), not a window sort
+    assert "max_by" in p and "Window" not in p
+
+
+def test_t9_window_runs_on_preaggregated_buckets(spark, sf_dir):
+    # the trailing-baseline window must consume the aggregated bucket
+    # relation: partial count -> exchange -> final -> (small) window
+    p = _plan(spark, sf_dir, "t9_traffic_anomaly")
+    assert "Window" in p
+    assert p.count("HashAggregate") >= 2  # partial+final bucket counts
+    # exactly one exchange feeds the agg; the window reuses/repartitions
+    # the tiny bucket relation, never the raw events
+    agg_section = p.split("Window")[1]
+    assert "events.parquet" not in agg_section.split("Scan")[0]
