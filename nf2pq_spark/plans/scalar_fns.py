@@ -613,3 +613,77 @@ def j15_lpm_enrich(spark, sf_dir):
         F.countDistinct("ip").alias("n_ips"),
         F.sum("ibyt").alias("total_bytes"),
     )
+
+
+# -- biflow stitching --------------------------------------------------------
+#
+# RFC 5103-style bidirectional flow aggregation: unidirectional flow records
+# for the same conversation (client->server and server->client) collapse
+# into one biflow row with per-direction counters. Flows are synthesized
+# deterministically from events: each event joins one of 50 conversations
+# between a low-host (0..22) and a high-host (30..46), odd event_ids being
+# the reverse direction. The canonical conversation key is
+# (least(sa,da), greatest(sa,da), service port), so both directions land in
+# the same group and the per-direction split is a conditional aggregate —
+# one shuffle, map-side partials, no self-join.
+@register(
+    "f7c_biflow_stitch",
+    oracle="""
+    WITH flows AS (
+      SELECT event_id % 50 AS conv,
+             CASE WHEN event_id % 2 = 0 THEN (event_id % 50) % 23
+                  ELSE (event_id % 50) % 17 + 30 END AS sa,
+             CASE WHEN event_id % 2 = 0 THEN (event_id % 50) % 17 + 30
+                  ELSE (event_id % 50) % 23 END AS da,
+             CAST(event_id % 1500 + 40 AS BIGINT) AS ibyt,
+             CAST(event_id % 30 + 1 AS BIGINT) AS ipkt
+      FROM events
+    )
+    SELECT least(sa, da) AS client_host,
+           greatest(sa, da) AS server_host,
+           CAST(443 AS INT) AS svc_port,
+           CAST(COUNT(*) FILTER (WHERE sa < da) AS BIGINT) AS n_fwd,
+           CAST(COUNT(*) FILTER (WHERE sa > da) AS BIGINT) AS n_rev,
+           CAST(COALESCE(SUM(ibyt) FILTER (WHERE sa < da), 0) AS BIGINT)
+               AS fwd_bytes,
+           CAST(COALESCE(SUM(ibyt) FILTER (WHERE sa > da), 0) AS BIGINT)
+               AS rev_bytes,
+           CAST(SUM(ipkt) AS BIGINT) AS total_pkts
+    FROM flows GROUP BY 1, 2, 3
+    """,
+    description="biflow stitching (RFC 5103 / nfdump -B analogue): "
+    "unidirectional flows collapse into per-conversation biflows keyed on "
+    "the canonical (least,greatest) host pair, per-direction packet/byte "
+    "counters via conditional aggregates. Scale: single hash-agg shuffle "
+    "on the conversation key with map-side partials — no self-join, no "
+    "window; the classic 2x-row reduction before any downstream report.",
+    tags=("F7", "A1", "A9"),
+)
+def f7c_biflow_stitch(spark, sf_dir):
+    eid = F.col("event_id")
+    conv = eid % 50
+    lo_host = conv % 23
+    hi_host = conv % 17 + 30
+    fwd = eid % 2 == 0
+    flows = load_table(spark, sf_dir, "events").select(
+        F.when(fwd, lo_host).otherwise(hi_host).alias("sa"),
+        F.when(fwd, hi_host).otherwise(lo_host).alias("da"),
+        (eid % 1500 + 40).cast("bigint").alias("ibyt"),
+        (eid % 30 + 1).cast("bigint").alias("ipkt"),
+    )
+    is_fwd = F.col("sa") < F.col("da")
+    return (
+        flows.groupBy(
+            F.least("sa", "da").alias("client_host"),
+            F.greatest("sa", "da").alias("server_host"),
+            F.lit(443).alias("svc_port"))
+        .agg(
+            F.count(F.when(is_fwd, 1)).alias("n_fwd"),
+            F.count(F.when(~is_fwd, 1)).alias("n_rev"),
+            F.coalesce(F.sum(F.when(is_fwd, F.col("ibyt"))), F.lit(0))
+             .alias("fwd_bytes"),
+            F.coalesce(F.sum(F.when(~is_fwd, F.col("ibyt"))), F.lit(0))
+             .alias("rev_bytes"),
+            F.sum("ipkt").alias("total_pkts"),
+        )
+    )
