@@ -2,12 +2,13 @@
 
 One Parquet file per table under ``{sf_dir}/{name}.parquet`` (schemas frozen
 in FIXTURES.md). All loading goes through :func:`load_table` so that the one
-fixture quirk — ``events.ts`` stored as parquet TIMESTAMP(NANOS), which
-Spark 4.1.2 only reads with ``spark.sql.legacy.parquet.nanosAsLong=true``,
-arriving as bigint nanoseconds — is normalized in exactly one place.
-The ns→µs conversion uses integer division (``ts div 1000``), which is
-exact for int64 and matches DuckDB's native ns→µs truncation bit-for-bit
-(verified against the fixtures).
+fixture quirk — the type of ``events.ts`` — is normalized in exactly one
+place. Fixture generations have stored it either as parquet TIMESTAMP(NANOS)
+(readable only with ``spark.sql.legacy.parquet.nanosAsLong=true``, arriving
+as bigint nanoseconds) or as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+(arriving as ``timestamp_ntz``). Both are normalized to a session-TZ
+``TimestampType`` — exact, since the session is pinned to UTC and the ns→µs
+integer division matches DuckDB's truncation bit-for-bit.
 
 Scale note: these are plain ``spark.read.parquet`` scans, so Catalyst
 predicate pushdown / column pruning / partition pruning apply untouched.
@@ -35,9 +36,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing the events.ts nanosecond column."""
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # exact int64 ns → µs truncation; matches DuckDB's read of the file
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # exact int64 ns → µs truncation; matches DuckDB's read of the file
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # MICROS/isAdjustedToUTC=false fixture generation: arrives NTZ;
+            # cast to session-TZ TimestampType (session pinned UTC → exact)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

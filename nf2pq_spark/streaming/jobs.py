@@ -43,8 +43,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stream_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # MICROS/ntz fixture generation; watermarks need TimestampType.
+        # Session TZ is pinned UTC, so the cast is exact.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
