@@ -111,3 +111,60 @@ def etl1_scd2_merge(spark, sf_dir):
                        F.lit(1).alias("version"),
                        F.lit(False).alias("is_current_changed")))
     return merged.unionByName(history)
+
+
+@register(
+    "etl2_partition_overwrite",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-15'
+               AND event_type = 'view')
+    GROUP BY 1
+    """,
+    description="dynamic partition overwrite round-trip (the lake "
+    "restatement op): the events table is written date-partitioned, then "
+    "one day is restated (its 'view' rows dropped — a late correction) "
+    "with partitionOverwriteMode=dynamic, which rewrites ONLY that day's "
+    "partition and leaves the other 29 untouched. The read-back rollup "
+    "must show the corrected final state. Scale: dynamic overwrite is how "
+    "a 100 TB date-partitioned table takes corrections — the rewrite cost "
+    "is one partition, not the table; readers prune by partition "
+    "directory.",
+    tags=("S2", "P2"),
+)
+def etl2_partition_overwrite(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/nf2pq_etl2_{tag}"
+    marker = os.path.join(path, "_RESTATED")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "d", F.date_format("ts", "yyyy-MM-dd"))
+        # initial build: full (static) overwrite, date-partitioned layout
+        ev.write.partitionBy("d").mode("overwrite").parquet(path)
+        # restatement: recompute one day, dynamic overwrite of that
+        # partition only
+        corrected = ev.filter(
+            (F.col("d") == "2024-01-15") & (F.col("event_type") != "view"))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            corrected.write.partitionBy("d").mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with open(marker, "w"):
+            pass
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(F.col("d").cast("string").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(10,2)"))
+             .cast("double").alias("sum_value"),
+        )
+    )

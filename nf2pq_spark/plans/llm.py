@@ -1118,3 +1118,61 @@ def l18_domain_reweight(spark, sf_dir):
         F.min(F.when(kept, F.col("doc_id"))).cast("bigint")
          .alias("first_kept"),
     )
+
+
+@register(
+    "l19_global_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 AS kh,
+             (doc_id * 2654435761) % 64 AS shard
+      FROM documents
+    ), p AS (
+      SELECT shard, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kh, doc_id) AS pos
+      FROM k
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM p GROUP BY shard
+    """,
+    description="deterministic global corpus shuffle (the pretraining "
+    "data-ordering step): every doc gets a Knuth-multiplicative hash of "
+    "its id, is routed to one of 64 shards by the hash, and is ordered "
+    "within its shard by (hash, id) — a reproducible permutation with no "
+    "rand() and NO total order. The order_checksum (sum of position*id) "
+    "proves the within-shard ordering exactly. Scale: sharding replaces "
+    "the global sort a naive ORDER BY random() would need — one hash "
+    "shuffle on the shard key, then the window and the rollup reuse that "
+    "same partitioning (single exchange at any corpus size).",
+    tags=("L1", "O1", "W1"),
+)
+def l19_global_shuffle(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") * F.lit(2654435761)
+    keyed = docs.select(
+        "doc_id",
+        (h % F.lit(4294967296)).alias("kh"),
+        (h % F.lit(64)).alias("shard"),
+    )
+    # explicit repartition on shard: the window and the final rollup then
+    # share one exchange (same pattern as the sql13-20 agg+window plans)
+    keyed = keyed.repartition("shard")
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("kh", "doc_id"))
+    return (
+        keyed.withColumn("pos", pos)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .select(F.col("shard").cast("bigint").alias("shard"),
+                "n_docs", "first_doc", "order_checksum")
+    )

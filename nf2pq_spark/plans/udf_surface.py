@@ -132,3 +132,47 @@ def x5_map_in_pandas(spark, sf_dir):
     return filtered.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_long"), F.sum("n_tokens").alias("tokens")
     )
+
+
+def _asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    cols = ["event_id", "user_id", "ts", "click_ts"]
+    left = left.sort_values("ts")
+    if left.empty or right.empty:
+        out = left.copy()
+        out["click_ts"] = pd.Series(dtype="datetime64[ns]")
+        return out[cols]
+    merged = pd.merge_asof(left, right[["ts", "click_ts"]].sort_values("ts"),
+                           on="ts", direction="backward")
+    return merged[cols]
+
+
+@register(
+    "x6_cogroup_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="cogrouped applyInPandas (X2 cogroup variant): purchases "
+    "and clicks cogrouped per user, pandas merge_asof inside each group — "
+    "the same as-of semantics as j8_asof_join (identical oracle), cross-"
+    "checking the union-tag window implementation against pandas. Scale: "
+    "one shuffle per side on the cogroup key; each group crosses the Arrow "
+    "channel once — the per-key state never leaves one Python worker.",
+    tags=("X2", "J8"),
+)
+def x6_cogroup_asof(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("ts").alias("click_ts")))
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _asof_merge,
+            schema="event_id long, user_id long, ts timestamp, click_ts timestamp",
+        )
+    )

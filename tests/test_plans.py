@@ -315,3 +315,21 @@ def test_t9_window_runs_on_preaggregated_buckets(spark, sf_dir):
     # the tiny bucket relation, never the raw events
     agg_section = p.split("Window")[1]
     assert "events.parquet" not in agg_section.split("Scan")[0]
+
+
+def test_l19_shuffle_shares_one_exchange(spark, sf_dir):
+    # the shard repartition must serve BOTH the window and the rollup:
+    # exactly one exchange in the whole plan, and no global sort
+    p = _plan(spark, sf_dir, "l19_global_shuffle")
+    assert "Window" in p
+    assert p.count("Exchange") == 1
+    assert "TakeOrderedAndProject" not in p and "Sort [kh" not in p.split(
+        "Window")[0]
+
+
+def test_x6_cogroup_is_arrow_batched(spark, sf_dir):
+    # cogrouped applyInPandas must plan as FlatMapCoGroupsInPandas (Arrow
+    # channel), one shuffle per side on the cogroup key
+    p = _plan(spark, sf_dir, "x6_cogroup_asof")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
