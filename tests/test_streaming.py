@@ -319,3 +319,38 @@ def test_kafka_flow_stream_builder(spark):
         assert [f.name for f in df.schema.fields][:4] == ["ts_ms", "te_ms", "sa", "da"]
     except Exception as e:
         pytest.skip(f"kafka source unavailable in this env: {type(e).__name__}")
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir):
+    """Restart resilience: a stopped stream restarted from the same
+    checkpoint must process only files it hasn't committed — exactly-once
+    output across the restart boundary (the collector daemon's crash/restart
+    contract)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id").toPandas())
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    half = len(ev) // 2
+    _write_chunk(src, "c0.parquet", ev.iloc[:half].to_dict("records"), spark)
+
+    out = tempfile.mkdtemp(prefix="restart_out_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def run_leg():
+        q = (spark.readStream.schema(schema).parquet(src)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_leg()  # leg 1: first half committed, then the query stops
+    assert spark.read.parquet(out).count() == half
+
+    # more data arrives while the query is down; the restart picks up ONLY
+    # the new file (the checkpoint's file log holds the committed one)
+    _write_chunk(src, "c1.parquet", ev.iloc[half:].to_dict("records"), spark)
+    run_leg()  # leg 2: same checkpoint — a restart, not a fresh query
+
+    final = spark.read.parquet(out)
+    assert final.count() == len(ev)  # no loss
+    assert final.select("event_id").distinct().count() == len(ev)  # no dups
