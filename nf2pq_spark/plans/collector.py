@@ -727,3 +727,49 @@ def s6f_sampled_rate_correction(spark, sf_dir):
                  F.sum("ibyt").cast("bigint").alias("raw_bytes"),
                  F.sum(F.col("ibyt") * F.col("rate")).cast("bigint")
                  .alias("est_bytes")))
+
+
+@register(
+    "s6g_syn_scan_ratio",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT CAST(string_split(sa, '.')[1] AS BIGINT) AS src_net,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(COUNT(*) FILTER (
+                WHERE (flg & 2) <> 0 AND (flg & 16) = 0) AS BIGINT)
+             AS n_syn_only,
+           CAST(COUNT(DISTINCT da) AS BIGINT) AS n_dst,
+           ROUND(CAST(COUNT(*) FILTER (
+                WHERE (flg & 2) <> 0 AND (flg & 16) = 0) AS DOUBLE)
+                / COUNT(*), 4) AS syn_ratio
+    FROM f WHERE pr = 6
+    GROUP BY 1
+    """,
+    description="SYN-scan indicator per /8 source network (the classic "
+    "flow-security report): decoded v5 TCP flows, counting SYN-without-ACK "
+    "flows (flag bits 0x02 set, 0x10 clear) and distinct targets per "
+    "source net — exact integer counts, one rounded division at the end. "
+    "Scale: the flag tests are codegen'd bit ops on the scan; one "
+    "map-side-combined shuffle on the 223-value net key; distinct-target "
+    "counting expands to (net, da) partials before the final fold.",
+    tags=("S6", "F7", "A3", "A9"),
+)
+def s6g_syn_scan_ratio(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "v5")
+    flows = read_flow_files(spark, path).filter(F.col("pr") == 6)
+    syn_only = (F.col("flg").bitwiseAND(2) != 0) & \
+        (F.col("flg").bitwiseAND(16) == 0)
+    return (
+        flows.select(
+            F.split(F.col("sa"), r"\.").getItem(0).cast("bigint")
+             .alias("src_net"),
+            "da", "flg")
+        .groupBy("src_net")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.count_if(syn_only).alias("n_syn_only"),
+            F.countDistinct("da").alias("n_dst"),
+            F.round(F.count_if(syn_only).cast("double")
+                    / F.count(F.lit(1)), 4).alias("syn_ratio"),
+        )
+    )
