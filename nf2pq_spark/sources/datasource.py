@@ -32,9 +32,86 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 
 from .ipfix import FLOW_SCHEMA
+
+
+def _list_capture_files(path: str) -> list[str]:
+    """Deterministic (sorted) capture-file listing — the rotation bridge
+    writes monotonically-named files, so sorted order == arrival order."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".bin")
+        )
+    return [path]
+
+
+def _decode_capture_file(fname: str):
+    """Decode one capture file → pyarrow RecordBatches (executor-side).
+
+    Imports stay inside so only the partition's worker pays them.
+    """
+    import struct
+
+    import pyarrow as pa
+
+    from .ipfix import (_decode_templated_vec, _decode_v5_array,
+                        _iter_template_sets, _v5_frame, _VecAccumulator,
+                        iter_datagrams)
+
+    exporter = fname.rsplit("/", 1)[0]
+    with open(fname, "rb") as fh:
+        buf = fh.read()
+
+    # pass 1: in-file template harvest (order-independence within file)
+    templates = {}
+    for dgram in iter_datagrams(buf):
+        try:
+            for tid, fields in _iter_template_sets(dgram):
+                templates[(exporter, tid)] = fields
+        except (struct.error, IndexError):
+            continue
+
+    # pass 2: decode — same per-version dispatch as make_decoder
+    import pandas as pd
+
+    frames = []
+    acc = _VecAccumulator()
+    v5_arrs, v5_exps = [], []
+    for dgram in iter_datagrams(buf):
+        try:
+            version = struct.unpack_from(">H", dgram, 0)[0]
+            if version == 5:
+                v5_arrs.append(_decode_v5_array(dgram))
+                v5_exps.append(exporter)
+            elif version in (9, 10):
+                frames.extend(_decode_templated_vec(
+                    dgram, exporter, templates, acc))
+        except (struct.error, IndexError):
+            continue  # drop the datagram, never the partition
+
+    frames.extend(acc.frames())
+    if v5_arrs:
+        frames.append(_v5_frame(v5_arrs, v5_exps))
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return
+    pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    # arrow schema must match FLOW_SCHEMA's int widths exactly
+    schema = pa.schema([
+        ("ts_ms", pa.int64()), ("te_ms", pa.int64()),
+        ("sa", pa.string()), ("da", pa.string()),
+        ("sp", pa.int32()), ("dp", pa.int32()), ("pr", pa.int32()),
+        ("flg", pa.int32()), ("ipkt", pa.int64()), ("ibyt", pa.int64()),
+        ("sas", pa.int32()), ("das", pa.int32()),
+        ("exporter", pa.string()),
+    ])
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    yield from table.to_batches()
 
 
 class CaptureDataSource(DataSource):
@@ -50,6 +127,9 @@ class CaptureDataSource(DataSource):
     def reader(self, schema) -> "CaptureReader":
         return CaptureReader(self.options)
 
+    def streamReader(self, schema) -> "CaptureStreamReader":
+        return CaptureStreamReader(self.options)
+
 
 class CaptureReader(DataSourceReader):
     def __init__(self, options):
@@ -59,77 +139,46 @@ class CaptureReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
-        if os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(".bin")
-            )
-        else:
-            files = [self.path]
+        return [InputPartition(f) for f in _list_capture_files(self.path)]
+
+    def read(self, partition):
+        yield from _decode_capture_file(partition.value)
+
+
+class CaptureStreamReader(DataSourceStreamReader):
+    """``readStream.format("nfcapture")`` — the collector's front door as a
+    true streaming source.
+
+    Offset = count of capture files consumed from the sorted listing (the
+    rotation bridge appends monotonically-named files, so the prefix length
+    is a complete, replayable position). Each micro-batch plans one input
+    partition per new file and decodes on executors — the driver only lists
+    the directory. Exactly-once across restarts comes for free from Spark's
+    offset log + the deterministic prefix→files mapping.
+    """
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "nfcapture: .load(<capture dir or file>) required")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(_list_capture_files(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_capture_files(self.path)[start["n_files"]:end["n_files"]]
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        # runs on executors: imports stay inside so only the partition's
-        # worker pays them
-        import struct
+        yield from _decode_capture_file(partition.value)
 
-        import pyarrow as pa
-
-        from .ipfix import (_decode_templated_vec, _decode_v5_array,
-                            _iter_template_sets, _v5_frame, _VecAccumulator,
-                            iter_datagrams)
-
-        fname = partition.value
-        exporter = fname.rsplit("/", 1)[0]
-        with open(fname, "rb") as fh:
-            buf = fh.read()
-
-        # pass 1: in-file template harvest (order-independence within file)
-        templates = {}
-        for dgram in iter_datagrams(buf):
-            try:
-                for tid, fields in _iter_template_sets(dgram):
-                    templates[(exporter, tid)] = fields
-            except (struct.error, IndexError):
-                continue
-
-        # pass 2: decode — same per-version dispatch as make_decoder
-        import pandas as pd
-
-        frames = []
-        acc = _VecAccumulator()
-        v5_arrs, v5_exps = [], []
-        for dgram in iter_datagrams(buf):
-            try:
-                version = struct.unpack_from(">H", dgram, 0)[0]
-                if version == 5:
-                    v5_arrs.append(_decode_v5_array(dgram))
-                    v5_exps.append(exporter)
-                elif version in (9, 10):
-                    frames.extend(_decode_templated_vec(
-                        dgram, exporter, templates, acc))
-            except (struct.error, IndexError):
-                continue  # drop the datagram, never the partition
-
-        frames.extend(acc.frames())
-        if v5_arrs:
-            frames.append(_v5_frame(v5_arrs, v5_exps))
-        frames = [f for f in frames if len(f)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        # arrow schema must match FLOW_SCHEMA's int widths exactly
-        schema = pa.schema([
-            ("ts_ms", pa.int64()), ("te_ms", pa.int64()),
-            ("sa", pa.string()), ("da", pa.string()),
-            ("sp", pa.int32()), ("dp", pa.int32()), ("pr", pa.int32()),
-            ("flg", pa.int32()), ("ipkt", pa.int64()), ("ibyt", pa.int64()),
-            ("sas", pa.int32()), ("das", pa.int32()),
-            ("exporter", pa.string()),
-        ])
-        table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-        yield from table.to_batches()
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: capture files are the durable log
 
 
 def register_capture_source(spark) -> None:

@@ -480,3 +480,67 @@ def test_templated_vectorized_decode_equals_scalar():
         got = [tuple(r) for f in frames for r in f.itertuples(index=False)]
         assert sorted(tuple(r) for r in rows) == sorted(got)
         assert t_scalar == t_vec
+
+
+def test_observe_metrics_single_pass(spark, sf_dir, duck):
+    """operators.monitor: quality metrics ride along with the real action —
+    one scan, no extra job — and agree with a direct aggregate."""
+    from nf2pq_spark.operators.monitor import run_with_metrics
+    from nf2pq_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    m = run_with_metrics(ev)
+    n, vmin, vmax = duck.execute(
+        "SELECT COUNT(*), MIN(value), MAX(value) FROM events").fetchone()
+    assert m["n_rows"] == n
+    assert m["nulls_event_id"] == 0
+    assert m["min_value"] == vmin and m["max_value"] == vmax
+
+
+def test_capture_datasource_streaming(spark, tmp_path):
+    """The nfcapture source also works under readStream: availableNow
+    drains existing files; a restart from the same checkpoint consumes
+    ONLY files that arrived while the query was down (offset = file-list
+    prefix length)."""
+    import os
+    import tempfile
+
+    from nf2pq_spark.sources.datasource import register_capture_source
+    from nf2pq_spark.sources.ipfix import encode_netflow_v5, write_capture_file
+
+    def mkflows(lo, n):
+        return [{"sa_int": (10 << 24) + i, "da_int": (20 << 24), "sp": i,
+                 "dp": 443, "pr": 6, "flg": 16, "ipkt": 2, "ibyt": 80,
+                 "ts_ms": 1_000_000 + i, "te_ms": 1_000_500 + i,
+                 "sas": 1, "das": 2} for i in range(lo, lo + n)]
+
+    out = str(tmp_path / "caps")
+    os.makedirs(out)
+    for i, d in enumerate(encode_netflow_v5(mkflows(0, 60), per_packet=20)):
+        write_capture_file(os.path.join(out, f"cap_a{i}.bin"), [d])
+
+    register_capture_source(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = tempfile.mkdtemp(prefix="nfcap_ckpt_")
+
+    def drain():
+        q = (spark.readStream.format("nfcapture").load(out)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 60
+
+    # late rotation files land while the query is down; restart resumes
+    # from the committed file-count offset
+    for i, d in enumerate(encode_netflow_v5(mkflows(60, 40), per_packet=20)):
+        write_capture_file(os.path.join(out, f"cap_b{i}.bin"), [d])
+    drain()
+
+    got = spark.read.parquet(sink)
+    assert got.count() == 100
+    assert got.select("sp").distinct().count() == 100  # exactly-once
+    batch = spark.read.format("nfcapture").load(out)
+    assert {r.sp for r in got.collect()} == {r.sp for r in batch.collect()}
