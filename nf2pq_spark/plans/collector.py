@@ -773,3 +773,48 @@ def s6g_syn_scan_ratio(spark, sf_dir):
                     / F.count(F.lit(1)), 4).alias("syn_ratio"),
         )
     )
+
+
+@register(
+    "st9_capture_stream_decode",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr,
+           CAST(dp // 128 AS BIGINT) AS port_class,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(SUM(ibyt) AS BIGINT) AS total_bytes
+    FROM f GROUP BY 1, 2
+    """,
+    description="streaming capture-source decode (S5+S6+T1): "
+    "readStream.format('nfcapture') over the v5 capture files — the "
+    "collector front door as a true streaming source (file-offset "
+    "incremental planning, executor-side decode) — rolled up per "
+    "(protocol, dst-port class) under availableNow, graded by "
+    "stream-batch equivalence against the arithmetic flow oracle (v5's "
+    "uptime-relative uint32 timestamps don't carry absolute hours, so "
+    "the bucket key is the port class). Scale: each micro-batch decodes "
+    "only new rotation files; the rollup state is bounded by the "
+    "(pr, port-class) key space.",
+    tags=("S5", "S6", "T1", "T8"),
+)
+def st9_capture_stream_decode(spark, sf_dir):
+    from ..sources.datasource import register_capture_source
+    from ..streaming.jobs import run_available_now
+
+    path = _datagram_dir(spark, sf_dir, "v5")
+    register_capture_source(spark)
+    stream = spark.readStream.format("nfcapture").load(path)
+    rolled = (
+        stream.groupBy(
+            "pr",
+            F.expr("dp div 128").cast("bigint").alias("port_class"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("ibyt").alias("total_bytes"),
+        )
+    )
+    _, name = run_available_now(rolled, output_mode="complete")
+    return spark.table(name).select(
+        F.col("pr").cast("int").alias("pr"),
+        "port_class", "n_flows", "total_bytes")
