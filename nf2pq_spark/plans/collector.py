@@ -818,3 +818,81 @@ def st9_capture_stream_decode(spark, sf_dir):
     return spark.table(name).select(
         F.col("pr").cast("int").alias("pr"),
         "port_class", "n_flows", "total_bytes")
+
+
+def _seed_corrupt_csv_fixture() -> None:
+    """S4 robustness seed: the events CSV with every 10th data line's value
+    field replaced by an unparseable token — deterministic corruption for
+    the PERMISSIVE-vs-ignore_errors parity check."""
+    import duckdb
+
+    src = "/root/testdata/sf0.01/events.parquet"
+    dst = "/tmp/nf2pq_csv_corrupt.csv"
+    if os.path.exists(src) and not os.path.exists(dst):
+        try:
+            con = duckdb.connect()
+            con.execute(
+                f"COPY (SELECT event_id, user_id, value "
+                f"FROM read_parquet('{src}') ORDER BY event_id) "
+                f"TO '{dst}.tmp' (HEADER, DELIMITER ',')"
+            )
+            con.close()
+            with open(f"{dst}.tmp") as fh:
+                lines = fh.read().splitlines()
+            for i in range(1, len(lines)):  # keep the header intact
+                if i % 10 == 0:
+                    parts = lines[i].split(",")
+                    parts[2] = "oops"
+                    lines[i] = ",".join(parts)
+            with open(dst, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            os.remove(f"{dst}.tmp")
+        except Exception:
+            pass
+
+
+_seed_corrupt_csv_fixture()
+
+
+@register(
+    "s4c_corrupt_records",
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(user_id AS BIGINT) AS uid,
+             TRY_CAST(value AS DOUBLE) AS v
+      FROM read_csv('/tmp/nf2pq_csv_corrupt.csv', header=true,
+                    all_varchar=true)
+    )
+    SELECT COUNT(v) AS n_good,
+           COUNT(*) - COUNT(v) AS n_bad,
+           CAST(SUM(CAST(v AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+           MAX(CASE WHEN v IS NOT NULL THEN uid END) AS max_user
+    FROM raw
+    """,
+    description="corrupt-record tolerance on CSV ingest (S4 robustness): "
+    "PERMISSIVE parse quarantines malformed lines into _corrupt_record; "
+    "good-row aggregates must equal DuckDB's TRY_CAST read and the "
+    "quarantine count must equal the injected corruption. (Oracle uses "
+    "all_varchar+TRY_CAST, not ignore_errors — that one's row count is "
+    "projection-dependent in DuckDB 1.0.) Aggregates filter on record "
+    "health explicitly because PERMISSIVE keeps fields that parsed "
+    "before the bad token. Scale: bad records never kill the job and "
+    "never silently vanish — the quarantine count is the monitoring "
+    "signal a 100 TB ingest needs.",
+    tags=("S4", "P4"),
+)
+def s4c_corrupt_records(spark, sf_dir):
+    _seed_corrupt_csv_fixture()
+    df = spark.read.csv(
+        "/tmp/nf2pq_csv_corrupt.csv", header=True, mode="PERMISSIVE",
+        schema="event_id long, user_id long, value double, "
+               "_corrupt_record string",
+        columnNameOfCorruptRecord="_corrupt_record")
+    good = F.col("_corrupt_record").isNull()
+    return df.agg(
+        F.count_if(good).alias("n_good"),
+        F.count_if(~good).alias("n_bad"),
+        F.sum(F.when(good, F.col("value").cast("decimal(10,2)")))
+         .cast("double").alias("sum_value"),
+        F.max(F.when(good, F.col("user_id"))).alias("max_user"),
+    )
