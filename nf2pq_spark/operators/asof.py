@@ -33,8 +33,14 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: latest ``right`` row with ``right_ts <= left_ts`` per ``on``.
+    """As-of join per ``on`` key.
+
+    ``direction='backward'`` (default): latest ``right`` row with
+    ``right_ts <= left_ts``. ``direction='forward'``: earliest ``right``
+    row with ``right_ts >= left_ts`` (the window simply orders descending,
+    so the carried payload is the nearest *following* right row).
 
     Returns all columns of ``left`` plus ``payload`` columns from ``right``.
     ``how='left'`` keeps unmatched left rows (payload → null), matching
@@ -56,9 +62,12 @@ def asof_join(
         .unionByName(r_tag.select(on, "__ts", "__side",
                                   *[c for c in lcols if c != on], *payload))
 
+    ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
+    # at equal ts the right row (side 0) must sort before the left row so
+    # exact ties match in both directions (>= / <= semantics)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .orderBy(ts_order, F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

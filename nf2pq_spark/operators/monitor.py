@@ -9,8 +9,9 @@ shuffles (the expressions fold into each task like map-side aggregation).
 
 ``monitored`` wraps a DataFrame with a standard data-quality metric set;
 ``run_with_metrics`` executes a terminal action and returns the observed
-row. The same wrapper works under Structured Streaming (metrics surface
-per micro-batch in ``StreamingQueryProgress.observedMetrics``).
+row. Under Structured Streaming the same metric set is registered by name
+(``Observation`` objects are batch-only) and surfaces per micro-batch in
+``StreamingQueryProgress.observedMetrics``.
 """
 
 from __future__ import annotations
@@ -38,12 +39,20 @@ def quality_metrics(df: DataFrame, cols: list[str] | None = None) -> list:
 
 
 def monitored(df: DataFrame, cols: list[str] | None = None
-              ) -> tuple[DataFrame, Observation]:
+              ) -> tuple[DataFrame, Observation | str]:
     """Attach a quality-metric observation to ``df``.
 
-    Returns (df_with_observation, observation); read
-    ``observation.get`` AFTER a terminal action ran on the returned frame.
+    Batch: returns (df, Observation) — read ``observation.get`` AFTER a
+    terminal action ran on the returned frame.
+
+    Streaming: ``Observation`` objects are batch-only, so the metrics are
+    registered under a generated string name instead — returns (df, name);
+    read ``progress.observedMetrics[name]`` from the query's
+    ``StreamingQueryProgress`` (per micro-batch).
     """
+    if df.isStreaming:
+        name = f"quality_{uuid.uuid4().hex[:8]}"
+        return df.observe(name, *quality_metrics(df, cols)), name
     obs = Observation(f"quality_{uuid.uuid4().hex[:8]}")
     return df.observe(obs, *quality_metrics(df, cols)), obs
 

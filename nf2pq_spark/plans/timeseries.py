@@ -466,3 +466,30 @@ def t9_traffic_anomaly(spark, sf_dir):
             .select("bucket", "event_type", "n", "trail_sum", "trail_cnt",
                     (F.col("n").cast("double") * F.col("trail_cnt")
                      / F.col("trail_sum")).alias("spike_ratio")))
+
+
+@register(
+    "j8b_asof_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    description="forward as-of join (J8): for each click, the NEXT "
+    "purchase at-or-after it per user (time-to-convert attribution) — "
+    "the same union-tag + window operator running descending, graded "
+    "against DuckDB's forward ASOF (ON c.ts <= p.ts). Scale: still ONE "
+    "shuffle on the user key; direction only flips the window order.",
+    tags=("J8",),
+)
+def j8b_asof_forward(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", F.col("ts").alias("next_purchase_ts")))
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["next_purchase_ts"], how="left", direction="forward",
+    )

@@ -544,3 +544,30 @@ def test_capture_datasource_streaming(spark, tmp_path):
     assert got.select("sp").distinct().count() == 100  # exactly-once
     batch = spark.read.format("nfcapture").load(out)
     assert {r.sp for r in got.collect()} == {r.sp for r in batch.collect()}
+
+
+def test_observe_metrics_streaming(spark, sf_dir):
+    """operators.monitor under a real stream: per-micro-batch quality
+    metrics surface in StreamingQueryProgress.observedMetrics."""
+    import tempfile
+
+    from nf2pq_spark.operators.monitor import monitored
+    from nf2pq_spark.sources.tables import load_table
+    from nf2pq_spark.streaming.jobs import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "value")
+    mdf, name = monitored(stream)
+    assert isinstance(name, str)
+    ckpt = tempfile.mkdtemp(prefix="obs_ckpt_")
+    q = (mdf.writeStream.format("noop")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = 0
+    for p in q.recentProgress:
+        if hasattr(p, "asDict"):
+            p = p.asDict(True)
+        metrics = p.get("observedMetrics", {}).get(name)
+        if metrics:
+            rows += metrics["n_rows"]
+    assert rows == load_table(spark, sf_dir, "events").count()
