@@ -571,3 +571,43 @@ def test_observe_metrics_streaming(spark, sf_dir):
         if metrics:
             rows += metrics["n_rows"]
     assert rows == load_table(spark, sf_dir, "events").count()
+
+
+def test_asof_property_vs_pandas(spark):
+    """Property: asof_join (both directions) agrees with pandas merge_asof
+    on random per-key series — including exact-tie and no-match edges."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.operators.asof import asof_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                    min_size=1, max_size=12),
+           st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                    min_size=0, max_size=12))
+    def check(left_rows, right_rows):
+        lpdf = pd.DataFrame(left_rows, columns=["k", "ts"])
+        lpdf["id"] = range(len(lpdf))
+        # right (k, ts) must be unique: tie order among equal keys is
+        # undefined in both engines
+        rpdf = (pd.DataFrame(right_rows, columns=["k", "ts"])
+                .drop_duplicates(["k", "ts"]))
+        rpdf["v"] = rpdf["k"] * 1000 + rpdf["ts"]
+        rpdf = rpdf.astype({"k": "int64", "ts": "int64", "v": "int64"})
+        left = spark.createDataFrame(lpdf[["id", "k", "ts"]])
+        right = spark.createDataFrame(rpdf, schema="k long, ts long, v long")
+        for direction in ("backward", "forward"):
+            got = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                            payload=["v"], how="left", direction=direction)
+            got_map = {r["id"]: r["v"] for r in got.collect()}
+            exp = pd.merge_asof(
+                lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+                on="ts", by="k", direction=direction)
+            exp_map = {int(r.id): (None if pd.isna(r.v) else int(r.v))
+                       for r in exp.itertuples()}
+            assert got_map == exp_map, (direction, left_rows, right_rows)
+
+    check()
