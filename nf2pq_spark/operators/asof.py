@@ -46,6 +46,9 @@ def asof_join(
     ``how='left'`` keeps unmatched left rows (payload → null), matching
     DuckDB's ``ASOF LEFT JOIN``; ``how='inner'`` drops them.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be 'backward' or "
+                         f"'forward', got {direction!r}")
     lcols = left.columns
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     for c in payload:

@@ -60,7 +60,15 @@ def monitored(df: DataFrame, cols: list[str] | None = None
 def run_with_metrics(df: DataFrame, cols: list[str] | None = None,
                      action=None) -> dict:
     """Run ``action`` (default: noop write — full execution, no driver
-    collect) on a monitored copy of ``df`` and return the metrics dict."""
+    collect) on a monitored copy of ``df`` and return the metrics dict.
+
+    Batch only: for a streaming DataFrame use ``monitored`` directly and
+    read the per-batch metrics from ``StreamingQueryProgress``.
+    """
+    if df.isStreaming:
+        raise ValueError(
+            "run_with_metrics is batch-only; use monitored(df) and read "
+            "StreamingQueryProgress.observedMetrics[name] per micro-batch")
     mdf, obs = monitored(df, cols)
     if action is None:
         mdf.write.format("noop").mode("overwrite").save()

@@ -154,7 +154,15 @@ def etl2_partition_overwrite(spark, sf_dir):
                               "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            corrected.write.partitionBy("d").mode("overwrite").parquet(path)
+            if corrected.limit(1).count() == 0:
+                # dynamic overwrite writes no partitions for an empty frame,
+                # which would silently leave the stale day in place — an
+                # empty restatement means "delete the partition"
+                import shutil
+                shutil.rmtree(os.path.join(path, "d=2024-01-15"),
+                              ignore_errors=True)
+            else:
+                corrected.write.partitionBy("d").mode("overwrite").parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         with open(marker, "w"):

@@ -25,6 +25,7 @@ fixture rows and oracle-check the round trip.
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -95,12 +96,23 @@ _CAPTURE_MAGIC = b"NF2Q"
 
 
 def write_capture_file(path: str, datagrams: list[bytes]) -> None:
-    """Write a rotation-interval capture file: magic + [len:u32][datagram]*."""
-    with open(path, "wb") as fh:
+    """Write a rotation-interval capture file: magic + [len:u32][datagram]*.
+
+    The write is atomic (tmp file + rename): readers that list the directory
+    — the binaryFile batch path AND the nfcapture streaming source, whose
+    offset is the file-count and never re-reads a committed file — must
+    never observe a half-written capture under its final name.
+    """
+    # dot-prefixed tmp: Spark file sources skip hidden files, so even a
+    # concurrent binaryFile scan can't pick the partial file up
+    d, base = os.path.split(path)
+    tmp = os.path.join(d, f".{base}.tmp")
+    with open(tmp, "wb") as fh:
         fh.write(_CAPTURE_MAGIC)
-        for d in datagrams:
-            fh.write(struct.pack(">I", len(d)))
-            fh.write(d)
+        for dgram in datagrams:
+            fh.write(struct.pack(">I", len(dgram)))
+            fh.write(dgram)
+    os.replace(tmp, path)
 
 
 def iter_datagrams(buf: bytes):
