@@ -195,3 +195,69 @@ def l9_bigram_profile(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("lang", "bg", "cnt")
     )
+
+
+@register(
+    "a18_cms_top_talkers",
+    oracle=None,  # CMS estimates depend on the sketch's hash family — the
+    # driver records the rows-only check; exact bounds are asserted in
+    # tests/test_operators.py::test_cms_top_talkers_planted_skew
+    description="count-min-sketch top talkers as a graded (rows-only) "
+    "query: approximate top-10 user_ids by event count via "
+    "operators.sketch — a bounded-memory heavy-hitter pass (the flow "
+    "'top talkers' report at cardinalities where exact per-key state "
+    "won't fit). Deterministic for a fixed seed. Scale: one CMS "
+    "aggregate pass + per-partition local top-m candidates; driver "
+    "memory is O(sketch + candidates), never O(distinct keys).",
+    tags=("A4", "A1"),
+)
+def a18_cms_top_talkers(spark, sf_dir):
+    from ..operators.sketch import top_talkers_cms
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    top = top_talkers_cms(ev, "user_id", k=10)
+    return spark.createDataFrame(top, schema="user_id long, est_count long")
+
+
+@register(
+    "l20_quality_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             LEAST(95, GREATEST(5, len(string_split(text, ' ')))) AS w
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (
+                WHERE (doc_id * 2654435761) % 100 < w) AS BIGINT) AS n_kept,
+           CAST(SUM(w) AS BIGINT) AS weight_sum,
+           CAST(MIN(doc_id) FILTER (
+                WHERE (doc_id * 2654435761) % 100 < w) AS BIGINT)
+             AS first_kept
+    FROM scored GROUP BY source
+    """,
+    description="quality-weighted deterministic sampling (corpus "
+    "curation): each doc's keep-probability is its clamped token count "
+    "(5..95%), realized by comparing a Knuth-multiplicative doc_id hash "
+    "mod 100 against the weight — higher-quality docs survive "
+    "proportionally more often, reproducibly on any engine or cluster "
+    "size (no rand()). Complements l18 (flat per-domain cap) and l12 "
+    "(uniform split). Scale: one scan, per-row codegen arithmetic, one "
+    "map-side-combined rollup on source.",
+    tags=("L1", "L4", "P7"),
+)
+def l20_quality_weighted_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    w = F.least(F.lit(95), F.greatest(
+        F.lit(5), F.size(F.split(F.col("text"), " "))))
+    scored = docs.select("doc_id", "source", w.cast("long").alias("w"))
+    kept = ((F.col("doc_id") * 2654435761) % 100) < F.col("w")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(kept).alias("n_kept"),
+        F.sum("w").alias("weight_sum"),
+        F.min(F.when(kept, F.col("doc_id"))).cast("bigint")
+         .alias("first_kept"),
+    )
