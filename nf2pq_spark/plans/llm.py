@@ -1176,3 +1176,52 @@ def l19_global_shuffle(spark, sf_dir):
         .select(F.col("shard").cast("bigint").alias("shard"),
                 "n_docs", "first_doc", "order_checksum")
     )
+
+
+@register(
+    "x7_udtf_polymorphic",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i])
+                    ELSE [] END) AS w0
+      FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT lang, COUNT(*) AS n_grams, COUNT(DISTINCT w0) AS n_first
+    FROM g GROUP BY lang
+    """,
+    description="polymorphic Python UDTF (X4, Spark 4 analyze() API): the "
+    "word-n-gram exploder's OUTPUT SCHEMA is computed at plan time from "
+    "the constant n argument (n=2 here → columns w0,w1) — the "
+    "table-function equivalent of a generic operator. Rows flow through "
+    "the Arrow-batched UDTF channel; aggregated per language.",
+    tags=("X4",),
+)
+def x7_udtf_polymorphic(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class WordNGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression or not isinstance(n.value, int):
+                raise ValueError("word_ngrams: n must be a constant int")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i:i + n])
+
+    spark.udtf.register("word_ngrams", udtf(WordNGrams))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT d.lang, COUNT(*) AS n_grams, COUNT(DISTINCT t.w0) AS n_first
+        FROM documents d, LATERAL word_ngrams(d.text, 2) t
+        GROUP BY d.lang
+    """)
