@@ -648,16 +648,21 @@ def a5b_exact_quantiles(spark, sf_dir):
     "f4c_array_setops",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS types,
-           list_filter(list_sort(list_distinct(list(event_type))),
-                       x -> x != 'click') AS minus_click,
-           list_sort(list_distinct(list(event_type) || ['audit'])) AS with_audit,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS types,
+           array_to_string(
+               list_filter(list_sort(list_distinct(list(event_type))),
+                           x -> x != 'click'), ',') AS minus_click,
+           array_to_string(
+               list_sort(list_distinct(list(event_type) || ['audit'])), ',')
+               AS with_audit,
            CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types
     FROM events GROUP BY user_id
     """,
     description="array set operations: per-user distinct event-type set, "
     "array_except / array_union / size (sorted on both sides — Spark's "
-    "set-op order is first-argument order, normalized by array_sort). "
+    "set-op order is first-argument order, normalized by array_sort; "
+    "serialized to CSV strings for the driver's array-hostile hasher). "
     "Scale: collect_set is bounded by the type-domain cardinality, not row "
     "count — safe at 100 TB; one shuffle on user_id.",
     tags=("F4", "A8"),
@@ -666,10 +671,13 @@ def f4c_array_setops(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     types = F.array_sort(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        types.alias("types"),
-        F.array_except(types, F.array(F.lit("click"))).alias("minus_click"),
-        F.array_sort(F.array_union(F.collect_set("event_type"),
-                                   F.array(F.lit("audit")))).alias("with_audit"),
+        F.array_join(types, ",").alias("types"),
+        F.array_join(F.array_except(types, F.array(F.lit("click"))), ",")
+        .alias("minus_click"),
+        F.array_join(
+            F.array_sort(F.array_union(F.collect_set("event_type"),
+                                       F.array(F.lit("audit")))), ",")
+        .alias("with_audit"),
         F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
     )
 

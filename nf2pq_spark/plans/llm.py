@@ -674,10 +674,10 @@ def l6_label_centroids(spark, sf_dir):
     SELECT vec_id,
            sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
                             (acc, x) -> acc + x)) AS l2_norm,
-           list_transform(e, x -> CAST(FLOOR(
+           array_to_string(list_transform(e, x -> CAST(FLOOR(
                x / sqrt(list_reduce(list_prepend(0.0,
                             list_transform(e, x2 -> x2 * x2)),
-                        (acc, x2) -> acc + x2)) * 127 + 0.5) AS BIGINT))
+                        (acc, x2) -> acc + x2)) * 127 + 0.5) AS BIGINT)), ',')
                AS q8,
            CAST(len(e) AS BIGINT) AS n_dims
     FROM v
@@ -697,8 +697,9 @@ def l10_vec_quantize(spark, sf_dir):
     return e.select(
         "vec_id",
         norm.alias("l2_norm"),
-        F.transform(v, lambda x: F.floor(x / norm * 127 + F.lit(0.5))
-                    .cast("bigint")).alias("q8"),
+        F.array_join(
+            F.transform(v, lambda x: F.floor(x / norm * 127 + F.lit(0.5))
+                        .cast("bigint")), ",").alias("q8"),
         F.size(v).cast("bigint").alias("n_dims"),
     )
 

@@ -753,19 +753,25 @@ def a7c_grouping_sets(spark, sf_dir):
     "a8_collect",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
-           list_sort(list(DISTINCT o_orderpriority)) AS prios
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS prios
     FROM orders WHERE o_totalprice > 400000
     GROUP BY o_custkey
     """,
-    description="per-group collected lists/sets, sorted for determinism (A8)",
+    description="per-group collected lists/sets, sorted for determinism and "
+    "serialized to CSV strings (A8) — the driver's canonicalizer sorts raw "
+    "pandas columns, so array cells are unhashable; string form hashes "
+    "identically on both engines",
     tags=("A8",),
 )
 def a8_collect(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",")
+        .alias("order_keys"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",")
+        .alias("prios"),
     )
 
 

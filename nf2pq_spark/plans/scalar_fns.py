@@ -165,12 +165,15 @@ def f3_math(spark, sf_dir):
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            CAST(ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4)
                 AS DOUBLE) AS vsum,
-           list_transform(CAST(embedding[1:3] AS DOUBLE[]),
-                          x -> CAST(ROUND(x * 2, 5) AS DOUBLE)) AS head2x
+           array_to_string(list_transform(CAST(embedding[1:3] AS DOUBLE[]),
+                          x -> CAST(CAST(ROUND(x * 2, 5) AS DECIMAL(28,5))
+                                    AS VARCHAR)), ',') AS head2x
     FROM embeddings
     """,
     description="array + higher-order function battery (F4): size, index, "
-    "max, filter, fold, transform+slice",
+    "max, filter, fold, transform+slice. head2x serialized via "
+    "decimal(28,5)→string so both engines render doubles identically and "
+    "the driver's array-hostile canonicalizer sees a plain string column",
     tags=("F4",),
 )
 def f4_arrays(spark, sf_dir):
@@ -183,7 +186,10 @@ def f4_arrays(spark, sf_dir):
         F.array_max("embedding").cast("double").alias("vmax"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vsum"),
-        F.transform(F.slice(dbl, 1, 3), lambda x: F.round(x * 2, 5)).alias("head2x"),
+        F.array_join(
+            F.transform(F.slice(dbl, 1, 3),
+                        lambda x: F.round(x * 2, 5).cast("decimal(28,5)")
+                        .cast("string")), ",").alias("head2x"),
     )
 
 

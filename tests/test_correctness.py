@@ -20,14 +20,20 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamp-ish columns to µs datetimes, arrays/lists to tuples
     for c in df.columns:
         if df[c].dtype == object:
             sample = df[c].dropna()
-            if len(sample) and isinstance(sample.iloc[0], (list, tuple, np.ndarray)):
-                df[c] = df[c].map(
-                    lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
-                    else (tuple(v) if v is not None else None)
+            # the DRIVER's canonicalizer sort_values the raw frame, so any
+            # array/map/struct cell crashes it (unhashable ndarray — see
+            # CORRECTNESS_r01 a8_collect). Mirror that strictness: graded
+            # queries must serialize complex columns to strings.
+            if len(sample) and isinstance(
+                sample.iloc[0], (list, tuple, dict, np.ndarray)
+            ):
+                raise AssertionError(
+                    f"column {c!r} holds {type(sample.iloc[0]).__name__} cells"
+                    " — the grading driver cannot hash these; serialize with"
+                    " array_join/array_to_string on both sides"
                 )
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
@@ -43,8 +49,6 @@ def _cells_equal(a, b) -> bool:
     b_na = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
     if a_na or b_na:
         return a_na and b_na
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     return a == b
 
 
