@@ -175,32 +175,40 @@ def st6_stream_stream_join(spark, sf_dir):
 
 
 def _chunked_events_dir(spark, sf_dir: str, n_chunks: int = 4) -> str:
-    """Split events into ts-ordered parquet chunks once per sf; with
+    """Split events into ts-range parquet chunks once per sf; with
     maxFilesPerTrigger=1 each chunk becomes one micro-batch, so state
-    genuinely crosses batch boundaries."""
+    genuinely crosses batch boundaries.
+
+    Scale: the split is DISTRIBUTED — chunk boundaries are ``n_chunks - 1``
+    approximate ts quantiles (Greenwald–Khanna, O(1) values to the driver),
+    rows are bucketed by boundary and written executor-side with
+    ``partitionBy(chunk)``; ``repartition(n, chunk)`` pins each chunk to
+    one task so every chunk directory holds exactly one file. The events
+    table never crosses the driver.
+    """
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_events_chunks_{tag}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
-        os.makedirs(out, exist_ok=True)
-        pdf = (
-            load_table(spark, sf_dir, "events")
-            .select("ts", "user_id", "value")
-            .orderBy("ts")
-            .toPandas()
-        )
-        step = -(-len(pdf) // n_chunks)
-        for i in range(n_chunks):
-            # µs on the wire: pandas would otherwise write TIMESTAMP(NANOS),
-            # which the session's nanosAsLong flag surfaces as bigint
-            pdf.iloc[i * step:(i + 1) * step].to_parquet(
-                os.path.join(out, f"chunk_{i}.parquet"), index=False,
-                coerce_timestamps="us", allow_truncated_timestamps=True)
+        ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+        us = ev.withColumn("ts_us", F.unix_micros("ts"))
+        bounds = us.stat.approxQuantile(
+            "ts_us", [i / n_chunks for i in range(1, n_chunks)], 0.01)
+        chunk = sum(
+            (F.col("ts_us") > F.lit(int(b))).cast("int") for b in bounds)
+        (us.withColumn("chunk", chunk)
+           .drop("ts_us")
+           .repartition(n_chunks, "chunk")
+           .write.mode("overwrite").partitionBy("chunk").parquet(out))
         with open(done, "w") as fh:
             fh.write("ok")
     return out
+
+
+#: stream schema for the chunked-events layout (chunk is the partition dir)
+_CHUNKED_SCHEMA = "ts timestamp, user_id long, value double, chunk int"
 
 
 @register(
@@ -235,10 +243,10 @@ def st7_stateful_totals(spark, sf_dir):
     ensure_session_conf(spark)
     src = _chunked_events_dir(spark, sf_dir)
     stream = (
-        spark.readStream.schema("ts timestamp, user_id long, value double")
+        spark.readStream.schema(_CHUNKED_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-    )
+    ).drop("chunk")
 
     def totals_fn(key, pdfs, state):
         import numpy as np
@@ -351,3 +359,100 @@ def st8_streaming_sink_roundtrip(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
         .alias("sum_value"),
     )
+
+
+def _watermark_chunks_dir(spark, sf_dir: str) -> str:
+    """Three-batch layout proving watermark late-row dropping (T4).
+
+    chunk 0: the older half of events (ts below the approximate median).
+    chunk 1: third quartile.  chunk 2: newest quartile PLUS duplicates of
+    the oldest decile — rows ~two weeks behind the watermark batch 0
+    established, so Structured Streaming MUST drop every duplicate.
+
+    Why three batches: since the multi-stateful-operator rework (Spark
+    3.4+), late-event filtering in batch N uses the watermark derived from
+    data through batch N-2 (one batch behind the eviction watermark —
+    verified empirically on 4.1.2: a late row in batch 1 after a
+    watermark-setting batch 0 is NOT dropped; the same row in batch 2 is,
+    and shows up in numRowsDroppedByWatermark). The duplicates therefore
+    ride in batch 2, where the late-event watermark is already ≈ the
+    median. File mtimes force the batch order (file source runs
+    oldest-first).
+
+    Built distributed like ``_chunked_events_dir``: three approximate ts
+    quantiles to the driver, bucketing + write executor-side; the driver
+    only re-stamps three file mtimes (metadata, not data).
+    """
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_wm_chunks_{tag}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+        us = ev.withColumn("ts_us", F.unix_micros("ts"))
+        q10, med, q75 = us.stat.approxQuantile(
+            "ts_us", [0.1, 0.5, 0.75], 0.01)
+        chunk = (
+            (F.col("ts_us") > int(med)).cast("int")
+            + (F.col("ts_us") > int(q75)).cast("int")
+        )
+        late_dups = us.filter(F.col("ts_us") <= int(q10)).withColumn(
+            "chunk", F.lit(2))
+        chunked = (
+            us.withColumn("chunk", chunk).unionAll(late_dups).drop("ts_us")
+        )
+        (chunked.repartition(3, "chunk")
+            .write.mode("overwrite").partitionBy("chunk").parquet(out))
+        # order the three micro-batches explicitly (file source sorts by mtime)
+        import glob as globmod
+        import time
+
+        now = time.time()
+        for i in (0, 1, 2):
+            for f in globmod.glob(os.path.join(out, f"chunk={i}", "*.parquet")):
+                os.utime(f, (now - 100 + i * 30, now - 100 + i * 30))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+@register(
+    "st10_watermark_drop",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+    GROUP BY 1
+    """,
+    description="watermark late-data semantics as a hash-gated query (T4): "
+    "three real micro-batches — batch 2 replays duplicates of the oldest "
+    "decile, ~2 weeks behind the late-event watermark by then active, so "
+    "the 30-minute watermark must drop every duplicate; append mode "
+    "emits only windows the final watermark closed. The oracle is the "
+    "plain hourly count over the ORIGINAL events restricted to closed "
+    "windows — it matches iff (a) all late duplicates were dropped and "
+    "(b) append emitted exactly the closed windows. Scale: watermark "
+    "state is bounded by open windows per key-space slice; late data "
+    "cannot grow state without bound.",
+    tags=("T4", "T1", "T8"),
+)
+def st10_watermark_drop(spark, sf_dir):
+    from ..session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    src = _watermark_chunks_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_CHUNKED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).drop("chunk")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _, name = run_available_now(agg, output_mode="append")
+    return spark.table(name).select(
+        F.col("window.start").alias("bucket"), "n")

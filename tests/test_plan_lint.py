@@ -37,3 +37,32 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, spec):
     assert "BatchEvalPython" not in plan, (
         f"{spec.name}: row-at-a-time Python UDF in plan"
     )
+
+
+def test_no_driver_materialization_in_graded_fns():
+    """No graded fn may pull a fixture table through the driver: at the
+    100 TB design point a `.toPandas()`/`.collect()` of table-shaped data
+    inside the graded path is a driver OOM. Source-checked over every
+    module that registers queries (r1 verdict item 2 regression guard).
+
+    Whitelisted, with reasons:
+    - `approxQuantile` (O(1) boundary values, not rows);
+    - ipfix.py's two-phase template harvest + sketch.py's CMS table
+      (KB-sized, audited in r1) live outside plans/ and are not matched;
+    - `status.count()` write barriers return one row per pack bucket.
+    """
+    import inspect
+    import re
+    import sys
+
+    seen_modules = {spec.fn.__module__ for spec in plans.REGISTRY.values()}
+    offenders = []
+    for mod_name in sorted(seen_modules):
+        src = inspect.getsource(sys.modules[mod_name])
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#")[0]
+            if re.search(r"\.toPandas\(\)|\.collect\(\)", code):
+                offenders.append(f"{mod_name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "driver-side materialization in graded modules:\n" + "\n".join(offenders)
+    )
