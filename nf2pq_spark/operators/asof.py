@@ -8,9 +8,14 @@ union-tag trick:
    columns nulled on left rows,
 2. one window per key ordered by (ts, side) — right rows sort *before* left
    rows at equal ts, so an exact-tie match is picked up (>= semantics),
-3. ``last(payload, ignorenulls=True)`` over unbounded-preceding..current row
-   carries the most recent right payload forward,
-4. keep only left rows.
+3. ``last(struct(payload...), ignorenulls=True)`` over
+   unbounded-preceding..current row carries the most recent right ROW
+   forward — the struct is non-null exactly on right rows, so a matching
+   right row whose payload VALUE is null still wins (carrying the raw
+   payload column instead would skip it and surface a farther row's value,
+   diverging from DuckDB/pandas ASOF semantics),
+4. keep only left rows; the carried struct's null-ness is the match marker
+   ``how='inner'`` filters on.
 
 Scale: exactly ONE shuffle (on the key, for the window) regardless of table
 sizes — strictly better than the join-then-filter formulation, which shuffles
@@ -73,13 +78,15 @@ def asof_join(
         .orderBy(ts_order, F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # non-null exactly on right rows → last(ignorenulls) tracks the nearest
+    # right ROW, so null payload values are carried faithfully and the
+    # struct's own null-ness is a correct unmatched marker
+    right_row = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload]))
     filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in payload]
-    )
-    out = (
-        filled.filter(F.col("__side") == 1)
-        .select(*lcols, *[F.col(f"__asof_{c}").alias(c) for c in payload])
-    )
+        "*", F.last(right_row, ignorenulls=True).over(w).alias("__asof"))
+    out = filled.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.dropna(subset=[payload[0]])
-    return out
+        out = out.filter(F.col("__asof").isNotNull())
+    return out.select(
+        *lcols, *[F.col("__asof").getField(c).alias(c) for c in payload])

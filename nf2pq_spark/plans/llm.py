@@ -773,7 +773,7 @@ def l11_pii_redaction(spark, sf_dir):
     "l12_train_val_split",
     oracle="""
     SELECT lang,
-           CASE WHEN (doc_id * 2654435761) % 100 < 90
+           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90
                 THEN 'train' ELSE 'val' END AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -790,7 +790,7 @@ def l11_pii_redaction(spark, sf_dir):
 )
 def l12_train_val_split(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    split = F.when((F.col("doc_id") * 2654435761) % 100 < 90, "train") \
+    split = F.when(((F.col("doc_id") % 2147483648) * 2654435761) % 100 < 90, "train") \
              .otherwise("val")
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1090,10 +1090,10 @@ def l17_repetition_filter(spark, sf_dir):
     SELECT d.source,
            CAST(MAX(c.n_total) AS BIGINT) AS n_total,
            CAST(COUNT(*) FILTER (
-                WHERE (d.doc_id * 2654435761) % c.n_total < 20) AS BIGINT)
+                WHERE ((d.doc_id % 2147483648) * 2654435761) % c.n_total < 20) AS BIGINT)
              AS n_kept,
            CAST(MIN(d.doc_id) FILTER (
-                WHERE (d.doc_id * 2654435761) % c.n_total < 20) AS BIGINT)
+                WHERE ((d.doc_id % 2147483648) * 2654435761) % c.n_total < 20) AS BIGINT)
              AS first_kept
     FROM documents d JOIN c USING (source)
     GROUP BY d.source
@@ -1112,7 +1112,7 @@ def l18_domain_reweight(spark, sf_dir):
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"))
     j = docs.join(F.broadcast(counts), "source")
-    kept = ((F.col("doc_id") * 2654435761) % F.col("n_total")) < 20
+    kept = (((F.col("doc_id") % 2147483648) * 2654435761) % F.col("n_total")) < 20
     return j.groupBy("source").agg(
         F.max("n_total").cast("bigint").alias("n_total"),
         F.count_if(kept).alias("n_kept"),
@@ -1126,8 +1126,8 @@ def l18_domain_reweight(spark, sf_dir):
     oracle="""
     WITH k AS (
       SELECT doc_id,
-             (doc_id * 2654435761) % 4294967296 AS kh,
-             (doc_id * 2654435761) % 64 AS shard
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS kh,
+             ((doc_id % 2147483648) * 2654435761) % 64 AS shard
       FROM documents
     ), p AS (
       SELECT shard, doc_id,
@@ -1155,7 +1155,7 @@ def l19_global_shuffle(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    h = F.col("doc_id") * F.lit(2654435761)
+    h = (F.col("doc_id") % 2147483648) * F.lit(2654435761)
     keyed = docs.select(
         "doc_id",
         (h % F.lit(4294967296)).alias("kh"),

@@ -230,10 +230,10 @@ def a18_cms_top_talkers(spark, sf_dir):
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(COUNT(*) FILTER (
-                WHERE (doc_id * 2654435761) % 100 < w) AS BIGINT) AS n_kept,
+                WHERE ((doc_id % 2147483648) * 2654435761) % 100 < w) AS BIGINT) AS n_kept,
            CAST(SUM(w) AS BIGINT) AS weight_sum,
            CAST(MIN(doc_id) FILTER (
-                WHERE (doc_id * 2654435761) % 100 < w) AS BIGINT)
+                WHERE ((doc_id % 2147483648) * 2654435761) % 100 < w) AS BIGINT)
              AS first_kept
     FROM scored GROUP BY source
     """,
@@ -253,7 +253,7 @@ def l20_quality_weighted_sample(spark, sf_dir):
     w = F.least(F.lit(95), F.greatest(
         F.lit(5), F.size(F.split(F.col("text"), " "))))
     scored = docs.select("doc_id", "source", w.cast("long").alias("w"))
-    kept = ((F.col("doc_id") * 2654435761) % 100) < F.col("w")
+    kept = (((F.col("doc_id") % 2147483648) * 2654435761) % 100) < F.col("w")
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count_if(kept).alias("n_kept"),

@@ -149,12 +149,19 @@ class CaptureStreamReader(DataSourceStreamReader):
     """``readStream.format("nfcapture")`` — the collector's front door as a
     true streaming source.
 
-    Offset = count of capture files consumed from the sorted listing (the
-    rotation bridge appends monotonically-named files, so the prefix length
-    is a complete, replayable position). Each micro-batch plans one input
-    partition per new file and decodes on executors — the driver only lists
-    the directory. Exactly-once across restarts comes for free from Spark's
-    offset log + the deterministic prefix→files mapping.
+    Offset = count of capture files consumed from the sorted listing PLUS
+    the last consumed filename (the rotation bridge appends monotonically-
+    named files, so the prefix length is a complete, replayable position).
+    Each micro-batch plans one input partition per new file and decodes on
+    executors — the driver only lists the directory. Exactly-once across
+    restarts comes for free from Spark's offset log + the deterministic
+    prefix→files mapping.
+
+    The monotonic-name assumption is ENFORCED, not just documented:
+    ``partitions()`` asserts the committed prefix still ends at the
+    recorded filename, so a file that sorts before a committed one
+    (non-zero-padded names, writer clock skew) fails loudly instead of
+    silently remapping committed offsets.
     """
 
     def __init__(self, options):
@@ -165,14 +172,26 @@ class CaptureStreamReader(DataSourceStreamReader):
         self.path = path
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"n_files": 0, "last": ""}
 
     def latestOffset(self) -> dict:
-        return {"n_files": len(_list_capture_files(self.path))}
+        files = _list_capture_files(self.path)
+        return {"n_files": len(files), "last": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):
-        files = _list_capture_files(self.path)[start["n_files"]:end["n_files"]]
-        return [InputPartition(f) for f in files]
+        files = _list_capture_files(self.path)
+        n0 = start["n_files"]
+        last = start.get("last", "")  # absent on pre-upgrade checkpoints
+        if n0 and last and (n0 > len(files) or files[n0 - 1] != last):
+            raise RuntimeError(
+                f"nfcapture: non-monotonic arrival — the committed offset "
+                f"({n0} files ending at {last!r}) no longer prefixes the "
+                f"sorted listing; a newly arrived file sorts before a "
+                f"committed one. The rotation writer must emit strictly "
+                f"increasing names (zero-padded sequence or monotonic "
+                f"timestamps)."
+            )
+        return [InputPartition(f) for f in files[n0:end["n_files"]]]
 
     def read(self, partition):
         yield from _decode_capture_file(partition.value)

@@ -546,6 +546,39 @@ def test_capture_datasource_streaming(spark, tmp_path):
     assert {r.sp for r in got.collect()} == {r.sp for r in batch.collect()}
 
 
+def test_capture_stream_offset_monotonicity(tmp_path):
+    """The nfcapture stream offset records the last consumed filename and
+    partitions() fails LOUDLY if a newly arrived file sorts before it —
+    silent offset remapping would break exactly-once (r1 advice)."""
+    import pytest
+
+    from nf2pq_spark.sources.datasource import CaptureStreamReader
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    (d / "cap_00000.bin").write_bytes(b"x")
+    (d / "cap_00001.bin").write_bytes(b"x")
+    r = CaptureStreamReader({"path": str(d)})
+    off0, off1 = r.initialOffset(), r.latestOffset()
+    assert off1["n_files"] == 2 and off1["last"].endswith("cap_00001.bin")
+    assert len(r.partitions(off0, off1)) == 2
+
+    # well-behaved arrival: sorts after the committed prefix
+    (d / "cap_00002.bin").write_bytes(b"x")
+    off2 = r.latestOffset()
+    parts = r.partitions(off1, off2)
+    assert [p.value for p in parts] == [str(d / "cap_00002.bin")]
+
+    # misbehaving arrival: sorts BETWEEN committed files
+    (d / "cap_00000a.bin").write_bytes(b"x")
+    off3 = r.latestOffset()
+    with pytest.raises(RuntimeError, match="non-monotonic"):
+        r.partitions(off2, off3)
+
+    # pre-upgrade checkpoint offsets (no 'last') still plan
+    assert r.partitions({"n_files": 0}, {"n_files": 2})
+
+
 def test_observe_metrics_streaming(spark, sf_dir):
     """operators.monitor under a real stream: per-micro-batch quality
     metrics surface in StreamingQueryProgress.observedMetrics."""
@@ -575,8 +608,10 @@ def test_observe_metrics_streaming(spark, sf_dir):
 
 def test_asof_property_vs_pandas(spark):
     """Property: asof_join (both directions) agrees with pandas merge_asof
-    on random per-key series — including exact-tie and no-match edges."""
-    import numpy as np
+    on random per-key series — including exact-tie, no-match, and
+    NULL-payload edges (a matching right row whose payload is null must be
+    carried as null, not skipped for a farther non-null row; how='inner'
+    must still classify it as matched)."""
     import pandas as pd
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -594,20 +629,38 @@ def test_asof_property_vs_pandas(spark):
         # right (k, ts) must be unique: tie order among equal keys is
         # undefined in both engines
         rpdf = (pd.DataFrame(right_rows, columns=["k", "ts"])
-                .drop_duplicates(["k", "ts"]))
-        rpdf["v"] = rpdf["k"] * 1000 + rpdf["ts"]
-        rpdf = rpdf.astype({"k": "int64", "ts": "int64", "v": "int64"})
+                .drop_duplicates(["k", "ts"]).reset_index(drop=True)
+                .astype({"k": "int64", "ts": "int64"}))
+        # every 3rd right row carries a NULL payload value
+        rpdf["v"] = (rpdf["k"] * 1000 + rpdf["ts"]).astype("Int64")
+        rpdf.loc[rpdf.index % 3 == 0, "v"] = None
+        rpdf["rid"] = range(len(rpdf))
         left = spark.createDataFrame(lpdf[["id", "k", "ts"]])
-        right = spark.createDataFrame(rpdf, schema="k long, ts long, v long")
+        right = spark.createDataFrame(
+            [(int(r.k), int(r.ts), None if pd.isna(r.v) else int(r.v),
+              int(r.rid)) for r in rpdf.itertuples()],
+            schema="k long, ts long, v long, rid long")
         for direction in ("backward", "forward"):
             got = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
-                            payload=["v"], how="left", direction=direction)
-            got_map = {r["id"]: r["v"] for r in got.collect()}
+                            payload=["v", "rid"], how="left",
+                            direction=direction).collect()
+            got_map = {r["id"]: (r["v"], r["rid"]) for r in got}
             exp = pd.merge_asof(
                 lpdf.sort_values("ts"), rpdf.sort_values("ts"),
                 on="ts", by="k", direction=direction)
-            exp_map = {int(r.id): (None if pd.isna(r.v) else int(r.v))
+            exp_map = {int(r.id): (None if pd.isna(r.v) else int(r.v),
+                                   None if pd.isna(r.rid) else int(r.rid))
                        for r in exp.itertuples()}
             assert got_map == exp_map, (direction, left_rows, right_rows)
+            # inner keeps exactly the rows a right ROW matched — including
+            # matches whose payload value is null
+            inner_ids = {
+                r["id"] for r in asof_join(
+                    left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["v", "rid"], how="inner",
+                    direction=direction).collect()}
+            exp_inner = {i for i, (_, rid) in exp_map.items()
+                         if rid is not None}
+            assert inner_ids == exp_inner, (direction, left_rows, right_rows)
 
     check()
