@@ -53,14 +53,22 @@ def main() -> None:
                                   run_query(spark, name, sf_dir)), 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "n_registered": len(plans.REGISTRY),
-    }))
+    }
+    # skew resilience: the 80/20 hot-key as-of (bucketed operator) vs the
+    # uniform-key as-of — the design target is a ratio ≤ 2 (the plain
+    # formulation would serialize the hot key into one task and blow past
+    # that at scale)
+    if "j8c_asof_hot_key" in timings and "j8_asof_join" in timings:
+        out["skew_ratio_asof"] = round(
+            timings["j8c_asof_hot_key"] / max(timings["j8_asof_join"], 1e-9), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -778,6 +778,7 @@ def mm2_frame_sample(spark, sf_dir):
     "(partkey, suppkey), the window reuses the partkey grouping; supplier "
     "dim broadcasts at the end.",
     tags=("A1", "W3", "J5"),
+    bench=True,
 )
 def sql13_dominant_suppliers(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -840,6 +841,7 @@ def sql13_dominant_suppliers(spark, sf_dir):
     "partition key); no self-join of the fact (the naive Q21 EXISTS/NOT "
     "EXISTS pair would scan lineitem three times).",
     tags=("W3", "A1", "J10"),
+    bench=True,
 )
 def sql14_strict_latest_supplier(spark, sf_dir):
     from pyspark.sql.window import Window

@@ -644,6 +644,7 @@ def s10_schema_evolution(spark, sf_dir):
     "This is the collector port's real traffic shape: heterogeneous "
     "exporters on one listener.",
     tags=("S5", "S6"),
+    bench=True,
 )
 def s6d_mixed_format_demux(spark, sf_dir):
     path = _datagram_dir(spark, sf_dir, "mixed")

@@ -153,6 +153,7 @@ def l2c_simhash(spark, sf_dir):
     "with a recursive CTE; singleton docs (no candidate edge) are not "
     "clusters and don't appear",
     tags=("L2",),
+    bench=True,
 )
 def l2d_neardup_components(spark, sf_dir):
     from ..operators.dedup import connected_components
@@ -991,6 +992,7 @@ def l15_bpe_pretokenize(spark, sf_dir):
     "contaminated (doc, gram) survivors reach the one aggregation "
     "shuffle.",
     tags=("L2", "L4"),
+    bench=True,
 )
 def l16_decontamination(spark, sf_dir):
     from ..functions.text import shingles

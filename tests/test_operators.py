@@ -205,6 +205,32 @@ def test_lsh_finds_planted_neardup(spark):
     assert all(r.jaccard > 0.5 for r in rows)
 
 
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """1 000 identical docs land in ONE band bucket; uncapped LSH would
+    emit ~500k candidate pairs (quadratic). The max_bucket guard drops the
+    hot bucket — identical content is exact_dedup's job — while genuinely
+    near-dup pairs in normal-size buckets survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    boiler = "all rights reserved this page uses cookies accept to continue now"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [(2001, base), (2002, near)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = lsh_candidate_pairs(df, n_bands=4, max_bucket=100)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # bounded: no quadratic boilerplate pairs, planted near-dup survives
+    assert (2001, 2002) in got
+    assert len(got) <= 10, f"hot bucket leaked {len(got)} pairs"
+
+    # sanity: uncapped on a SMALL degenerate corpus is quadratic, so the
+    # cap is doing real work (50 identical docs -> C(50,2) pairs)
+    small = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], ["doc_id", "text"])
+    assert lsh_candidate_pairs(small, n_bands=1, max_bucket=None).count() == 1225
+    assert lsh_candidate_pairs(small, n_bands=1, max_bucket=10).count() == 0
+
+
 def test_brute_force_topk_known_vectors(spark):
     qs = spark.createDataFrame([(0, [1.0, 0.0])], ["q_id", "qv"])
     cs = spark.createDataFrame(
@@ -577,6 +603,45 @@ def test_capture_stream_offset_monotonicity(tmp_path):
 
     # pre-upgrade checkpoint offsets (no 'last') still plan
     assert r.partitions({"n_files": 0}, {"n_files": 2})
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """Property: the skew-resilient segmented-scan as-of is semantically
+    identical to the plain one-window formulation — including buckets with
+    no right rows (carry-in crosses bucket gaps) and NULL payloads."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.operators.asof import asof_join, asof_join_bucketed
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+                    min_size=1, max_size=15),
+           st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+                    min_size=0, max_size=15),
+           st.sampled_from([3, 10, 1000]))
+    def check(left_rows, right_rows, width):
+        lpdf = pd.DataFrame(left_rows, columns=["k", "ts"])
+        lpdf["id"] = range(len(lpdf))
+        rpdf = (pd.DataFrame(right_rows, columns=["k", "ts"])
+                .drop_duplicates(["k", "ts"]).reset_index(drop=True))
+        rpdf["v"] = rpdf["k"] * 1000 + rpdf["ts"]
+        left = spark.createDataFrame(lpdf[["id", "k", "ts"]],
+                                     schema="id long, k long, ts long")
+        right = spark.createDataFrame(rpdf[["k", "ts", "v"]],
+                                      schema="k long, ts long, v long")
+        for how in ("left", "inner"):
+            plain = asof_join(left, right, on="k", left_ts="ts",
+                              right_ts="ts", payload=["v"], how=how)
+            buck = asof_join_bucketed(left, right, on="k", left_ts="ts",
+                                      right_ts="ts", payload=["v"], how=how,
+                                      bucket=width)
+            p = {(r["id"], r["v"]) for r in plain.collect()}
+            b = {(r["id"], r["v"]) for r in buck.collect()}
+            assert p == b, (how, width, left_rows, right_rows)
+
+    check()
 
 
 def test_observe_metrics_streaming(spark, sf_dir):
