@@ -174,6 +174,52 @@ def st6_stream_stream_join(spark, sf_dir):
     )
 
 
+@register(
+    "st11_stream_outer_join",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+          FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(v_ts) FROM v),
+                        (SELECT max(c_ts) FROM c))
+                  - INTERVAL 1 HOUR AS w),
+    m AS (SELECT v.user_id, v.view_id, c.click_id, v.v_ts
+          FROM v JOIN c ON v.user_id = c.user_id
+           AND c.c_ts > v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 4 HOUR)
+    SELECT user_id, view_id, click_id FROM m
+    UNION ALL
+    SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
+    FROM v, wm
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+      AND v.v_ts + INTERVAL 4 HOUR <= wm.w
+    """,
+    description="stream-stream LEFT OUTER interval join (T7 outer "
+    "semantics): matched view→click pairs emit immediately; an unmatched "
+    "view emits null-extended ONLY once the watermark passes the end of "
+    "its 4h match window — and with one withWatermark node per join "
+    "branch, the GLOBAL watermark is the MIN of the branch watermarks "
+    "(multipleWatermarkPolicy=min, verified empirically: the progress "
+    "watermark tracked max view ts, not max event ts). The oracle models "
+    "exactly that cutoff — unmatched views younger than it stay open and "
+    "must NOT appear. Scale: the watermark bounds both join-state sides; "
+    "outer state is evicted-and-emitted, never retained indefinitely.",
+    tags=("T7", "J2", "T4"),
+)
+def st11_stream_outer_join(spark, sf_dir):
+    from ..streaming.jobs import stream_stream_interval_join
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(stream, "view", "click", "4 hours",
+                                         how="leftOuter")
+    _, name = run_available_now(joined, output_mode="append")
+    return spark.table(name).select(
+        F.col("a_user").alias("user_id"),
+        F.col("a_id").alias("view_id"),
+        F.col("b_id").alias("click_id"),
+    )
+
+
 def _chunked_events_dir(spark, sf_dir: str, n_chunks: int = 4) -> str:
     """Split events into ts-range parquet chunks once per sf; with
     maxFilesPerTrigger=1 each chunk becomes one micro-batch, so state

@@ -126,13 +126,21 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, cond, how: str = "inne
 
 def stream_stream_interval_join(stream: DataFrame, left_type: str,
                                 right_type: str, interval: str = "4 hours",
-                                watermark: str = "1 hour") -> DataFrame:
-    """Stream-stream inner join: pair each ``left_type`` event with the
-    same user's ``right_type`` events that follow within ``interval``.
+                                watermark: str = "1 hour",
+                                how: str = "inner") -> DataFrame:
+    """Stream-stream join: pair each ``left_type`` event with the same
+    user's ``right_type`` events that follow within ``interval``.
 
     Both sides carry a watermark and the join condition bounds event time
     on both ends, so Spark can size the join state and evict rows once the
     watermark passes — the unbounded-state trap of naive stream joins.
+
+    ``how='leftOuter'``: matched pairs still emit immediately; an
+    UNMATCHED left row emits null-extended only when the watermark passes
+    the end of its match window (``a_ts + interval``) — before that a
+    matching right row could still arrive, so earlier emission would be
+    wrong. Bounded runs therefore produce outer rows exactly for left
+    rows whose window the final watermark closed.
     """
     a = (stream.filter(F.col("event_type") == left_type)
          .withWatermark("ts", watermark)
@@ -147,5 +155,5 @@ def stream_stream_interval_join(stream: DataFrame, left_type: str,
         (F.col("a_user") == F.col("b_user"))
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {interval}")),
-        "inner",
+        how,
     )
