@@ -18,7 +18,9 @@ from . import etl  # noqa: E402,F401
 #: relational.py; this curated prefix instead samples every SURVEY §2
 #: family — scans/sinks/decoders (S), as-of + LPM joins (J), collected
 #: aggs (A8), scalar-function batteries (F1–F8), event-time windows (T),
-#: every streaming operator incl. watermark drop (T4), the LLM-pipeline
+#: every streaming operator incl. watermark drop (T4) and the
+#: stream-stream LEFT OUTER join (st11 — subsumes st6's inner-join
+#: evidence and adds outer-emission semantics), the LLM-pipeline
 #: surface (L), the full UDF surface (X1–X5), SQL-path shapes, data
 #: quality, SCD2 ETL, and VARIANT. Families absent here (P*, J1–J7, A*,
 #: W*, O*, U*) all hash-verified green in CORRECTNESS_r01.
@@ -32,7 +34,7 @@ CURATED_PREFIX: tuple[str, ...] = (
     "t1_tumbling_hour", "t2_sliding_window", "t3_session_window",
     "t5_dedup_keys", "rl1_hypertable_rollup",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_static_join",
-    "st5_stream_session", "st6_stream_stream_join", "st7_stateful_totals",
+    "st5_stream_session", "st11_stream_outer_join", "st7_stateful_totals",
     "st8_streaming_sink_roundtrip", "st10_watermark_drop",
     "s2_partitioned_sink", "s4_csv_scan", "s4b_json_scan",
     "s5b_capture_datasource", "s6_netflow_v5_decode", "s6b_ipfix_decode",
