@@ -354,3 +354,49 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir):
     final = spark.read.parquet(out)
     assert final.count() == len(ev)  # no loss
     assert final.select("event_id").distinct().count() == len(ev)  # no dups
+
+
+def test_rocksdb_state_store_stream_batch_equivalence(spark, sf_dir):
+    """The 100 TB state path: the same windowed rollup runs under the
+    RocksDB state store provider (disk-backed, bounded-memory state — what
+    a real cluster uses for large keyspaces) and must equal both the
+    default-provider stream result and the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from nf2pq_spark.sources.tables import load_table
+    from nf2pq_spark.streaming.jobs import (read_events_stream,
+                                            run_available_now,
+                                            windowed_rollup)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        rolled = windowed_rollup(stream, "1 hour", "10 minutes")
+        _, name = run_available_now(rolled, output_mode="complete")
+        got = {
+            (r["window"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+             .alias("sum_value"))
+    )
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
