@@ -333,3 +333,25 @@ def test_x6_cogroup_is_arrow_batched(spark, sf_dir):
     p = _plan(spark, sf_dir, "x6_cogroup_asof")
     assert "FlatMapCoGroupsInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_j8c_bucketed_asof_windows_on_key_and_bucket(spark, sf_dir):
+    """The skew-resilient as-of must window per (key, time-bucket), not per
+    key alone — that split is the whole point (one hot key → ~30 day
+    tasks). Assert the physical Window partition specs: the in-bucket fill
+    runs over [su, __b]; only the tiny per-bucket summary windows over the
+    bare key."""
+    from nf2pq_spark import plans
+
+    df = plans.REGISTRY["j8c_asof_hot_key"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and
+               "partitionBy" not in ln]
+    # at least one Window partitioned by both the key and the bucket col
+    assert any("su" in ln and "__b" in ln for ln in windows), plan[:4000]
+    # and no row-level Window over the bare key: every Window mentioning su
+    # without __b must be the cross-bucket carry (operates on the summary,
+    # marked by the __bucket_last column)
+    for ln in windows:
+        if "su" in ln and "__b#" not in ln and "__b" not in ln:
+            assert "__bucket_last" in ln or "__carry" in ln, ln
