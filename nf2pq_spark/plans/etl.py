@@ -176,3 +176,45 @@ def etl2_partition_overwrite(spark, sf_dir):
              .cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "etl3_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    description="small-file compaction round-trip (operators/compact.py): "
+    "events written as ~200 tiny files (the streaming sink's accretion "
+    "pattern), compacted to size-targeted files via metadata-only "
+    "planning (getContentSummary, no data scan), read back and "
+    "aggregated under the hash gate — plus a hard assert that the file "
+    "count actually shrank ≥10x. Scale: small files are the top scan-"
+    "killer of micro-batch sinks at 100 TB (a task + footer + metadata "
+    "round-trip each); compaction is one shuffle to the target count.",
+    tags=("S2", "ETL"),
+)
+def etl3_compaction_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..operators.compact import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="etl3_")
+    small, compacted = os.path.join(base, "small"), os.path.join(base, "big")
+    ev.repartition(200).write.parquet(small)  # the accreted-sink layout
+    out = compact_parquet(spark, small, compacted, target_mb=512)
+    n_small = len([f for f in os.listdir(small) if f.endswith(".parquet")])
+    n_big = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_big * 10 <= n_small, (n_small, n_big)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("sum_value"),
+    )
