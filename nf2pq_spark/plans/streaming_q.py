@@ -407,6 +407,50 @@ def st8_streaming_sink_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "st12_foreach_batch_sink",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    description="foreachBatch delivery under the hash gate (T8/S7 shape): "
+    "four real micro-batches delivered through the idempotent per-batch "
+    "writer (each batch overwrites its own batch_id=N directory — the "
+    "exactly-once-to-at-least-once-sink recipe the ClickHouse JDBC path "
+    "needs, since foreachBatch can redeliver a batch after a failure "
+    "between sink write and checkpoint commit), then read back across all "
+    "batch directories and aggregated; must equal the batch oracle. "
+    "Redelivery idempotency itself is unit-tested by calling the writer "
+    "twice with the same batch id.",
+    tags=("T8", "S7", "S2"),
+)
+def st12_foreach_batch_sink(spark, sf_dir):
+    import tempfile
+
+    from ..session import ensure_session_conf
+    from ..streaming.sinks import (foreach_batch_sink,
+                                   idempotent_parquet_batch_writer)
+
+    ensure_session_conf(spark)
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_CHUNKED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).select("user_id", "value")
+    base = tempfile.mkdtemp(prefix="st12_") + "/delivered"
+    ckpt = tempfile.mkdtemp(prefix="st12_ckpt_")
+    q = foreach_batch_sink(stream, idempotent_parquet_batch_writer(base), ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(base)  # batch_id partition dirs discovered
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("sum_value"),
+    )
+
+
 def _watermark_chunks_dir(spark, sf_dir: str) -> str:
     """Three-batch layout proving watermark late-row dropping (T4).
 

@@ -131,3 +131,18 @@ def foreach_batch_sink(stream: DataFrame, fn: Callable[[DataFrame, int], None],
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_parquet_batch_writer(base: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body with EXACTLY-ONCE delivery to an at-least-once
+    sink: each micro-batch lands in its own ``batch_id=N`` directory with
+    mode=overwrite, so a redelivered batch (failure between sink write and
+    checkpoint commit — foreachBatch's documented delivery gap) replaces
+    itself instead of duplicating. This is the file-sink analogue of the
+    ClickHouse ReplacingMergeTree / insert-dedup-token recipe the JDBC
+    writer needs in production."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
+
+    return write_batch

@@ -400,3 +400,20 @@ def test_rocksdb_state_store_stream_batch_equivalence(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_idempotent_batch_writer_redelivery(spark, tmp_path):
+    """foreachBatch can redeliver a batch after a failure between sink
+    write and checkpoint commit; the idempotent writer must absorb the
+    replay (overwrite, not append)."""
+    from nf2pq_spark.streaming.sinks import idempotent_parquet_batch_writer
+
+    base = str(tmp_path / "delivered")
+    w = idempotent_parquet_batch_writer(base)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    w(df, 0)
+    w(df, 0)  # redelivery of the SAME batch
+    w(df.withColumn("v", df.v + 100), 1)
+    got = spark.read.parquet(base)
+    assert got.count() == 200  # not 300: batch 0 replaced itself
+    assert got.select("v").distinct().count() == 200
