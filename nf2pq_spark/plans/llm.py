@@ -274,6 +274,46 @@ def l3b_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "l3e_lsh_recall_gate",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           CAST(1 AS INT) AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    description="L3 approximate search under the HARD hash gate: recall "
+    "of SRP-LSH top-5 against the exact brute-force top-5 is computed "
+    "inside the query and flagged >= 0.3 (measured 0.44-0.56 across "
+    "fixtures; random 4-bucket assignment would give ~0.25). Both paths "
+    "are deterministic (sin-derived hyperplanes, no RNG), so the flag is "
+    "stable and the driver's hash catches an LSH regression even though "
+    "per-neighbor results are approximate. Companion to rows-only l3b.",
+    tags=("L3",),
+)
+def l3e_lsh_recall_gate(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("long").alias("q_id"),
+        as_double_array("embedding").alias("qv"))
+    c = e.select(F.col("vec_id").cast("long").alias("c_id"),
+                 as_double_array("embedding").alias("cv"))
+    exact = brute_force_topk(q, c, k=5).select("q_id", "c_id")
+    approx = lsh_topk(q, c, k=5, bits=2).select(
+        F.col("q_id").alias("aq"), F.col("c_id").alias("ac"))
+    # one aggregate over the left join — no 1x1 cross join in the plan
+    per = exact.join(
+        approx, (exact.q_id == approx.aq) & (exact.c_id == approx.ac), "left"
+    ).agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count("ac").alias("__n_match"),
+    )
+    return per.select(
+        "n_queries",
+        F.when(F.col("__n_match") >= 0.3 * 5 * F.col("n_queries"), 1)
+        .otherwise(0).cast("int").alias("recall_ok"),
+    )
+
+
+@register(
     "l3d_ivf_topk",
     oracle=None,  # approximate by construction (KMeans coarse quantizer)
     description="IVF approximate top-k cosine: KMeans(16) coarse cells, "

@@ -220,6 +220,45 @@ def a18_cms_top_talkers(spark, sf_dir):
 
 
 @register(
+    "a18b_cms_error_gate",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+           CAST(1 AS INT) AS bounds_ok
+    FROM events WHERE user_id < 10 GROUP BY user_id
+    """,
+    description="count-min sketch under the HARD hash gate: per fixed key "
+    "set (user_id < 10) the query returns the exact count plus a flag "
+    "that the CMS estimate respects its guarantees — never undercounts, "
+    "overcounts by at most eps*N (eps=0.001, fixed seed, fully "
+    "deterministic). The oracle asserts flag=1, so a sketch regression "
+    "fails the driver's hash even though estimates are engine-specific. "
+    "Companion to rows-only a18. Scale: the sketch is a fixed grid "
+    "merged via partial aggregation; the per-key probe table is O(10).",
+    tags=("A4", "A1"),
+)
+def a18b_cms_error_gate(spark, sf_dir):
+    from ..operators.sketch import _read_sketch, count_min_sketch_bytes
+
+    eps = 0.001
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    n_total = ev.count()
+    sketch = _read_sketch(
+        spark, count_min_sketch_bytes(ev, "user_id", eps=eps))
+    est_df = spark.createDataFrame(
+        [(k, int(sketch.estimateCount(k))) for k in range(10)],
+        "user_id long, __est long")
+    exact = (ev.filter(F.col("user_id") < 10)
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")))
+    slack = int(eps * n_total) + 1
+    return exact.join(F.broadcast(est_df), "user_id").select(
+        "user_id", "exact_n",
+        F.when((F.col("__est") >= F.col("exact_n"))
+               & (F.col("__est") <= F.col("exact_n") + slack), 1)
+        .otherwise(0).cast("int").alias("bounds_ok"),
+    )
+
+
+@register(
     "l20_quality_weighted_sample",
     oracle="""
     WITH scored AS (

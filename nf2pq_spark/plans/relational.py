@@ -598,6 +598,37 @@ def a4b_hll_sketch(spark, sf_dir):
 
 
 @register(
+    "a4c_approx_distinct_gate",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS INT) AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    description="A4 under the HARD hash gate: the approximate distinct "
+    "count is validated against the exact one inside the query — the "
+    "result carries the exact counts plus a flag that the HLL estimate "
+    "(rsd 0.02, measured max rel-err 0.4% on these fixtures) landed "
+    "within 10%. The oracle asserts flag=1, so a broken approx path "
+    "fails the driver's hash even though the estimate itself is "
+    "engine-specific. Companion to the rows-only a4/a4b.",
+    tags=("A4",),
+)
+def a4c_approx_distinct_gate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+    )
+    return g.select(
+        "event_type", "exact_users",
+        F.when(
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users"), 1
+        ).otherwise(0).cast("int").alias("approx_ok"),
+    )
+
+
+@register(
     "a5_percentiles",
     oracle="""
     SELECT l_returnflag,
