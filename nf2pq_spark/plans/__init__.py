@@ -40,7 +40,7 @@ CURATED_PREFIX: tuple[str, ...] = (
     "s5b_capture_datasource", "s6_netflow_v5_decode", "s6b_ipfix_decode",
     "s6c_netflow_v9_decode",
     "l1_exact_dedup_stats", "l2_minhash_bands", "l2d_neardup_components",
-    "l3_cosine_topk", "l4_text_stats", "l14_corpus_curation",
+    "l3_cosine_topk", "a4c_approx_distinct_gate", "l14_corpus_curation",
     "l16_decontamination", "mm1_media_features",
     "x1_pandas_scalar", "x2_apply_in_pandas", "x3_grouped_agg_udf",
     "x4_udtf_shingles", "x5_map_in_pandas",
