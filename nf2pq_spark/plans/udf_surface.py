@@ -11,6 +11,7 @@ oracle.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow
 
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -176,3 +177,100 @@ def x6_cogroup_asof(spark, sf_dir):
             schema="event_id long, user_id long, ts timestamp, click_ts timestamp",
         )
     )
+
+
+@register(
+    "x8_arrow_native_udf",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (
+                WHERE CAST(substr(c_name, 10) AS BIGINT) = c_custkey)
+             AS BIGINT) AS n_consistent,
+           CAST(SUM(CAST(substr(c_name, 10) AS BIGINT)) AS BIGINT)
+             AS sum_suffix
+    FROM customer GROUP BY c_mktsegment
+    """,
+    description="Arrow-native UDF (X1 on the Spark 4.1 arrow_udf API): "
+    "pyarrow.compute kernels run directly on Arrow arrays — no "
+    "pandas/numpy materialization on the Python side at all. Parses the "
+    "numeric suffix out of c_name ('Customer#000000001') and checks it "
+    "against c_custkey; integer outputs keep the hash gate exact. Scale: "
+    "same single Arrow channel crossing as a pandas UDF, minus the "
+    "Arrow→pandas→Arrow copy per batch.",
+    tags=("X1",),
+)
+def x8_arrow_native_udf(spark, sf_dir):
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    # NB: pyarrow is imported at module level because arrow_udf infers its
+    # eval type via get_type_hints — under `from __future__ import
+    # annotations` the hints are strings resolved in the module globals
+    @arrow_udf("long")
+    def name_suffix(name: pyarrow.Array) -> pyarrow.Array:
+        # 'Customer#000000001' → 1 (pure Arrow kernels, zero-copy slices)
+        return pc.cast(pc.utf8_slice_codeunits(name, 9, 99), pyarrow.int64())
+
+    c = load_table(spark, sf_dir, "customer")
+    sfx = name_suffix(F.col("c_name"))
+    return c.groupBy("c_mktsegment").agg(
+        F.count_if(sfx == F.col("c_custkey")).alias("n_consistent"),
+        F.sum(sfx).alias("sum_suffix"),
+    )
+
+
+@register(
+    "x9_udtf_table_arg",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM f GROUP BY user_id
+    """,
+    description="UDTF consuming TABLE(...) with PARTITION BY / ORDER BY "
+    "(X4, the Spark 4 table-argument surface): the planner hash-"
+    "partitions the input on user_id and sorts each partition by "
+    "(ts, event_id) BEFORE the UDTF sees it, so terminate() emits one "
+    "summary row per user whose 'first event' is order-correct by "
+    "construction — stateful per-partition logic without applyInPandas. "
+    "Exactness: integer cents accumulation. Scale: one shuffle on the "
+    "partition key; UDTF rows cross the Arrow channel batched.",
+    tags=("X4",),
+)
+def x9_udtf_table_arg(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n bigint, first_type string, "
+                     "cents bigint")
+    class PerUserSummary:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.first = None
+            self.cents = 0
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            if self.first is None:
+                self.first = row["event_type"]  # rows arrive ORDER BY ts
+            self.n += 1
+            self.cents += int(row["value"] * 100 + 0.5)
+
+        def terminate(self):
+            if self.uid is not None:
+                yield self.uid, self.n, self.first, self.cents
+
+    spark.udtf.register("per_user_summary", PerUserSummary)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT * FROM per_user_summary(
+            TABLE(SELECT user_id, event_type, ts, event_id, value
+                  FROM events_v)
+            PARTITION BY user_id ORDER BY (ts, event_id))
+    """)
