@@ -1458,3 +1458,33 @@ def sql24_important_inventory(spark, sf_dir):
             .select("l_partkey",
                     (F.col("value_c").cast("double") / 10000)
                     .alias("part_value")))
+
+
+@register(
+    "j16_lateral_topn_df",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_nationkey = 3
+    """,
+    description="correlated lateral subquery through the Spark 4 "
+    "DataFrame API (DataFrame.lateralJoin + Column.outer()) — the same "
+    "top-2-orders-per-customer shape as sql4, but declared without SQL "
+    "text: the outer() marker builds the correlated reference and "
+    "Catalyst decorrelates to the identical ranked-window join. Scale: "
+    "same plan as sql4 — no per-row re-execution, one shuffle on the "
+    "correlation key.",
+    tags=("J10", "W4", "SQL"),
+)
+def j16_lateral_topn_df(spark, sf_dir):
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_nationkey") == 3).select("c_custkey"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice")
+    sub = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+           .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(2))
+    return c.lateralJoin(sub).select(
+        "c_custkey", "o_orderkey", "o_totalprice")

@@ -959,3 +959,64 @@ def s4c_corrupt_records(spark, sf_dir):
          .cast("double").alias("sum_value"),
         F.max(F.when(good, F.col("user_id"))).alias("max_user"),
     )
+
+
+@register(
+    "s5c_capture_datasource_writer",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(SUM(ibyt) AS BIGINT) AS sum_bytes,
+           CAST(SUM(ipkt) AS BIGINT) AS sum_pkts,
+           COUNT(DISTINCT sa) AS n_src
+    FROM f GROUP BY pr
+    """,
+    description="Python DataSource WRITER (S5, the reverse of s5b): flow "
+    "rows synthesized arithmetically in Spark are packed into NetFlow v5 "
+    "capture files by df.write.format('nfcapture') — one atomic capture "
+    "file per partition, executor-side — then decoded back through the "
+    "nfcapture reader and aggregated under the hash gate. Write → read "
+    "round-trips the full wire format through both halves of the Spark 4 "
+    "DataSource API. Scale: the writer is embarrassingly parallel (no "
+    "shuffle; each partition packs its own rows) and the atomic tmp+"
+    "rename means a concurrent stream never sees a partial file.",
+    tags=("S5", "S6", "S2"),
+)
+def s5c_capture_datasource_writer(spark, sf_dir):
+    from ..sources.datasource import register_capture_source
+
+    register_capture_source(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_flows_written_{tag}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        eid = F.col("event_id")
+        d = lambda n: F.expr(f"event_id div {n}")  # noqa: E731
+        flows = load_table(spark, sf_dir, "events").select(
+            ((eid % 223 + 10) * 16777216 + (d(7) % 256) * 65536
+             + (d(11) % 256) * 256 + eid % 256).cast("long").alias("sa_int"),
+            ((d(5) % 200 + 20) * 16777216 + (d(13) % 256) * 65536
+             + (d(17) % 256) * 256 + d(19) % 256).cast("long").alias("da_int"),
+            (eid % 1024).cast("long").alias("sp"),
+            ((eid * 7) % 1024).cast("long").alias("dp"),
+            F.when(eid % 3 == 0, 6).when(eid % 3 == 1, 17).otherwise(1)
+            .cast("long").alias("pr"),
+            (eid % 64).cast("long").alias("flg"),
+            (eid % 100 + 1).cast("long").alias("ipkt"),
+            (eid % 5000 + 40).cast("long").alias("ibyt"),
+            F.unix_millis("ts").alias("ts_ms"),
+            (F.unix_millis("ts") + 1000).alias("te_ms"),
+            (eid % 65000).cast("long").alias("sas"),
+            ((eid * 3) % 65000).cast("long").alias("das"),
+        )
+        flows.write.format("nfcapture").mode("append").save(out)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    back = spark.read.format("nfcapture").load(out)
+    return back.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.sum("ipkt").alias("sum_pkts"),
+        F.countDistinct("sa").alias("n_src"),
+    )

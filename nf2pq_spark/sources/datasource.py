@@ -33,7 +33,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader, DataSourceWriter,
+                                    InputPartition, WriterCommitMessage)
 
 from .ipfix import FLOW_SCHEMA
 
@@ -130,6 +131,9 @@ class CaptureDataSource(DataSource):
     def streamReader(self, schema) -> "CaptureStreamReader":
         return CaptureStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "CaptureWriter":
+        return CaptureWriter(self.options, overwrite)
+
 
 class CaptureReader(DataSourceReader):
     def __init__(self, options):
@@ -198,6 +202,40 @@ class CaptureStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: capture files are the durable log
+
+
+class CaptureWriter(DataSourceWriter):
+    """``df.write.format("nfcapture")`` — pack flow rows into NetFlow v5
+    capture files, one file per input partition, executor-side.
+
+    The write side of the collector's on-disk format: expects the
+    encoder's integer field layout (``sa_int``/``da_int`` plus
+    sp/dp/pr/flg/ipkt/ibyt/ts_ms/te_ms/sas/das — see
+    :data:`nf2pq_spark.sources.ipfix._IE_KEYS`). Files are written
+    atomically (tmp + rename, like the rotation bridge), so a concurrent
+    reader or stream never sees a partial capture. Exactly the reverse of
+    :class:`CaptureReader`: write → read round-trips the flow table.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("nfcapture: .save(<capture dir>) required")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        from .ipfix import encode_netflow_v5, write_capture_file
+
+        flows = [row.asDict() for row in iterator]
+        if flows:
+            os.makedirs(self.path, exist_ok=True)
+            dgrams = encode_netflow_v5(flows)
+            fname = f"cap_w_{uuid.uuid4().hex}.bin"
+            write_capture_file(os.path.join(self.path, fname), dgrams)
+        return WriterCommitMessage()
 
 
 def register_capture_source(spark) -> None:

@@ -17,7 +17,7 @@ from nf2pq_spark import plans
 
 #: queries whose fn itself runs a stream / heavy synthesis — their shape is
 #: covered by dedicated tests; planning them here would execute real work
-_SKIP_PREFIXES = ("st", "s6", "s5b", "s4", "mm2")
+_SKIP_PREFIXES = ("st", "s6", "s5", "s4", "mm2")
 
 #: intentional cartesian (J9 is the cross-join operator itself)
 _CARTESIAN_OK = {"j9_cross_join"}
