@@ -961,6 +961,31 @@ def s4c_corrupt_records(spark, sf_dir):
     )
 
 
+def _flow_columns(df):
+    """events (event_id, ts) → the encoder's integer flow layout, computed
+    as Spark column arithmetic (same scheme as _FLOW_SQL / _flows_records,
+    executor-side, no Python)."""
+    eid = F.col("event_id")
+    d = lambda n: F.expr(f"event_id div {n}")  # noqa: E731
+    return df.select(
+        ((eid % 223 + 10) * 16777216 + (d(7) % 256) * 65536
+         + (d(11) % 256) * 256 + eid % 256).cast("long").alias("sa_int"),
+        ((d(5) % 200 + 20) * 16777216 + (d(13) % 256) * 65536
+         + (d(17) % 256) * 256 + d(19) % 256).cast("long").alias("da_int"),
+        (eid % 1024).cast("long").alias("sp"),
+        ((eid * 7) % 1024).cast("long").alias("dp"),
+        F.when(eid % 3 == 0, 6).when(eid % 3 == 1, 17).otherwise(1)
+        .cast("long").alias("pr"),
+        (eid % 64).cast("long").alias("flg"),
+        (eid % 100 + 1).cast("long").alias("ipkt"),
+        (eid % 5000 + 40).cast("long").alias("ibyt"),
+        F.unix_millis("ts").alias("ts_ms"),
+        (F.unix_millis("ts") + 1000).alias("te_ms"),
+        (eid % 65000).cast("long").alias("sas"),
+        ((eid * 3) % 65000).cast("long").alias("das"),
+    )
+
+
 @register(
     "s5c_capture_datasource_writer",
     oracle=f"""
@@ -991,25 +1016,7 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
-        eid = F.col("event_id")
-        d = lambda n: F.expr(f"event_id div {n}")  # noqa: E731
-        flows = load_table(spark, sf_dir, "events").select(
-            ((eid % 223 + 10) * 16777216 + (d(7) % 256) * 65536
-             + (d(11) % 256) * 256 + eid % 256).cast("long").alias("sa_int"),
-            ((d(5) % 200 + 20) * 16777216 + (d(13) % 256) * 65536
-             + (d(17) % 256) * 256 + d(19) % 256).cast("long").alias("da_int"),
-            (eid % 1024).cast("long").alias("sp"),
-            ((eid * 7) % 1024).cast("long").alias("dp"),
-            F.when(eid % 3 == 0, 6).when(eid % 3 == 1, 17).otherwise(1)
-            .cast("long").alias("pr"),
-            (eid % 64).cast("long").alias("flg"),
-            (eid % 100 + 1).cast("long").alias("ipkt"),
-            (eid % 5000 + 40).cast("long").alias("ibyt"),
-            F.unix_millis("ts").alias("ts_ms"),
-            (F.unix_millis("ts") + 1000).alias("te_ms"),
-            (eid % 65000).cast("long").alias("sas"),
-            ((eid * 3) % 65000).cast("long").alias("das"),
-        )
+        flows = _flow_columns(load_table(spark, sf_dir, "events"))
         flows.write.format("nfcapture").mode("append").save(out)
         with open(done, "w") as fh:
             fh.write("ok")
@@ -1019,4 +1026,48 @@ def s5c_capture_datasource_writer(spark, sf_dir):
         F.sum("ibyt").alias("sum_bytes"),
         F.sum("ipkt").alias("sum_pkts"),
         F.countDistinct("sa").alias("n_src"),
+    )
+
+
+@register(
+    "st13_capture_stream_sink",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(SUM(ibyt) AS BIGINT) AS sum_bytes,
+           COUNT(DISTINCT da) AS n_dst
+    FROM f GROUP BY pr
+    """,
+    description="streaming capture SINK via the Python DataSource API "
+    "(S3+S5): the events stream, mapped to the wire-integer flow layout, "
+    "flows through writeStream.format('nfcapture') — per-(batch, "
+    "partition) deterministic atomic capture files, batch-commit "
+    "markers, replay-idempotent by construction — then the batch reader "
+    "decodes the written captures back for the hash-gated rollup. This "
+    "is the collector's full output leg (decode → rotate capture files) "
+    "as first-class Spark API on BOTH halves. Scale: sink tasks are "
+    "shuffle-free; rotation granularity = micro-batch.",
+    tags=("S3", "S5", "T8"),
+)
+def st13_capture_stream_sink(spark, sf_dir):
+    import tempfile
+
+    from ..sources.datasource import register_capture_source
+    from ..streaming.jobs import read_events_stream
+
+    register_capture_source(spark)
+    stream = _flow_columns(read_events_stream(spark, sf_dir))
+    out = tempfile.mkdtemp(prefix="st13_caps_") + "/caps"
+    ckpt = tempfile.mkdtemp(prefix="st13_ckpt_")
+    q = (stream.writeStream.format("nfcapture")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    back = spark.read.format("nfcapture").load(out)
+    return back.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.countDistinct("da").alias("n_dst"),
     )

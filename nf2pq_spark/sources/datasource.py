@@ -33,7 +33,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, DataSourceWriter,
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter, DataSourceWriter,
                                     InputPartition, WriterCommitMessage)
 
 from .ipfix import FLOW_SCHEMA
@@ -133,6 +134,9 @@ class CaptureDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "CaptureWriter":
         return CaptureWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "CaptureStreamWriter":
+        return CaptureStreamWriter(self.options)
 
 
 class CaptureReader(DataSourceReader):
@@ -236,6 +240,54 @@ class CaptureWriter(DataSourceWriter):
             fname = f"cap_w_{uuid.uuid4().hex}.bin"
             write_capture_file(os.path.join(self.path, fname), dgrams)
         return WriterCommitMessage()
+
+
+class CaptureStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("nfcapture")`` — the collector's rotated
+    capture output as a streaming sink: each micro-batch packs its
+    partitions into atomic v5 capture files named by (batch, uuid).
+
+    Idempotence across batch replays (failure between sink write and
+    checkpoint commit): filenames are DETERMINISTIC per (batch id,
+    partition id) and the capture write is atomic (tmp + rename), so a
+    replayed task replaces its own previous file instead of duplicating —
+    the same recipe as
+    :func:`nf2pq_spark.streaming.sinks.idempotent_parquet_batch_writer`.
+    ``commit`` additionally records a ``_committed_<id>`` marker per
+    batch (the downstream "batch is complete" signal).
+    """
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("nfcapture: .option('path', <dir>) required")
+        self.path = path
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        from .ipfix import encode_netflow_v5, write_capture_file
+
+        ctx = TaskContext.get()
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId") or "0"
+        flows = [row.asDict() for row in iterator]
+        if flows:
+            os.makedirs(self.path, exist_ok=True)
+            fname = f"cap_b{batch_id}_p{ctx.partitionId():05d}.bin"
+            write_capture_file(os.path.join(self.path, fname),
+                               encode_netflow_v5(flows))
+        return WriterCommitMessage()
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, f"_committed_{batchId}"), "w") as fh:
+            fh.write("ok")
+
+    def abort(self, messages, batchId: int) -> None:
+        # drop the aborted batch's files so a retry starts clean
+        for f in os.listdir(self.path):
+            if f.startswith(f"cap_b{batchId}_"):
+                os.remove(os.path.join(self.path, f))
 
 
 def register_capture_source(spark) -> None:
