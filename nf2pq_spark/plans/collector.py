@@ -1071,3 +1071,37 @@ def st13_capture_stream_sink(spark, sf_dir):
         F.sum("ibyt").alias("sum_bytes"),
         F.countDistinct("da").alias("n_dst"),
     )
+
+
+@register(
+    "sql25_parameterized",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+    description="parameterized SQL (§3.2, Spark 4 named-parameter "
+    "binding): the query text carries :cutoff_date / :min_price "
+    "placeholders and values bind at execution — no string "
+    "interpolation, no injection surface, plan cacheable across "
+    "parameter values. The oracle is the same query with the literals "
+    "inlined.",
+    tags=("SQL", "P2", "A1"),
+)
+def sql25_parameterized(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders_p
+        WHERE o_orderdate >= :cutoff_date AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff_date": "1996-01-01", "min_price": 150000},
+    )
