@@ -764,3 +764,22 @@ def test_bucketed_range_join_property_vs_bruteforce(spark):
         assert got == want, (bucket_seconds, point_secs, iv_secs)
 
     check()
+
+
+def test_capture_stream_writer_abort_cleans_batch(tmp_path):
+    """CaptureStreamWriter.abort must drop exactly the aborted batch's
+    files (a retried batch then rewrites deterministic names cleanly),
+    leaving other batches untouched."""
+    from nf2pq_spark.sources.datasource import CaptureStreamWriter
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    (d / "cap_b0_p00000.bin").write_bytes(b"x")
+    (d / "cap_b1_p00000.bin").write_bytes(b"x")
+    (d / "cap_b1_p00001.bin").write_bytes(b"x")
+    w = CaptureStreamWriter({"path": str(d)})
+    w.abort([], 1)
+    left = sorted(f.name for f in d.iterdir())
+    assert left == ["cap_b0_p00000.bin"]
+    w.commit([], 0)
+    assert (d / "_committed_0").exists()
