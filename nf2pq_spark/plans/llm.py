@@ -1268,3 +1268,73 @@ def x7_udtf_polymorphic(spark, sf_dir):
         FROM documents d, LATERAL word_ngrams(d.text, 2) t
         GROUP BY d.lang
     """)
+
+
+@register(
+    "l21_substring_dup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(t) >= 9
+                    THEN list_transform(range(1, len(t) - 7),
+                         i -> md5(array_to_string(t[i:i+8], ' ')))
+                    ELSE [] END) AS h
+      FROM toks
+    ),
+    dup_spans AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                     FROM spans GROUP BY h) WHERE nd > 1
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             COUNT(*) FILTER (WHERE d.h IS NOT NULL) AS n_dup
+      FROM spans s LEFT JOIN dup_spans d USING (h)
+      GROUP BY s.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_with_spans,
+           CAST(SUM(n_dup) AS BIGINT) AS total_dup_spans,
+           CAST(COUNT(*) FILTER (WHERE n_dup * 2 > n_spans) AS BIGINT)
+             AS n_docs_majority_dup
+    FROM per_doc
+    """,
+    description="exact duplicated-span detection (the Lee et al. "
+    "'Deduplicating Training Data' substring-dedup shape, L2): every "
+    "9-token span is hashed; spans appearing in MORE THAN ONE document "
+    "mark cross-document boilerplate, and documents where duplicated "
+    "spans are the majority are removal candidates. Corpus-level "
+    "summary: docs with spans, total duplicated spans, majority-dup "
+    "docs. Scale: one explode + one map-side-combined shuffle on the "
+    "span hash (state = distinct spans, like a wordcount); the span→doc "
+    "join stays on the same key. The hash is md5, so the DuckDB oracle "
+    "recomputes it exactly.",
+    tags=("L2", "L4"),
+)
+def l21_substring_dup_spans(spark, sf_dir):
+    from ..functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = d.select(
+        "doc_id",
+        F.explode(F.transform(shingles(F.col("text"), 9),
+                              lambda s: F.md5(s))).alias("h"),
+    )
+    dup = (spans.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") > 1)
+           .select("h", F.lit(1).alias("__dup")))
+    per_doc = (
+        spans.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.count("__dup").alias("n_dup"))
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs_with_spans"),
+        F.sum("n_dup").alias("total_dup_spans"),
+        F.count_if(F.col("n_dup") * 2 > F.col("n_spans"))
+        .alias("n_docs_majority_dup"),
+    )
