@@ -219,6 +219,54 @@ def x8_arrow_native_udf(spark, sf_dir):
     )
 
 
+def _doc_len_batches(batches):
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        n_chars = pc.cast(pc.utf8_length(rb.column("text")), pyarrow.int64())
+        n_lines = pc.cast(
+            pc.add(pc.count_substring(rb.column("text"), "\n"), 1),
+            pyarrow.int64())
+        keep = pc.greater_equal(n_chars, 120)
+        out = pyarrow.RecordBatch.from_arrays(
+            [rb.column("doc_id"), rb.column("lang"), n_chars, n_lines],
+            names=["doc_id", "lang", "n_chars", "n_lines"],
+        )
+        yield out.filter(keep)
+
+
+@register(
+    "x10_map_in_arrow",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(SUM(length(text) - length(replace(text, chr(10), '')) + 1)
+             AS BIGINT) AS lines
+    FROM documents WHERE length(text) >= 120
+    GROUP BY lang
+    """,
+    description="mapInArrow whole-partition transform (X5's Arrow-native "
+    "twin, Spark 4): pyarrow RecordBatches in, RecordBatches out — filter "
+    "and length/line-count metrics computed entirely with pyarrow.compute "
+    "kernels, no pandas materialization. utf8_length counts codepoints, "
+    "matching DuckDB length() on UTF-8 text. Scale: identical plan shape "
+    "to mapInPandas (one Arrow channel crossing, pushdown-transparent "
+    "column pruning via the explicit select) but saves the Arrow→pandas "
+    "copy on wide partitions.",
+    tags=("X5",),
+)
+def x10_map_in_arrow(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    m = d.mapInArrow(
+        _doc_len_batches,
+        schema="doc_id long, lang string, n_chars long, n_lines long")
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_lines").alias("lines"),
+    )
+
+
 @register(
     "x9_udtf_table_arg",
     oracle="""
