@@ -1338,3 +1338,48 @@ def l21_substring_dup_spans(spark, sf_dir):
         F.count_if(F.col("n_dup") * 2 > F.col("n_spans"))
         .alias("n_docs_majority_dup"),
     )
+
+
+@register(
+    "l22_stratified_sample_gate",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total_n,
+           CAST(CASE event_type
+                WHEN 'view' THEN 0.5 WHEN 'click' THEN 0.3
+                WHEN 'purchase' THEN 0.8 WHEN 'signup' THEN 0.2
+                ELSE 0.1 END AS DOUBLE) AS target_frac,
+           TRUE AS in_tol
+    FROM events GROUP BY event_type
+    """,
+    description="stratified sampling gate (the class-rebalance step of a "
+    "training-data pipeline, on the sampleBy API): each event_type "
+    "stratum is Bernoulli-sampled at its own target fraction, and the "
+    "query validates the realized per-stratum rate against the target "
+    "inside the query (|rate - target| <= 0.15, ~4 sigma at the smallest "
+    "fixture stratum), returning exact totals + the in-tolerance flag "
+    "the oracle asserts — the a4c gate pattern for sampling. sampleBy is "
+    "seeded, so the outcome is deterministic per fixture. Scale: "
+    "Bernoulli filter per partition, no shuffle before the rollup; the "
+    "alternative deterministic-hash form is l20/l12.",
+    tags=("L6", "P7"),
+)
+def l22_stratified_sample_gate(spark, sf_dir):
+    fractions = {"view": 0.5, "click": 0.3, "purchase": 0.8,
+                 "signup": 0.2, "error": 0.1}
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    sampled = (ev.sampleBy("event_type", fractions, seed=42)
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("sampled_n")))
+    frac_expr = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("event_type")].cast("double")
+    return (
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total_n"))
+        .join(sampled, "event_type", "left")
+        .select(
+            "event_type", "total_n",
+            frac_expr.alias("target_frac"),
+            (F.abs(F.coalesce("sampled_n", F.lit(0)) / F.col("total_n")
+                   - frac_expr) <= 0.15).alias("in_tol"),
+        )
+    )

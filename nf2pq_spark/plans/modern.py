@@ -319,3 +319,48 @@ def f13_collation(spark, sf_dir):
         F.count_if(seg_ci == F.lit("building")).alias("n_building"),
         F.countDistinct(seg_ci).alias("n_segments"),
     )
+
+
+@register(
+    "sql26_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6))) AS DOUBLE) AS total_charge,
+           COUNT(*) AS n
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+    description="SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN): a scalar "
+    "function (the charge expression) plus a parameterized TABLE function "
+    "(orders after a cutoff) declared in pure SQL and composed in one "
+    "query. The declarative bodies inline into the plan at analysis time "
+    "— zero Python, zero serialization boundary, full codegen and "
+    "pushdown through both functions (the cutoff predicate reaches the "
+    "orders parquet scan). This is the preferred UDF form at 100 TB; "
+    "pandas/Arrow UDFs (x1/x8) are for logic SQL cannot express. The "
+    "decimal(18,6) cast makes the charge sum exact (6-decimal values).",
+    tags=("SQL", "X1", "F3"),
+)
+def sql26_sql_udf(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql26_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql26_lineitem")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(
+            p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d) * (1.0 + t)""")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION orders_after(cutoff TIMESTAMP)
+        RETURNS TABLE(o_orderkey BIGINT, o_orderpriority STRING)
+        RETURN SELECT o_orderkey, o_orderpriority
+               FROM sql26_orders WHERE o_orderdate >= cutoff""")
+    return spark.sql("""
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(charge(l_extendedprice, l_discount, l_tax)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS total_charge,
+               COUNT(*) AS n
+        FROM orders_after(TIMESTAMP '1996-01-01') o
+        JOIN sql26_lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority""")
