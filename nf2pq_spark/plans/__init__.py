@@ -21,8 +21,10 @@ from . import etl  # noqa: E402,F401
 #: every streaming operator incl. watermark drop (T4) and the
 #: stream-stream LEFT OUTER join (st11 — subsumes st6's inner-join
 #: evidence and adds outer-emission semantics), the LLM-pipeline
-#: surface (L), the full UDF surface (X1–X5), SQL-path shapes, data
-#: quality, SCD2 ETL, and VARIANT. Families absent here (P*, J1–J7, A*,
+#: surface (L), the full UDF surface (X1–X5) incl. the declarative SQL
+#: UDF path (sql26 — S4's JSON variant ceded its slot: s4_csv_scan
+#: keeps that family green), SQL-path shapes, data quality, SCD2 ETL,
+#: and VARIANT. Families absent here (P*, J1–J7, A*,
 #: W*, O*, U*) all hash-verified green in CORRECTNESS_r01.
 #: tests/test_registry_order.py pins this list.
 CURATED_PREFIX: tuple[str, ...] = (
@@ -36,7 +38,7 @@ CURATED_PREFIX: tuple[str, ...] = (
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_static_join",
     "st5_stream_session", "st11_stream_outer_join", "st7_stateful_totals",
     "st8_streaming_sink_roundtrip", "st10_watermark_drop",
-    "s2_partitioned_sink", "s4_csv_scan", "s4b_json_scan",
+    "s2_partitioned_sink", "s4_csv_scan", "sql26_sql_udf",
     "s5b_capture_datasource", "s6_netflow_v5_decode", "s6b_ipfix_decode",
     "s6c_netflow_v9_decode",
     "l1_exact_dedup_stats", "l2_minhash_bands", "l2d_neardup_components",
