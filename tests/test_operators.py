@@ -783,3 +783,52 @@ def test_capture_stream_writer_abort_cleans_batch(tmp_path):
     assert left == ["cap_b0_p00000.bin"]
     w.commit([], 0)
     assert (d / "_committed_0").exists()
+
+
+def test_connected_components_property_vs_union_find(spark):
+    """Random graphs: the distributed min-label/pointer-doubling loop must
+    agree exactly with a sequential union-find (min-id representative)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.operators.dedup import connected_components
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in parent}
+
+    edge = st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1])
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=60))
+    def run(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r.n: r.component
+               for r in connected_components(df).collect()}
+        assert got == union_find_components(edges)
+
+    run()
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node path (diameter 59) must converge well inside max_iter —
+    the case two-hop pointer doubling exists for."""
+    from nf2pq_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "u long, v long")
+    got = {r.n: r.component for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(60)}
