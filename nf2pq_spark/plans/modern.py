@@ -364,3 +364,40 @@ def sql26_sql_udf(spark, sf_dir):
         FROM orders_after(TIMESTAMP '1996-01-01') o
         JOIN sql26_lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority""")
+
+
+@register(
+    "sql27_sql_scripting",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(ROUND(SUM(o_totalprice /
+                (SELECT AVG(o_totalprice) FROM orders)), 2) AS DOUBLE)
+             AS sum_ratio
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    description="SQL scripting (Spark 4 BEGIN..END blocks): a global "
+    "average is computed into a declared variable by one statement, then "
+    "the next statement filters and normalizes against it — procedural "
+    "two-phase orchestration written entirely in SQL, the scripting "
+    "engine sequencing the jobs driver-side. The oracle expresses the "
+    "same thing as scalar subqueries (which DuckDB evaluates once). "
+    "Scale: phase one is a full-scan aggregate to one scalar; phase two "
+    "broadcasts that scalar inside the plan — no per-row subquery.",
+    tags=("SQL",),
+)
+def sql27_sql_scripting(spark, sf_dir):
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql27_orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE avg_price DOUBLE DEFAULT 0;
+          SET avg_price = (SELECT AVG(o_totalprice) FROM sql27_orders);
+          SELECT o_orderpriority, COUNT(*) AS n_above,
+                 CAST(ROUND(SUM(o_totalprice / avg_price), 2) AS DOUBLE)
+                   AS sum_ratio
+          FROM sql27_orders
+          WHERE o_totalprice > avg_price
+          GROUP BY o_orderpriority;
+        END""")
