@@ -355,3 +355,14 @@ def test_j8c_bucketed_asof_windows_on_key_and_bucket(spark, sf_dir):
     for ln in windows:
         if "su" in ln and "__b#" not in ln and "__b" not in ln:
             assert "__bucket_last" in ln or "__carry" in ln, ln
+
+
+def test_sql26_pushdown_through_sql_udf(spark, sf_dir):
+    # the declarative CREATE FUNCTION bodies must inline: the table
+    # function's cutoff predicate reaches the orders parquet scan, the
+    # scalar function stays in codegen (no Python eval anywhere)
+    p = _plan(spark, sf_dir, "sql26_sql_udf")
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = [ln for ln in p.splitlines() if "o_orderdate" in ln]
+    assert read_schema, "orders scan with pushed cutoff filter not found"
