@@ -683,6 +683,42 @@ def f4c_array_setops(spark, sf_dir):
 
 
 @register(
+    "a19_two_phase_skew_agg",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events GROUP BY user_id
+    """,
+    description="skew-tolerant two-phase aggregation "
+    "(operators/skew.two_phase_agg): a deterministic per-row salt splits "
+    "each key across 16 partial (key, salt) groups before the final "
+    "combine on key alone — so one power-law key (every flow to one "
+    "/24, every event from one bot user) costs 16 bounded tasks instead "
+    "of one giant reducer. count/sum/min/max recombine exactly; integer "
+    "cents keep the hash gate exact (the oracle is the plain GROUP BY). "
+    "Distinct from A11 (Spark's automatic partial agg — same map-side "
+    "combine, but its FINAL reducer still lands one task per key).",
+    tags=("A1", "A11"),
+)
+def a19_two_phase_skew_agg(spark, sf_dir):
+    from ..operators.skew import two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    return two_phase_agg(
+        ev, "user_id",
+        [("cents", "count", "n"), ("cents", "sum", "cents_sum"),
+         ("cents", "max", "max_cents")],
+        buckets=16,
+    )
+
+
+@register(
     "j14_salted_skew_join",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n_lines,
