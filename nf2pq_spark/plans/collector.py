@@ -823,6 +823,55 @@ def s6g_syn_scan_ratio(spark, sf_dir):
 
 
 @register(
+    "s6h_ddos_profile",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT CAST(string_split(da, '.')[1] AS BIGINT) AS dst_net,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(COUNT(DISTINCT sa) AS BIGINT) AS n_src,
+           CAST(SUM(ibyt) FILTER (WHERE pr = 17 AND sp IN
+                (53, 123, 389, 1900)) AS BIGINT) AS amp_bytes,
+           ROUND(CAST(COALESCE(SUM(ibyt) FILTER (WHERE pr = 17 AND sp IN
+                (53, 123, 389, 1900)), 0) AS DOUBLE)
+                / SUM(ibyt), 4) AS amp_frac
+    FROM f GROUP BY 1
+    """,
+    description="DDoS amplification profile per /8 destination network "
+    "(the reference domain's flagship security report — nf2pq-style flow "
+    "archives feed exactly this dissection): decoded v5 flows rolled up "
+    "by dst net with distinct-source fan-in and the byte share arriving "
+    "as UDP from reflector service ports (DNS 53 / NTP 123 / LDAP 389 / "
+    "SSDP 1900) — the amplification signature. Exact integer counts and "
+    "sums; one rounded division at the end. Scale: bit-cheap column "
+    "predicates on the scan, one map-side-combined shuffle on the "
+    "~200-value net key; distinct-source counting expands to (net, sa) "
+    "partials before the final fold — no row ever leaves the JVM after "
+    "decode.",
+    tags=("S6", "F7", "A3", "A9"),
+)
+def s6h_ddos_profile(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "v5")
+    flows = read_flow_files(spark, path)
+    amp = (F.col("pr") == 17) & F.col("sp").isin(53, 123, 389, 1900)
+    amp_bytes = F.sum(F.when(amp, F.col("ibyt"))).alias("amp_bytes")
+    return (
+        flows.select(
+            F.split(F.col("da"), r"\.").getItem(0).cast("bigint")
+             .alias("dst_net"),
+            "sa", "pr", "sp", "ibyt")
+        .groupBy("dst_net")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.countDistinct("sa").alias("n_src"),
+            amp_bytes,
+            F.round(
+                F.coalesce(F.sum(F.when(amp, F.col("ibyt"))), F.lit(0))
+                .cast("double") / F.sum("ibyt"), 4).alias("amp_frac"),
+        )
+    )
+
+
+@register(
     "st9_capture_stream_decode",
     oracle=f"""
     WITH f AS ({_FLOW_SQL})
