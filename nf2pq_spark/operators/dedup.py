@@ -163,10 +163,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     - min-label propagation (each node takes the min of its own and its
       neighbors' labels — one shuffle join + min-aggregate), and
     - pointer doubling (each node also takes its LABEL's label — one
-      self-join), halving distance-to-root, so convergence is
-      O(log diameter) rounds instead of O(diameter); long chain
-      components (shared-boilerplate buckets string docs together) were
-      taking 11 rounds at sf0.1, now ~4.
+      self-join, applied twice per round), shrinking distance-to-root
+      ~4× per round, so convergence is O(log diameter) rounds instead
+      of O(diameter). Measured on the sf0.1 corpus's boilerplate
+      chains: 11 rounds with no doubling, 7 with one hop, 4 with two.
 
     Per round exactly ONE Spark job runs: the eager localCheckpoint that
     also cuts lineage. Convergence detection piggy-backs on it via an

@@ -388,16 +388,27 @@ def sql26_sql_udf(spark, sf_dir):
     tags=("SQL",),
 )
 def sql27_sql_scripting(spark, sf_dir):
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql27_orders")
-    return spark.sql("""
-        BEGIN
-          DECLARE avg_price DOUBLE DEFAULT 0;
-          SET avg_price = (SELECT AVG(o_totalprice) FROM sql27_orders);
-          SELECT o_orderpriority, COUNT(*) AS n_above,
-                 CAST(ROUND(SUM(o_totalprice / avg_price), 2) AS DOUBLE)
-                   AS sum_ratio
-          FROM sql27_orders
-          WHERE o_totalprice > avg_price
-          GROUP BY o_orderpriority;
-        END""")
+    # the script (DECLARE/SET phases included) executes inside spark.sql();
+    # only the final SELECT's frame stays lazy and it no longer needs the
+    # conf — so restore the session's value instead of leaking it
+    # (verified: collect() after restore succeeds)
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql("""
+            BEGIN
+              DECLARE avg_price DOUBLE DEFAULT 0;
+              SET avg_price = (SELECT AVG(o_totalprice) FROM sql27_orders);
+              SELECT o_orderpriority, COUNT(*) AS n_above,
+                     CAST(ROUND(SUM(o_totalprice / avg_price), 2) AS DOUBLE)
+                       AS sum_ratio
+              FROM sql27_orders
+              WHERE o_totalprice > avg_price
+              GROUP BY o_orderpriority;
+            END""")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

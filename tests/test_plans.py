@@ -362,7 +362,10 @@ def test_sql26_pushdown_through_sql_udf(spark, sf_dir):
     # function's cutoff predicate reaches the orders parquet scan, the
     # scalar function stays in codegen (no Python eval anywhere)
     p = _plan(spark, sf_dir, "sql26_sql_udf")
-    assert "GreaterThanOrEqual(o_orderdate" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    read_schema = [ln for ln in p.splitlines() if "o_orderdate" in ln]
-    assert read_schema, "orders scan with pushed cutoff filter not found"
+    # the cutoff must land in the parquet scan's pushed filters, not a
+    # post-scan Filter node
+    scan_lines = [ln for ln in p.splitlines()
+                  if "FileScan" in ln and "o_orderdate" in ln]
+    assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in scan_lines), (
+        "cutoff predicate not pushed into the orders scan")
