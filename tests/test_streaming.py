@@ -100,6 +100,75 @@ def test_apply_in_pandas_with_state(spark):
     assert final == {0: 15, 1: 15, 2: 15}
 
 
+def test_apply_in_pandas_with_state_timeout_evicts(spark):
+    """T6 state-eviction path: a key that stops receiving data must be
+    closed out via GroupStateTimeout.ProcessingTimeTimeout — the handler
+    runs with hasTimedOut=True and an empty batch iterator, emits the
+    final row, and removes the state (bounded state at 100 TB depends on
+    this eviction working).
+
+    NB: trigger(availableNow) is unusable here — with processing-time
+    timeouts the planner sees an expired timer after every batch and keeps
+    scheduling micro-batches forever (observed live: 50+ empty batches).
+    So this runs the default micro-batch trigger, polls the memory sink
+    for the eviction row, and stops the query explicitly.
+    """
+    import time
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tempfile.mkdtemp(prefix="state_to_src_")
+    base = pd.Timestamp("2024-01-01")
+    # uid 9 appears ONLY in the first chunk; uids 0-2 keep flowing
+    _write_chunk(src, "c1.parquet",
+                 [{"ts": base, "uid": 9, "v": 1.0}] * 4
+                 + [{"ts": base, "uid": i % 3, "v": 0.0} for i in range(9)],
+                 spark)
+    _write_chunk(src, "c2.parquet",
+                 [{"ts": base, "uid": i % 3, "v": 0.0} for i in range(9)],
+                 spark)
+
+    def close_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (total,) = state.get
+            state.remove()
+            yield pd.DataFrame({"uid": [key[0]], "n": [total],
+                                "closed": [True]})
+            return
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        state.setTimeoutDuration(1)  # ms: expire before the next trigger
+        yield pd.DataFrame({"uid": [key[0]], "n": [total], "closed": [False]})
+
+    stream = (spark.readStream.schema("ts timestamp, uid long, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    result = (stream.groupBy("uid").applyInPandasWithState(
+        close_fn, outputStructType="uid long, n long, closed boolean",
+        stateStructType="n long", outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_to_"))
+         .start())
+    try:
+        deadline = time.time() + 90
+        closed = {}
+        while time.time() < deadline:
+            closed = {r.uid: r.n for r in spark.table(name).collect()
+                      if r.closed}
+            if 9 in closed:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # uid 9's state was evicted exactly once, carrying its final count
+    assert closed.get(9) == 4
+
+
 def test_transform_with_state_in_pandas(spark):
     """T6 (Spark 4 API): transformWithStateInPandas stateful processor —
     per-key running max across micro-batches."""
