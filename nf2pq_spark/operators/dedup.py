@@ -152,13 +152,28 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str = "doc_id",
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         small_graph_edges: int = 2_000_000) -> DataFrame:
     """Connected components over an undirected edge list ``(u, v)`` →
     ``(n, component)`` where component is the minimum node id reachable.
 
     The graph step a real dedup pipeline needs after candidate pairs:
     near-dup RELATIONS are pairwise, but dedup KEEPS one doc per
-    transitive cluster. Each round combines
+    transitive cluster.
+
+    **Two execution paths, threshold-gated like a broadcast join.** The
+    candidate-pair graph is orders of magnitude smaller than the corpus
+    (docs with any near-dup partner, pairs already capped per bucket), so
+    it very often fits on the driver even when the corpus never could.
+    Below ``small_graph_edges`` (default 2M edges ≈ 32 MB of longs) the
+    edge list — already materialized by the checkpoint — is collected and
+    solved with a sequential union-find in one pass, skipping every
+    iterative shuffle; the distributed loop below is the path past the
+    threshold (set ``small_graph_edges=0`` to force it; both paths are
+    property-tested equal). This mirrors how Spark itself treats
+    small-side joins: a size gate, not a hope.
+
+    The distributed loop: each round combines
 
     - min-label propagation (each node takes the min of its own and its
       neighbors' labels — one shuffle join + min-aggregate), and
@@ -184,6 +199,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+
+    if small_graph_edges and sym.count() <= 2 * small_graph_edges:
+        # small-graph fast path: one collect of the (bounded) edge list,
+        # sequential union-find, result re-parallelized. The count() is
+        # free — sym is already checkpointed.
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in sym.select("u", "v").toLocalIterator():
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(
+            rows, "n long, component long")
+
     labels = (
         sym.select(F.col("u").alias("n")).distinct()
         .withColumn("lbl", F.col("n"))

@@ -816,9 +816,16 @@ def test_connected_components_property_vs_union_find(spark):
     @given(st.lists(edge, min_size=1, max_size=60))
     def run(edges):
         df = spark.createDataFrame(edges, "u long, v long")
-        got = {r.n: r.component
-               for r in connected_components(df).collect()}
-        assert got == union_find_components(edges)
+        want = union_find_components(edges)
+        # small-graph fast path (default threshold)
+        fast = {r.n: r.component
+                for r in connected_components(df).collect()}
+        assert fast == want
+        # distributed loop, forced (the 100 TB path)
+        dist = {r.n: r.component
+                for r in connected_components(
+                    df, small_graph_edges=0).collect()}
+        assert dist == want
 
     run()
 
@@ -830,5 +837,7 @@ def test_connected_components_long_chain_converges(spark):
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(59)], "u long, v long")
-    got = {r.n: r.component for r in connected_components(edges).collect()}
+    got = {r.n: r.component
+           for r in connected_components(
+               edges, small_graph_edges=0).collect()}
     assert got == {i: 0 for i in range(60)}
