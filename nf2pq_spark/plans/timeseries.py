@@ -535,3 +535,58 @@ def j8b_asof_forward(spark, sf_dir):
         clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
         payload=["next_purchase_ts"], how="left", direction="forward",
     )
+
+
+@register(
+    "t10_dynamic_session_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS win_end
+      FROM events
+    ), o AS (
+      SELECT user_id, ts, win_end,
+             MAX(win_end) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+      FROM g
+    ), s AS (
+      SELECT user_id, ts, win_end,
+             SUM(CASE WHEN prev_max IS NULL OR ts > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(win_end) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    description="session windows with a per-event DYNAMIC gap (T3 "
+    "variant, Spark 3.2+ expression-gap form): error events only hold a "
+    "session open 5 minutes, everything else 30 — the real-world shape "
+    "where activity types time out differently. Dynamic-gap semantics "
+    "verified live and encoded in the oracle: an event MERGES when its "
+    "ts <= the running max of previous (ts + gap) (equality merges — "
+    "unlike the static-gap path, where a gap exactly equal to the "
+    "duration starts a new session, see t3), and the session end is "
+    "max(ts + gap) over members, not last-ts + gap. Scale: same single "
+    "shuffle on the session key as t3; state per open session only.",
+    tags=("T3", "F2"),
+)
+def t10_dynamic_session_gap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "5 minutes") \
+        .otherwise("30 minutes")
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
