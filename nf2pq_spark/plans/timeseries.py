@@ -590,3 +590,49 @@ def t10_dynamic_session_gap(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "t11_chained_window_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS b15, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, b15) AS hour_start, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM b GROUP BY 1, 2
+    """,
+    description="chained windowed aggregation via F.window_time (T1 "
+    "variant, Spark 3.4+): a 15-minute rollup re-aggregated into hourly "
+    "buckets by windowing ON the windowed column — the state-shrinking "
+    "pattern for long-horizon streaming rollups (the hourly agg holds "
+    "4 rows per key-hour instead of every event; in streaming form each "
+    "level checkpoints independently). n_buckets counts non-empty "
+    "15-minute buckets per hour. Integer cents keep both levels exact. "
+    "Scale: level-1 shuffle is the only full-data exchange; level 2 "
+    "aggregates 96 rows/key/day.",
+    tags=("T1", "F2"),
+)
+def t11_chained_window_rollup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    lvl1 = (
+        ev.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.window_time("window"), "1 hour"),
+                     "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"),
+             F.count(F.lit(1)).alias("n_buckets"))
+    )
+    return lvl2.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type", "n", "cents", "n_buckets",
+    )
