@@ -412,3 +412,41 @@ def sql27_sql_scripting(spark, sf_dir):
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "sql28_df_scalar_subquery",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY 1
+    """,
+    description="DataFrame-API scalar subquery (Spark 4 "
+    "DataFrame.scalar()): the global average price becomes a scalar "
+    "subquery expression usable directly inside filter() — no collect, "
+    "no temp view, no SQL string; Catalyst plans it as the same "
+    "decorrelated one-row broadcast a SQL scalar subquery gets. "
+    "Companion surfaces: sql27 (SQL scripting variable), sql2 "
+    "(correlated SQL subquery). exists()/Column.outer() correlation "
+    "was probed on this build (4.1.2) and does not resolve for filter "
+    "subqueries — EXISTS stays covered by the semi-join forms (j3, "
+    "sql9). Scale: one full-scan agg to a scalar, then one scan+agg "
+    "with the scalar folded in — two jobs, no per-row subquery.",
+    tags=("SQL", "A2", "P2"),
+)
+def sql28_df_scalar_subquery(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice")).scalar()
+    return (
+        o.filter(F.col("o_totalprice") > 1.5 * avg_price)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )
