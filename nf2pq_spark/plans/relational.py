@@ -1069,6 +1069,49 @@ def a13_pivot(spark, sf_dir):
     )
 
 
+@register(
+    "a13b_transpose",
+    oracle="""
+    SELECT k,
+           CAST(CASE k WHEN 'n_events' THEN COUNT(*) FILTER (WHERE event_type='click')
+                WHEN 'n_users' THEN COUNT(DISTINCT user_id) FILTER (WHERE event_type='click') END AS BIGINT) AS click,
+           CAST(CASE k WHEN 'n_events' THEN COUNT(*) FILTER (WHERE event_type='error')
+                WHEN 'n_users' THEN COUNT(DISTINCT user_id) FILTER (WHERE event_type='error') END AS BIGINT) AS error,
+           CAST(CASE k WHEN 'n_events' THEN COUNT(*) FILTER (WHERE event_type='purchase')
+                WHEN 'n_users' THEN COUNT(DISTINCT user_id) FILTER (WHERE event_type='purchase') END AS BIGINT) AS purchase,
+           CAST(CASE k WHEN 'n_events' THEN COUNT(*) FILTER (WHERE event_type='signup')
+                WHEN 'n_users' THEN COUNT(DISTINCT user_id) FILTER (WHERE event_type='signup') END AS BIGINT) AS signup,
+           CAST(CASE k WHEN 'n_events' THEN COUNT(*) FILTER (WHERE event_type='view')
+                WHEN 'n_users' THEN COUNT(DISTINCT user_id) FILTER (WHERE event_type='view') END AS BIGINT) AS view
+    FROM events CROSS JOIN (SELECT unnest(['n_events', 'n_users']) AS k)
+    GROUP BY k
+    """,
+    description="DataFrame.transpose (Spark 4.0, the pivot dual): a "
+    "per-event-type metrics frame (rows = metrics, after transpose "
+    "columns = event types) flipped so each metric becomes one wide row "
+    "keyed by the first column. Column names come from the index "
+    "column's values — deterministic here because the metric frame is "
+    "ordered. Scale: transpose collects the (tiny, already-aggregated) "
+    "frame through the driver by design — apply it to rollup outputs, "
+    "never to fact tables (a13 pivot is the distributed form).",
+    tags=("A1", "U5"),
+)
+def a13b_transpose(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    metrics = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+    # transpose: index column = event_type; remaining numeric columns
+    # become rows keyed by their former column name
+    t = metrics.transpose(F.col("event_type"))
+    return t.withColumnRenamed("key", "k").select(
+        "k", *[F.col(c).cast("bigint").alias(c)
+               for c in ("click", "error", "purchase", "signup", "view")])
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sort / limit / top-k
 # ---------------------------------------------------------------------------
