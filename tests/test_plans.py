@@ -369,3 +369,27 @@ def test_sql26_pushdown_through_sql_udf(spark, sf_dir):
                   if "FileScan" in ln and "o_orderdate" in ln]
     assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in scan_lines), (
         "cutoff predicate not pushed into the orders scan")
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
+    """Filterless MIN/MAX/COUNT can resolve from parquet footer statistics
+    alone (v2 source + aggregatePushdown) — at 100 TB that's a metadata
+    read instead of a full scan. Runs in a newSession so the v2-source
+    conf doesn't leak into the shared session."""
+    import pyspark.sql.functions as F
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.sources.useV1SourceList", "")
+    ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    li = ns.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_shipdate").alias("mn"),
+                 F.max("l_shipdate").alias("mx"))
+    p = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in p or "PushedAggregation" in p
+    row = agg.collect()[0]
+    # cross-check against the default-session scan
+    base = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(F.count(F.lit(1)), F.min("l_shipdate"), F.max("l_shipdate"))
+            .collect()[0])
+    assert (row.n, row.mn, row.mx) == (base[0], base[1], base[2])
