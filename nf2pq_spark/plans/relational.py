@@ -650,6 +650,44 @@ def a5_percentiles(spark, sf_dir):
 
 
 @register(
+    "a5c_approx_percentile_gate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(median(l_extendedprice), 4) AS DOUBLE) AS med_exact,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE)
+             AS p90_exact,
+           TRUE AS med_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="approx-percentile gate (the a4c pattern for A5): "
+    "percentile_approx (KLL-style sketch, accuracy=10000 => rank error "
+    "<= 1e-4) is validated in-query against the exact interpolated "
+    "percentile — the output carries the exact values plus booleans "
+    "asserting the sketch landed within 1% relative, which the oracle "
+    "hash-gates. At 100 TB only the sketch path is feasible (exact "
+    "percentiles need a full sort per group); this query is the "
+    "standing proof its error bound holds on this data.",
+    tags=("A5", "A4"),
+)
+def a5c_approx_percentile_gate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_e"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_e"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("med_a"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_a"),
+    )
+    rel = lambda a, e: F.abs(a - e) / F.abs(e)
+    return agg.select(
+        "l_returnflag",
+        F.round("med_e", 4).alias("med_exact"),
+        F.round("p90_e", 4).alias("p90_exact"),
+        (rel(F.col("med_a"), F.col("med_e")) <= 0.01).alias("med_ok"),
+        (rel(F.col("p90_a"), F.col("p90_e")) <= 0.01).alias("p90_ok"),
+    )
+
+
+@register(
     "a6_stats_agg",
     oracle="""
     SELECT l_returnflag,
