@@ -124,3 +124,32 @@ def test_compact_parquet_reduces_files(spark, sf_dir):
             inner = [f for f in os.listdir(f"{base}/dstp/{d}") if f.endswith(".parquet")]
             assert len(inner) == 1
     assert outp.count() == evd.count()
+
+
+def test_two_phase_agg_property_vs_plain(spark):
+    """Random frames, random bucket counts: the salted partial/final
+    decomposition must be exactly the plain groupBy for every
+    decomposable aggregate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(st.integers(0, 5), st.integers(-1000, 1000))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=80),
+           st.integers(1, 32))
+    def run(rows, buckets):
+        df = spark.createDataFrame(rows, "k long, v long")
+        plain = {(r.k, r.n, r.s, r.mn, r.mx) for r in
+                 df.groupBy("k").agg(
+                     F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                     F.min("v").alias("mn"), F.max("v").alias("mx"))
+                 .collect()}
+        two = {(r.k, r.n, r.s, r.mn, r.mx) for r in
+               two_phase_agg(df, "k",
+                             [("v", "count", "n"), ("v", "sum", "s"),
+                              ("v", "min", "mn"), ("v", "max", "mx")],
+                             buckets=buckets).collect()}
+        assert two == plain
+
+    run()
