@@ -153,7 +153,7 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
-                         small_graph_edges: int = 2_000_000) -> DataFrame:
+                         small_graph_edges: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected edge list ``(u, v)`` →
     ``(n, component)`` where component is the minimum node id reachable.
 
@@ -165,13 +165,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     candidate-pair graph is orders of magnitude smaller than the corpus
     (docs with any near-dup partner, pairs already capped per bucket), so
     it very often fits on the driver even when the corpus never could.
-    Below ``small_graph_edges`` (default 2M edges ≈ 32 MB of longs) the
-    edge list — already materialized by the checkpoint — is collected and
-    solved with a sequential union-find in one pass, skipping every
-    iterative shuffle; the distributed loop below is the path past the
-    threshold (set ``small_graph_edges=0`` to force it; both paths are
-    property-tested equal). This mirrors how Spark itself treats
-    small-side joins: a size gate, not a hope.
+    Below ``small_graph_edges`` (default 1M edges) the edge list —
+    already materialized by the checkpoint — comes back as one Arrow
+    toPandas (compact numpy arrays, not Rows) and is solved with a
+    sequential union-find in one pass, skipping every iterative shuffle.
+    The real driver-side cost at the gate is the ``parent`` dict
+    (Python int objects, ~100 bytes/entry → ~200 MB at 2M nodes) and
+    the single-threaded loop (~1-2 s/M edges) — the 1M default keeps
+    both well under the distributed loop's floor of a few seconds. Past
+    the threshold the distributed loop below runs (set
+    ``small_graph_edges=0`` to force it; both paths are property-tested
+    equal). This mirrors how Spark itself treats small-side joins: a
+    size gate, not a hope.
 
     The distributed loop: each round combines
 
@@ -201,9 +206,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     ).localCheckpoint(eager=True)
 
     if small_graph_edges and sym.count() <= 2 * small_graph_edges:
-        # small-graph fast path: one collect of the (bounded) edge list,
-        # sequential union-find, result re-parallelized. The count() is
-        # free — sym is already checkpointed.
+        # small-graph fast path: one Arrow collect of the deduped edge
+        # list (sym filtered to u <= v — half the symmetrized rows;
+        # union-find is direction-invariant, and keeping u == v
+        # registers self-loop nodes), sequential union-find, result
+        # re-parallelized. The count() is free — sym is checkpointed.
+        import pandas as pd
+
+        pdf = sym.filter(F.col("u") <= F.col("v")).toPandas()
         parent: dict = {}
 
         def find(x):
@@ -215,13 +225,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                 parent[x], x = root, parent[x]
             return root
 
-        for u, v in sym.select("u", "v").toLocalIterator():
+        for u, v in zip(pdf["u"].to_numpy().tolist(),
+                        pdf["v"].to_numpy().tolist()):
             ru, rv = find(u), find(v)
             if ru != rv:
                 parent[max(ru, rv)] = min(ru, rv)
-        rows = [(n, find(n)) for n in parent]
+        out = pd.DataFrame({"n": list(parent),
+                            "component": [find(n) for n in parent]})
         return edges.sparkSession.createDataFrame(
-            rows, "n long, component long")
+            out.astype("int64"), "n long, component long")
 
     labels = (
         sym.select(F.col("u").alias("n")).distinct()
