@@ -760,6 +760,34 @@ def a14_string_agg(spark, sf_dir):
 
 
 @register(
+    "a14b_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+           string_agg(DISTINCT c_mktsegment, ','
+                      ORDER BY c_mktsegment) AS distinct_segs
+    FROM customer GROUP BY c_nationkey
+    """,
+    description="ANSI listagg (Spark 4.0 F.listagg / WITHIN GROUP "
+    "(ORDER BY ...)): per-nation ordered concatenation over ALL rows "
+    "plus the DISTINCT form — the standard ordered string aggregate, "
+    "executed by the engine's own ordered-agg path instead of the "
+    "collect_list+sort_array composition a14 uses (both graded; same "
+    "oracle builtin). Scale: one shuffle; per-group state is the "
+    "concatenation buffer — bounded here by segment cardinality.",
+    tags=("A8",),
+)
+def a14b_listagg(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("listagg(c_mktsegment, '|') WITHIN GROUP "
+               "(ORDER BY c_mktsegment)").alias("segs"),
+        F.expr("listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP "
+               "(ORDER BY c_mktsegment)").alias("distinct_segs"),
+    )
+
+
+@register(
     "a7_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
