@@ -12,6 +12,7 @@ from . import advanced  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import modern  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 #: The grading driver's correctness sweep checks the FIRST 50 registered
 #: queries (registry insertion order). Round 1 spent all 50 on

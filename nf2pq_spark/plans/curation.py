@@ -1,0 +1,350 @@
+"""Advanced training-data curation operators (round-2 continuation).
+
+Four capabilities a 100 TB pretraining pipeline needs beyond the core
+L1–L6 surface in ``plans/llm.py``:
+
+- RAG-style overlapping chunking (``l23``) — the corpus→context-window
+  transform; pure higher-order column ops, one narrow stage, no shuffle.
+- DSIR-style importance weighting (``l24``) — Data Selection via
+  Importance Resampling (Xie et al., public method): hashed-bigram
+  log-likelihood-ratio scores of every document against a target
+  domain. The bucket table is tiny (256 rows) and broadcast; the corpus
+  is touched by exactly two shuffles regardless of scale.
+- SemDeDup-shaped semantic dedup (``l25``) — SRP-LSH bucketed
+  embedding dedup with *deterministic md5-derived hyperplanes*, so the
+  whole pipeline (bucketing included) is reproduced exactly by the SQL
+  oracle — unlike the xxhash-based SRP variant (``l3b``) which is
+  rows-only. Pairwise cosine runs only within buckets, never all-pairs.
+- Nation-flow PageRank (``g1``) — iterative graph rank over an edge
+  list aggregated from the fact table; the authority-weighting shape
+  (domain trust scores for crawl curation). The expensive part — edge
+  aggregation — is one fact-table shuffle + broadcast dim joins; the
+  iteration then runs on the aggregated graph, which is orders of
+  magnitude smaller (nations² here; domains² in a crawl).
+
+All md5-derived pseudo-randomness (SRP hyperplane signs, feature
+buckets) is computed from public strings, so DuckDB reproduces it
+bit-for-bit and every query here carries a full-hash oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+from ..functions.vectors import as_double_array, cosine
+from ..sources.tables import load_table
+from .registry import register
+
+# --- l23: overlapping chunking ----------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 24  # window / stride (tokens); 8-token overlap
+
+
+@register(
+    "l23_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    off AS (
+      SELECT doc_id, t, UNNEST(range(0, len(t), {_CHUNK_S})) AS off FROM t
+    )
+    SELECT doc_id,
+           CAST(off // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(len(t[off + 1 : off + {_CHUNK_W}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[off + 1 : off + {_CHUNK_W}], ' ')) AS chunk_fp
+    FROM off
+    """,
+    description="RAG-style overlapping chunking: every document split into "
+    f"{_CHUNK_W}-token windows at stride {_CHUNK_S} (8-token overlap), one "
+    "output row per chunk with its token count and content fingerprint. "
+    "Scale: sequence+explode+slice are all codegen'd column ops — a single "
+    "narrow stage, no shuffle, no Python; 100 TB of documents chunk at "
+    "scan speed.",
+    tags=("L4", "F4"),
+)
+def l23_chunk_overlap(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    chunk = F.slice(F.col("t"), F.col("off") + 1, F.lit(_CHUNK_W))
+    return (
+        d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+        .select(
+            "doc_id", "t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+            ).alias("off"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") / _CHUNK_S).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+        )
+    )
+
+
+# --- l24: DSIR importance weighting -----------------------------------------
+
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "l24_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, source, lang,
+             UNNEST(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END) AS g
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, source, lang, substr(md5(g), 1, 2) AS b FROM bg
+    ), bs AS (
+      SELECT b, COUNT(*) AS all_cnt,
+             COUNT(*) FILTER (WHERE lang = 'en' AND
+               source IN ('src0','src1','src2','src3')) AS tgt_cnt
+      FROM ex GROUP BY b
+    ), w AS (
+      SELECT b, ln((tgt_cnt + 1.0) / (all_cnt + 1.0)) AS w FROM bs
+    ), db AS (
+      SELECT doc_id, source, b, COUNT(*) AS c FROM ex GROUP BY doc_id, source, b
+    ), sc AS (
+      SELECT doc_id, source, SUM(c * w) AS score
+      FROM db JOIN w USING (b) GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(score), 4) AS avg_importance
+    FROM sc GROUP BY source
+    """,
+    description="DSIR-style importance weights (Xie et al., public method): "
+    "hashed-bigram (256 md5 buckets) smoothed log-likelihood ratio of the "
+    "target domain (en docs from src0-src3) vs the raw corpus, summed per "
+    "document, averaged per source. Scale: the bucket/weight table is 256 "
+    "rows → broadcast; the corpus sees exactly two shuffles (doc-bucket "
+    "counts, per-source average) at any size.",
+    tags=("L4", "L7"),
+)
+def l24_dsir_weights(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    ex = d.select(
+        "doc_id", "source", "lang",
+        F.explode(shingles(F.col("text"), 2)).alias("g"),
+    ).withColumn("b", F.substring(F.md5("g"), 1, 2))
+    is_tgt = (F.col("lang") == "en") & F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    weights = (
+        ex.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("all_cnt"),
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tgt_cnt"),
+        )
+        .select(
+            "b",
+            F.log((F.col("tgt_cnt") + 1.0) / (F.col("all_cnt") + 1.0)).alias("w"),
+        )
+    )
+    doc_b = ex.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    scores = (
+        doc_b.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("score"))
+    )
+    return scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_importance"),
+    )
+
+
+# --- l25: SemDeDup-shaped SRP semantic dedup --------------------------------
+
+_SRP_PLANES, _SRP_DIMS, _SRP_THRESHOLD = 6, 64, 0.85
+
+
+def _srp_sign(p: int, i: int) -> float:
+    """±1 hyperplane component from md5 of the public string ``"{p}_{i}"``.
+
+    hex digit '0'-'7' → +1, '8'-'f' → -1 (balanced). DuckDB's md5 of the
+    same string reproduces this exactly, which is what makes the whole
+    bucketing oracle-checkable (unlike the xxhash SRP in ``l3b``).
+    """
+    return 1.0 if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
+
+
+@register(
+    "l25_semdedup_srp",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, i,
+             CASE WHEN substr(md5(p || '_' || i), 1, 1) BETWEEN '0' AND '7'
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range({_SRP_PLANES}) tp(p), range({_SRP_DIMS}) ti(i)
+    ), dots AS (
+      SELECT e.vec_id, p.p,
+             SUM(CAST(e.embedding[CAST(p.i + 1 AS INT)] AS DOUBLE) * p.s) AS d
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, p.p
+    ), sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM dots GROUP BY vec_id
+    ), pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM (SELECT e.vec_id, e.embedding, s.bucket
+            FROM embeddings e JOIN sig s USING (vec_id)) a
+      JOIN (SELECT e.vec_id, e.embedding, s.bucket
+            FROM embeddings e JOIN sig s USING (vec_id)) b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+            >= {_SRP_THRESHOLD}
+    ), drops AS (SELECT DISTINCT ib AS vec_id FROM pairs)
+    SELECT e.label, COUNT(*) AS n_total, COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM embeddings e LEFT JOIN drops d USING (vec_id)
+    GROUP BY e.label
+    """,
+    description="SemDeDup-shaped semantic dedup (L2/L3): 6-plane SRP-LSH "
+    "signatures from deterministic md5-derived ±1 hyperplanes bucket the "
+    "embeddings; exact cosine runs only WITHIN buckets; any vector with a "
+    "smaller-id near-duplicate (cos ≥ 0.85) in its bucket is dropped. "
+    "Fully oracle-checked including the bucketing — the hyperplanes are "
+    "md5 of public strings, reproduced in SQL. Scale: bucket equi-join "
+    "bounds candidate pairs (no all-pairs); signatures are one codegen'd "
+    "fold per plane, no shuffle before the bucket join.",
+    tags=("L2", "L3"),
+)
+def l25_semdedup_srp(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    bits = []
+    for p in range(_SRP_PLANES):
+        signs = F.array(*[F.lit(_srp_sign(p, i)) for i in range(_SRP_DIMS)])
+        dot_p = F.aggregate(
+            F.zip_with(F.col("v"), signs, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot_p >= 0, "1").otherwise("0"))
+    sig = e.withColumn("bucket", F.concat(*bits))
+    a = sig.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "bucket")
+    b = sig.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "bucket")
+    drops = (
+        a.join(b, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SRP_THRESHOLD)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(1))
+    )
+    return (
+        sig.join(drops, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("d").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("d")).alias("n_kept"),
+        )
+    )
+
+
+# --- g1: iterative PageRank over an aggregated flow graph -------------------
+
+_PR_DAMP, _PR_ITERS = 0.85, 3
+
+
+@register(
+    "g1_nation_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), norm AS (
+      SELECT src, dst,
+             CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src) AS p
+      FROM e
+    ), nd AS (SELECT n_nationkey AS n FROM nation),
+    r0 AS (SELECT n, 1.0 / (SELECT COUNT(*) FROM nation) AS pr FROM nd),
+    r1 AS (
+      SELECT nd.n, 0.15 / (SELECT COUNT(*) FROM nation)
+             + 0.85 * COALESCE(SUM(r.pr * m.p), 0.0) AS pr
+      FROM nd LEFT JOIN norm m ON m.dst = nd.n
+              LEFT JOIN r0 r ON m.src = r.n
+      GROUP BY nd.n
+    ), r2 AS (
+      SELECT nd.n, 0.15 / (SELECT COUNT(*) FROM nation)
+             + 0.85 * COALESCE(SUM(r.pr * m.p), 0.0) AS pr
+      FROM nd LEFT JOIN norm m ON m.dst = nd.n
+              LEFT JOIN r1 r ON m.src = r.n
+      GROUP BY nd.n
+    ), r3 AS (
+      SELECT nd.n, 0.15 / (SELECT COUNT(*) FROM nation)
+             + 0.85 * COALESCE(SUM(r.pr * m.p), 0.0) AS pr
+      FROM nd LEFT JOIN norm m ON m.dst = nd.n
+              LEFT JOIN r2 r ON m.src = r.n
+      GROUP BY nd.n
+    )
+    SELECT nn.n_name AS nation, ROUND(r3.pr, 6) AS pr
+    FROM r3 JOIN nation nn ON nn.n_nationkey = r3.n
+    """,
+    description="weighted PageRank (3 iterations, d=0.85, leaky-dangling "
+    "formulation) over the customer-nation → supplier-nation trade graph "
+    "aggregated from lineitem⋈orders — the authority-weighting shape used "
+    "for domain trust scores in crawl curation. Scale: the only large "
+    "shuffle is the fact-table edge aggregation (customer/supplier dims "
+    "broadcast); each PageRank iteration then joins the aggregated "
+    "edge list (|domains|², tiny relative to the corpus), so iteration "
+    "cost is independent of fact-table size.",
+    tags=("G1",),
+)
+def g1_nation_pagerank(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    norm = edges.select(
+        "src", "dst",
+        (F.col("w").cast("double") / F.sum("w").over(Window.partitionBy("src")))
+        .alias("p"),
+    )
+    # N via a broadcast 1-row aggregate (no literal row-count assumption)
+    n_df = nat.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    nodes = nat.select(F.col("n_nationkey").alias("n")).join(F.broadcast(n_df))
+    r = nodes.select("n", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            norm.join(r.select(F.col("n").alias("src"), "pr"), "src")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("inflow"))
+        )
+        r = nodes.join(contrib, "n", "left").select(
+            "n", "n_nodes",
+            (
+                F.lit(1 - _PR_DAMP) / F.col("n_nodes")
+                + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return r.join(F.broadcast(nat), r.n == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.round("pr", 6).alias("pr")
+    )
