@@ -1,0 +1,95 @@
+"""Plan-shape and property tests for the curation operators
+(plans/curation.py): chunking coverage, DSIR broadcast, SRP determinism,
+PageRank invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nf2pq_spark import plans
+from nf2pq_spark.plans.curation import (_CHUNK_S, _CHUNK_W, _PR_DAMP,
+                                        _SRP_DIMS, _SRP_PLANES, _srp_sign)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_l23_chunking_is_shuffle_free(spark, sf_dir):
+    p = _plan(spark, sf_dir, "l23_chunk_overlap")
+    assert "Exchange" not in p  # scan → explode → project, one narrow stage
+    assert "BatchEvalPython" not in p
+
+
+def test_l23_chunks_cover_every_token(spark, sf_dir):
+    """Stride < window ⇒ consecutive chunks overlap and the union of chunk
+    token-counts equals n + overlap·(n_chunks−1) exactly; every doc chunks."""
+    from nf2pq_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    chunks = plans.REGISTRY["l23_chunk_overlap"].fn(spark, sf_dir)
+    agg = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("tok_sum"),
+        F.max("chunk_idx").alias("max_idx"),
+    )
+    j = docs.join(agg, "doc_id", "left").collect()
+    overlap = _CHUNK_W - _CHUNK_S
+    for r in j:
+        assert r.n_chunks is not None, f"doc {r.doc_id} produced no chunks"
+        # chunk count matches the stride arithmetic
+        assert r.n_chunks == len(range(0, max(r.n, 1), _CHUNK_S))
+        assert r.max_idx == r.n_chunks - 1
+        # total tokens = n + overlap for every non-final chunk whose window
+        # fits, minus truncation of the tail windows — bounded sanity:
+        assert r.n <= r.tok_sum <= r.n + overlap * (r.n_chunks - 1)
+
+
+def test_l24_weight_table_is_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "l24_dsir_weights")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_srp_signs_balanced_and_deterministic():
+    signs = [[_srp_sign(p, i) for i in range(_SRP_DIMS)]
+             for p in range(_SRP_PLANES)]
+    flat = [s for row in signs for s in row]
+    assert set(flat) == {1.0, -1.0}
+    # md5 is fixed: pin a few values so an accidental seed change can't
+    # silently shift every bucket (oracle would shift identically — this
+    # pins the PUBLISHED hyperplanes, not just self-consistency)
+    assert _srp_sign(0, 0) == 1.0 and _srp_sign(3, 17) == -1.0
+    # roughly balanced per plane (binomial: |sum| < 32 with huge margin)
+    for row in signs:
+        assert abs(sum(row)) < 32
+
+
+def test_l25_semdedup_counts_consistent(spark, sf_dir):
+    rows = plans.REGISTRY["l25_semdedup_srp"].fn(spark, sf_dir).collect()
+    assert rows, "no labels"
+    for r in rows:
+        assert r.n_total == r.n_dropped + r.n_kept
+        assert r.n_dropped >= 0 and r.n_kept > 0
+
+
+def test_g1_pagerank_mass_and_floor(spark, sf_dir):
+    """Leaky formulation: every rank ≥ (1−d)/N and total mass ≤ 1."""
+    rows = plans.REGISTRY["g1_nation_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    floor = (1 - _PR_DAMP) / n - 1e-9
+    total = sum(r.pr for r in rows)
+    assert all(r.pr >= floor for r in rows)
+    assert total <= 1.0 + 1e-6
+    assert total >= (1 - _PR_DAMP) - 1e-6
+
+
+def test_g1_dims_broadcast_fact_single_shuffle_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "g1_nation_pagerank")
+    # customer + supplier joins to the fact side must be broadcast
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
