@@ -401,3 +401,28 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
             .agg(F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey"))
             .collect()[0])
     assert (row.n, row.mn, row.mx) == (base[0], base[1], base[2])
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Catalyst injects a bloom-filter runtime filter on the fact side of a
+    shuffle join whose other side is selectively filtered — at 100 TB this
+    prunes fact rows BEFORE the shuffle instead of after the join. The
+    size thresholds exist so small scans skip it; lower them here (in a
+    newSession, so nothing leaks) to pin the mechanism on fixture data."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+    li = ns.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = (ns.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter("o_orderpriority = '1-URGENT'"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .groupBy("o_orderpriority").count())
+    p = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in p and "bloom_filter_agg" in p, (
+        "runtime bloom filter not injected")
+    # and it's on the FACT side: the might_contain filter references the
+    # lineitem join key
+    assert any("might_contain" in ln and "l_orderkey" in ln
+               for ln in p.splitlines())
