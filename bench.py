@@ -49,8 +49,13 @@ def main() -> None:
         run_query(spark, name, sf_dir)  # warm-up: JIT, file listings, synth inputs
         # min-of-2 timed runs: one GC pause or compaction hiccup otherwise
         # lands in the recorded number
-        timings[name] = round(min(run_query(spark, name, sf_dir),
-                                  run_query(spark, name, sf_dir)), 3)
+        t1, t2 = run_query(spark, name, sf_dir), run_query(spark, name, sf_dir)
+        # adaptive third run: if the two disagree by >1.5x the machine was
+        # noisy (observed: a lingering JVM shutdown inflated one query 3x)
+        # — one more sample caps the damage without tripling the whole run
+        if max(t1, t2) > 1.5 * min(t1, t2):
+            t2 = min(t2, run_query(spark, name, sf_dir))
+        timings[name] = round(min(t1, t2), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
