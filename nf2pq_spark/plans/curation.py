@@ -323,11 +323,16 @@ def g1_nation_pagerank(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # materialize the aggregated edge list ONCE: it is referenced by every
+    # iteration, and without the cut each of the 3 contrib joins re-scans
+    # the fact tables from scratch (audited: 3x lineitem FileScan, zero
+    # ReusedExchange). The checkpointed frame is |nations|² rows — trivial
+    # — while the subtree it replaces is the whole fact aggregation.
     norm = edges.select(
         "src", "dst",
         (F.col("w").cast("double") / F.sum("w").over(Window.partitionBy("src")))
         .alias("p"),
-    )
+    ).localCheckpoint(eager=True)
     # N via a broadcast 1-row aggregate (no literal row-count assumption)
     n_df = nat.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     nodes = nat.select(F.col("n_nationkey").alias("n")).join(F.broadcast(n_df))

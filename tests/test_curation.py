@@ -88,8 +88,10 @@ def test_g1_pagerank_mass_and_floor(spark, sf_dir):
     assert total >= (1 - _PR_DAMP) - 1e-6
 
 
-def test_g1_dims_broadcast_fact_single_shuffle_agg(spark, sf_dir):
+def test_g1_iterations_never_rescan_the_fact_table(spark, sf_dir):
+    """The edge list is checkpointed after the one fact aggregation, so the
+    returned (iteration + output) plan must contain NO fact scans at all —
+    the property that keeps iteration cost independent of corpus size."""
     p = _plan(spark, sf_dir, "g1_nation_pagerank")
-    # customer + supplier joins to the fact side must be broadcast
-    assert p.count("BroadcastHashJoin") >= 2
+    assert "lineitem.parquet" not in p and "orders.parquet" not in p
     assert "CartesianProduct" not in p
