@@ -124,9 +124,10 @@ _DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
     description="DSIR-style importance weights (Xie et al., public method): "
     "hashed-bigram (256 md5 buckets) smoothed log-likelihood ratio of the "
     "target domain (en docs from src0-src3) vs the raw corpus, summed per "
-    "document, averaged per source. Scale: the bucket/weight table is 256 "
-    "rows → broadcast; the corpus sees exactly two shuffles (doc-bucket "
-    "counts, per-source average) at any size.",
+    "document, averaged per source. Scale: ONE corpus pass — the "
+    "materialized (doc,bucket) count table serves both the global bucket "
+    "stats and the per-doc scores; the 256-row weight table broadcasts "
+    "back onto it.",
     tags=("L4", "L7"),
 )
 def l24_dsir_weights(spark, sf_dir):
@@ -137,19 +138,30 @@ def l24_dsir_weights(spark, sf_dir):
         "doc_id", "source", "lang",
         F.explode(shingles(F.col("text"), 2)).alias("g"),
     ).withColumn("b", F.substring(F.md5("g"), 1, 2))
+    # ONE corpus pass: per-(doc, bucket) counts carry the target flag, so
+    # both the global bucket stats and the per-doc scores derive from this
+    # table. It is materialized (eager checkpoint) because it feeds two
+    # downstream plans — without the cut each would re-scan and re-shingle
+    # the corpus (audited: 2x documents FileScan, zero ReusedExchange).
+    # The table is ~|docs|·|distinct buckets per doc| rows of ids+counts —
+    # a small fraction of corpus bytes at any scale.
+    doc_b = (
+        ex.groupBy("doc_id", "source", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     is_tgt = (F.col("lang") == "en") & F.col("source").isin(*_DSIR_TARGET_SOURCES)
     weights = (
-        ex.groupBy("b")
+        doc_b.groupBy("b")
         .agg(
-            F.count(F.lit(1)).alias("all_cnt"),
-            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tgt_cnt"),
+            F.sum("c").alias("all_cnt"),
+            F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("tgt_cnt"),
         )
         .select(
             "b",
             F.log((F.col("tgt_cnt") + 1.0) / (F.col("all_cnt") + 1.0)).alias("w"),
         )
     )
-    doc_b = ex.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("c"))
     scores = (
         doc_b.join(F.broadcast(weights), "b")
         .groupBy("doc_id", "source")
