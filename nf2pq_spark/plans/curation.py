@@ -244,7 +244,12 @@ def l25_semdedup_srp(spark, sf_dir):
             F.lit(0.0), lambda acc, x: acc + x,
         )
         bits.append(F.when(dot_p >= 0, "1").otherwise("0"))
-    sig = e.withColumn("bucket", F.concat(*bits))
+    # materialize the signature table: it feeds the self-join (both sides)
+    # AND the final keep/drop accounting — unmaterialized, the embeddings
+    # scan + 6 signature folds ran three times (audited). Signatures add
+    # one small column to the embedding rows, so this is the "write the
+    # sketch once" pattern, not a corpus copy.
+    sig = e.withColumn("bucket", F.concat(*bits)).localCheckpoint(eager=True)
     a = sig.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "bucket")
     b = sig.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "bucket")
     drops = (

@@ -427,10 +427,14 @@ def l8_jaccard_pairs(spark, sf_dir):
 )
 def l7_tfidf_top_term(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = d.count()  # parquet count(*): footer metadata, no column read
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # one corpus pass: DF derives from the materialized TF table ((doc,term)
+    # rows are unique there, so df = row count per term) instead of a second
+    # explode over the corpus (audited: 2x documents scan, no reuse)
+    tf = (terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id", "term",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
