@@ -120,8 +120,10 @@ def asof_join_bucketed(
     4. join the carry-in back on (key, bucket) and coalesce with the
        in-bucket fill.
 
-    Two shuffles on (key, bucket) + one tiny summary shuffle — vs the
-    plain version's single shuffle; worth it exactly when the key is hot.
+    The full-width union shuffles ONCE on (key, bucket); the summary and
+    bucket-spine side plans shuffle only column-pruned (key, ts[, payload])
+    projections — vs the plain version's single shuffle; worth it exactly
+    when the key is hot.
     ``bucket`` is any Spark interval literal; pick it so a hot key's
     densest bucket fits one task (~100k-1M rows).
     """
@@ -157,17 +159,32 @@ def asof_join_bucketed(
     filled = unioned.select(
         "*", F.last(right_row, ignorenulls=True).over(in_bucket).alias("__fill"))
 
-    # per-(key, bucket) last right row: max_by over the same order the
-    # window used — (ts asc, side asc) means the largest (ts, side) wins
-    summary = (
-        filled.groupBy(on, "__b")
-        .agg(F.max_by("__fill", F.struct("__ts", "__side")).alias("__bucket_last"))
+    # per-(key, bucket) last right row. Derived from the RIGHT input alone
+    # (only right rows can ever fill) rather than from `filled`: `filled`
+    # is the full-width windowed union, and referencing it twice recomputed
+    # the whole scan+union+window subtree (audited: 4 source scans, no
+    # exchange reuse). The bucket spine — every (key, bucket) either side
+    # touches, needed so left-only buckets still receive carry-in — comes
+    # from two column-pruned (key, ts) scans; their shuffle payload is a
+    # deduped pair list, a sliver of the full-width exchange this avoids.
+    summary_r = (
+        right.select(F.col(on), F.col(right_ts).alias("__ts"), *payload)
+        .withColumn("__b", bucket_expr)
+        .groupBy(on, "__b")
+        .agg(F.max_by(F.struct(*[F.col(c) for c in payload]), F.col("__ts"))
+             .alias("__bucket_last"))
+    )
+    buckets = (
+        left.select(F.col(on), F.col(left_ts).alias("__ts"))
+        .unionByName(right.select(F.col(on), F.col(right_ts).alias("__ts")))
+        .withColumn("__b", bucket_expr)
+        .select(on, "__b").distinct()
     )
     across = (
         Window.partitionBy(on).orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = summary.select(
+    carry = buckets.join(summary_r, [on, "__b"], "left").select(
         on, "__b",
         F.last("__bucket_last", ignorenulls=True).over(across).alias("__carry"),
     )
