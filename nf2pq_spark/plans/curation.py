@@ -370,3 +370,62 @@ def g1_nation_pagerank(spark, sf_dir):
     return r.join(F.broadcast(nat), r.n == nat.n_nationkey).select(
         F.col("n_name").alias("nation"), F.round("pr", 6).alias("pr")
     )
+
+
+# --- g2: co-occurrence mining -----------------------------------------------
+
+_COOC_CAP = 10  # max distinct parts per order before pair blowup guard
+
+
+@register(
+    "g2_copurchase_pairs",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sized AS (
+      SELECT l_orderkey FROM p GROUP BY l_orderkey
+      HAVING COUNT(*) <= {_COOC_CAP}
+    ), pr AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM p a JOIN p b USING (l_orderkey) JOIN sized USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+    )
+    SELECT pa, pb, COUNT(*) AS n FROM pr GROUP BY pa, pb
+    ORDER BY n DESC, pa, pb LIMIT 20
+    """,
+    description="co-occurrence (market-basket) pair mining: top part pairs "
+    "bought in the same order. Spark side avoids the quadratic self-join: "
+    "one shuffle groups each order's distinct parts into a sorted array, "
+    "pairs are generated MAP-SIDE from the array (indexed transform over "
+    "tail slices), and a per-order size cap bounds the quadratic term — "
+    f"an order with more than {_COOC_CAP} distinct parts is excluded "
+    "(mirrored in the oracle), because one pathological 10k-line order "
+    "would otherwise emit 50M pairs into the count shuffle. Deterministic "
+    "top-20 via (count desc, pa, pb) total order.",
+    tags=("G2", "A8"),
+)
+def g2_copurchase_pairs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= _COOC_CAP)
+    )
+    # map-side pair generation: for element i, pair with every later
+    # element (array is sorted and distinct, so pa < pb by construction)
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pa"), F.asc("pb"))
+        .limit(20)
+    )

@@ -218,3 +218,65 @@ def etl3_compaction_roundtrip(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "etl4_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer
+    ), snap_old AS (
+      SELECT * FROM base WHERE k % 11 <> 0
+    ), snap_new AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
+      FROM base WHERE k % 13 <> 0
+    ), d AS (
+      SELECT COALESCE(o.k, n.k) AS k, o.bal AS ob, n.bal AS nb
+      FROM snap_old o FULL OUTER JOIN snap_new n ON o.k = n.k
+    )
+    SELECT CASE WHEN ob IS NULL THEN 'insert'
+                WHEN nb IS NULL THEN 'delete'
+                WHEN ob <> nb THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+    FROM d GROUP BY 1
+    """,
+    description="CDC-style snapshot diff: two deterministic snapshots of the "
+    "customer dimension (drop-every-11th vs drop-every-13th with balance "
+    "bumps on every 7th) full-outer joined on the key and classified into "
+    "insert/delete/update/unchanged — the change-capture shape a warehouse "
+    "loader emits between loads. Balances compared in exact integer cents "
+    "(helpers.cents convention), so classification is engine-exact. Scale: "
+    "one sort-merge shuffle per snapshot on the join key; classification "
+    "and the final aggregate are map-side-partial.",
+    tags=("ETL", "J2"),
+)
+def etl4_snapshot_diff(spark, sf_dir):
+    from .helpers import cents
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), cents("c_acctbal").alias("bal")
+    )
+    snap_old = base.filter(F.col("k") % 11 != 0).select("k", F.col("bal").alias("ob"))
+    snap_new = (
+        base.filter(F.col("k") % 13 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("bal") + 1000)
+            .otherwise(F.col("bal")).alias("nb"),
+        )
+    )
+    d = snap_old.join(snap_new, "k", "full_outer")
+    change = (
+        F.when(F.col("ob").isNull(), "insert")
+        .when(F.col("nb").isNull(), "delete")
+        .when(F.col("ob") != F.col("nb"), "update")
+        .otherwise("unchanged")
+    )
+    return d.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
