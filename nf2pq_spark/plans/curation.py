@@ -231,6 +231,7 @@ def _srp_sign(p: int, i: int) -> float:
     "bounds candidate pairs (no all-pairs); signatures are one codegen'd "
     "fold per plane, no shuffle before the bucket join.",
     tags=("L2", "L3"),
+    bench=True,
 )
 def l25_semdedup_srp(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -323,6 +324,7 @@ _PR_DAMP, _PR_ITERS = 0.85, 3
     "edge list (|domains|², tiny relative to the corpus), so iteration "
     "cost is independent of fact-table size.",
     tags=("G1",),
+    bench=True,
 )
 def g1_nation_pagerank(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
