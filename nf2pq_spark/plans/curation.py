@@ -431,3 +431,71 @@ def g2_copurchase_pairs(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("pa"), F.asc("pb"))
         .limit(20)
     )
+
+
+# --- l26: incremental dedup of a delta batch against the corpus catalog -----
+
+
+@register(
+    "l26_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, source, md5(lower(text)) AS fp
+      FROM documents WHERE doc_id % 5 = 0
+    ), catalog AS (
+      SELECT DISTINCT md5(lower(text)) AS fp
+      FROM documents WHERE doc_id % 5 <> 0
+    ), flagged AS (
+      SELECT b.doc_id, b.source,
+             (c.fp IS NOT NULL) AS in_cat,
+             ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+      FROM batch b LEFT JOIN catalog c ON b.fp = c.fp
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(COUNT(*) FILTER (WHERE in_cat) AS BIGINT) AS n_dup_catalog,
+           CAST(COUNT(*) FILTER (WHERE NOT in_cat AND rn > 1) AS BIGINT)
+               AS n_dup_batch,
+           CAST(COUNT(*) FILTER (WHERE NOT in_cat AND rn = 1) AS BIGINT)
+               AS n_kept
+    FROM flagged GROUP BY source
+    """,
+    description="incremental dedup (L1 delta shape): an incoming batch "
+    "(every 5th doc) deduped against the existing corpus's fingerprint "
+    "catalog AND within itself — the op a production pipeline runs per "
+    "ingest, instead of re-deduping the whole corpus. Classification: "
+    "dup-vs-catalog (left join hit), dup-within-batch (not first for its "
+    "fingerprint), kept. Scale: one fp-equi join of the small batch "
+    "against the catalog (runtime bloom filter prunes catalog-side "
+    "partitions; the batch side is the natural broadcast candidate) + one "
+    "window over batch-only rows.",
+    tags=("L1", "ETL"),
+)
+def l26_incremental_dedup(spark, sf_dir):
+    from ..functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    catalog = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_cat", F.lit(True))
+    )
+    flagged = batch.join(catalog, "fp", "left").select(
+        "doc_id", "source",
+        F.coalesce("in_cat", F.lit(False)).alias("in_cat"),
+        F.row_number()
+        .over(Window.partitionBy("fp").orderBy("doc_id")).alias("rn"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("in_cat"), 1).otherwise(0))
+        .cast("bigint").alias("n_dup_catalog"),
+        F.sum(F.when(~F.col("in_cat") & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("bigint").alias("n_dup_batch"),
+        F.sum(F.when(~F.col("in_cat") & (F.col("rn") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n_kept"),
+    )
