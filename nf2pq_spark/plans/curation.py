@@ -499,3 +499,122 @@ def l26_incremental_dedup(spark, sf_dir):
         F.sum(F.when(~F.col("in_cat") & (F.col("rn") == 1), 1).otherwise(0))
         .cast("bigint").alias("n_kept"),
     )
+
+
+# --- l27: lexicon sentiment scoring -----------------------------------------
+
+_POS_WORDS, _NEG_WORDS = ("fast", "small"), ("slow", "big")
+
+
+@register(
+    "l27_lexicon_sentiment",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('fast', 'small'))) AS p,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('slow', 'big'))) AS q,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(p) AS BIGINT) AS pos_hits,
+           CAST(SUM(q) AS BIGINT) AS neg_hits,
+           ROUND(AVG((p - q) / CAST(nt AS DOUBLE)), 6) AS avg_polarity
+    FROM s GROUP BY lang
+    """,
+    description="lexicon-based sentiment scoring (the classic distributed "
+    "Spark text-analytics shape, cf. EDBT'16 Twitter sentiment): per-doc "
+    "polarity = (positive-hits − negative-hits)/tokens from a broadcast-"
+    "free inline lexicon, aggregated per language. Pure higher-order "
+    "column ops — one shuffle, no Python. The fixture vocabulary "
+    "('fast/small' vs 'slow/big') stands in for a real sentiment lexicon; "
+    "swap the word lists for a production one.",
+    tags=("L4",),
+)
+def l27_lexicon_sentiment(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    p = F.size(F.filter(toks, lambda w: w.isin(*_POS_WORDS)))
+    q = F.size(F.filter(toks, lambda w: w.isin(*_NEG_WORDS)))
+    s = d.select(
+        "lang", p.alias("p"), q.alias("q"), F.size(toks).alias("nt")
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p").cast("bigint").alias("pos_hits"),
+        F.sum("q").cast("bigint").alias("neg_hits"),
+        F.round(F.avg((F.col("p") - F.col("q")) / F.col("nt").cast("double")), 6)
+        .alias("avg_polarity"),
+    )
+
+
+# --- ts1: time-series similarity search over user activity ------------------
+
+
+@register(
+    "ts1_series_similarity",
+    oracle="""
+    WITH dc AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), nd AS (SELECT COUNT(DISTINCT d) AS n FROM dc),
+    ref AS (SELECT d, c AS rc FROM dc WHERE user_id = 1),
+    ry AS (SELECT SUM(rc) AS sy, SUM(rc * rc) AS syy FROM ref),
+    ux AS (
+      SELECT u.user_id, SUM(u.c) AS sx, SUM(u.c * u.c) AS sxx,
+             SUM(u.c * COALESCE(r.rc, 0)) AS sxy
+      FROM dc u LEFT JOIN ref r USING (d)
+      WHERE u.user_id <> 1 GROUP BY u.user_id
+    )
+    SELECT user_id,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_ref
+    FROM ux, nd, ry
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY corr_ref DESC, user_id LIMIT 10
+    """,
+    description="time-series similarity search (EDBT'19 shape): top-10 "
+    "users whose daily activity series correlates most with a reference "
+    "user's, missing days as zeros. Pearson correlation decomposes into "
+    "exact integer sums (sum, sum-of-squares, cross-product vs the "
+    "broadcast reference series), so the float appears only in the final "
+    "expression — engine-exact from identical longs. Scale: one (user,day) "
+    "count shuffle, reference series broadcast, per-user sums, TakeOrdered "
+    "top-10; zero-variance series excluded before the division.",
+    tags=("TS", "W5"),
+)
+def ts1_series_similarity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    dc = ev.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("c"))
+    nd = dc.agg(F.countDistinct("d").alias("n"))
+    ref = dc.filter(F.col("user_id") == 1).select("d", F.col("c").alias("rc"))
+    ry = ref.agg(F.sum("rc").alias("sy"),
+                 F.sum(F.col("rc") * F.col("rc")).alias("syy"))
+    ux = (
+        dc.filter(F.col("user_id") != 1)
+        .join(F.broadcast(ref), "d", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+            F.sum(F.col("c") * F.coalesce("rc", F.lit(0))).alias("sxy"),
+        )
+    )
+    j = ux.join(F.broadcast(nd)).join(F.broadcast(ry))
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double")))
+    )
+    return (
+        j.filter((var_x > 0) & (var_y > 0))
+        .select("user_id", F.round(corr, 6).alias("corr_ref"))
+        .orderBy(F.desc("corr_ref"), F.asc("user_id"))
+        .limit(10)
+    )
