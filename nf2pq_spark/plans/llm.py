@@ -338,7 +338,7 @@ def l3d_ivf_topk(spark, sf_dir):
                 AS DOUBLE) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) > 0.8
+                                 CAST(b.embedding AS DOUBLE[])) > 0.35
     """,
     description="embedding-cosine near-duplicate pairs above threshold (L2/"
     "L3). Scale path is the SRP-LSH bucketing in operators.similarity; this "
@@ -354,7 +354,10 @@ def l3c_cosine_neardup(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("__cos") > 0.8)
+        # 0.35: the fixture's random 64-dim vectors peak at cos ~0.51, so
+        # the conventional 0.8 bar returned zero pairs at every sf — a
+        # vacuous empty-vs-empty oracle match (~0.1% of pairs pass 0.35)
+        .filter(F.col("__cos") > 0.35)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cos_sim"))
     )
 

@@ -1330,7 +1330,7 @@ def u3_intersect(spark, sf_dir):
     oracle="""
     SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 3 = 0
     INTERSECT ALL
-    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 2 = 0
+    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 4 = 0
     """,
     description="intersect preserving multiplicity (U3): min(count_a, "
     "count_b) copies per value survive",
@@ -1350,18 +1350,21 @@ def u3b_intersect_all(spark, sf_dir):
     oracle="""
     SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 3 = 0
     EXCEPT ALL
-    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 2 = 0
+    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 4 = 0
     """,
     description="bag difference preserving multiplicity (U4): "
-    "max(count_a - count_b, 0) copies per value survive",
+    "max(count_a - count_b, 0) copies per value survive (sides sized so "
+    "the difference is non-empty at every scale factor)",
     tags=("U4",),
 )
 def u4b_except_all(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_orderkey") % 3 == 0).select(
         F.col("l_suppkey").alias("k"), F.col("l_linestatus").alias("st"))
-    b = li.filter(F.col("l_orderkey") % 2 == 0).select(
+    b = li.filter(F.col("l_orderkey") % 4 == 0).select(
         F.col("l_suppkey").alias("k"), F.col("l_linestatus").alias("st"))
+    # %4 on the subtracted side (not %2): the larger %2 bag swallowed every
+    # multiplicity at sf0.01, leaving a vacuous empty-vs-empty oracle match
     return a.exceptAll(b)
 
 

@@ -83,6 +83,10 @@ ROWS_ONLY_SPECS = [s for s in plans.REGISTRY.values() if not s.oracle]
 def test_oracle_match(spec, spark, duck, sf_dir):
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(spec.oracle).fetchdf()
+    # an empty result hash-matches an empty result no matter how wrong the
+    # query is — a vacuous pass (audit found three: thresholds unreachable
+    # at this sf). Every graded query must exercise its operator.
+    assert len(duck_pdf) > 0, f"{spec.name}: oracle returns 0 rows — vacuous"
     assert_frames_match(spark_pdf, duck_pdf, spec.name)
 
 
