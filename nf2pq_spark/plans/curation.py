@@ -1,7 +1,7 @@
 """Advanced training-data curation operators (round-2 continuation).
 
-Four capabilities a 100 TB pretraining pipeline needs beyond the core
-L1–L6 surface in ``plans/llm.py``:
+Capabilities a 100 TB pretraining pipeline needs beyond the core
+L1–L6 surface in ``plans/llm.py`` (inventory: SURVEY.md §2.10b):
 
 - RAG-style overlapping chunking (``l23``) — the corpus→context-window
   transform; pure higher-order column ops, one narrow stage, no shuffle.
@@ -21,6 +21,12 @@ L1–L6 surface in ``plans/llm.py``:
   aggregation — is one fact-table shuffle + broadcast dim joins; the
   iteration then runs on the aggregated graph, which is orders of
   magnitude smaller (nations² here; domains² in a crawl).
+
+Later additions in the same vein: market-basket co-occurrence mining
+(``g2``, map-side pair generation with a quadratic-blowup cap),
+incremental dedup of an ingest batch against the corpus fingerprint
+catalog (``l26``), lexicon sentiment scoring (``l27``), and time-series
+similarity search via exact-integer Pearson decomposition (``ts1``).
 
 All md5-derived pseudo-randomness (SRP hyperplane signs, feature
 buckets) is computed from public strings, so DuckDB reproduces it
