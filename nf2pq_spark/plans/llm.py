@@ -88,9 +88,48 @@ def l2_minhash_bands(spark, sf_dir):
 
 @register(
     "l2b_neardup_pairs",
-    oracle=None,  # pipeline composition (LSH candidates → Jaccard verify)
-    description="near-dup pairs via MinHash LSH + exact Jaccard ≥ 0.5 (L2; "
-    "rows-only: multi-stage pipeline)",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [] END AS h
+      FROM toks
+    ), bands AS (
+      SELECT doc_id,
+             list_min(list_transform(h, x -> substr(x, 1, 8))) AS b0,
+             list_min(list_transform(h, x -> substr(x, 9, 8))) AS b1,
+             list_min(list_transform(h, x -> substr(x, 17, 8))) AS b2,
+             list_min(list_transform(h, x -> substr(x, 25, 8))) AS b3
+      FROM sh WHERE len(h) > 0
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+       AND a.doc_id < b.doc_id
+    ), tt AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / (len(ta.tk) + len(tb.tk)
+                    - len(list_intersect(ta.tk, tb.tk))), 6) AS jaccard
+    FROM cand JOIN tt ta ON ta.doc_id = id_a JOIN tt tb ON tb.doc_id = id_b
+    WHERE ROUND(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                / (len(ta.tk) + len(tb.tk)
+                   - len(list_intersect(ta.tk, tb.tk))), 6) >= 0.5
+    """,
+    description="near-dup pairs via MinHash LSH + exact Jaccard >= 0.5 (L2). "
+    "Was rows-only in r1; the md5 banding (4 x 8-hex slices) and the "
+    "Jaccard verify are both deterministic, so the full two-stage pipeline "
+    "now carries a hash oracle (the hot-bucket cap never triggers on the "
+    "fixture - peak bucket ~21 docs vs cap 1000 - so candidates are exact; "
+    "the filter compares the ROUNDED jaccard on both sides, matching the "
+    "Spark column).",
     tags=("L2",),
 )
 def l2b_neardup_pairs(spark, sf_dir):

@@ -9,6 +9,7 @@ canonical sorting, so anything passing here should hash-match.
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 import pytest
@@ -83,11 +84,33 @@ ROWS_ONLY_SPECS = [s for s in plans.REGISTRY.values() if not s.oracle]
 def test_oracle_match(spec, spark, duck, sf_dir):
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(spec.oracle).fetchdf()
-    # an empty result hash-matches an empty result no matter how wrong the
-    # query is — a vacuous pass (audit found three: thresholds unreachable
-    # at this sf). Every graded query must exercise its operator.
-    assert len(duck_pdf) > 0, f"{spec.name}: oracle returns 0 rows — vacuous"
     assert_frames_match(spark_pdf, duck_pdf, spec.name)
+
+
+def test_no_vacuous_oracles_at_graded_sf():
+    """An empty result hash-matches an empty result no matter how wrong the
+    query is — a vacuous pass (audit found three: thresholds unreachable on
+    the fixtures). Every oracle must return rows at the GRADED scale factor
+    (sf0.01 — the driver's gate), which is larger than this suite's default
+    sf0.001, where a few selective queries (e.g. sql6) are legitimately
+    empty. DuckDB-only, so the sweep over all oracles stays cheap."""
+    import duckdb
+
+    graded = "/root/testdata/sf0.01"
+    if not os.path.isdir(graded):
+        pytest.skip("graded-sf fixtures not present")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{graded}/{t}.parquet')"
+        )
+    empty = []
+    for spec in ORACLE_SPECS:
+        n = con.execute(f"SELECT COUNT(*) FROM ({spec.oracle})").fetchone()[0]
+        if n == 0:
+            empty.append(spec.name)
+    assert not empty, f"vacuous (0-row) oracles at graded sf: {empty}"
 
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
