@@ -629,6 +629,43 @@ def a4c_approx_distinct_gate(spark, sf_dir):
 
 
 @register(
+    "a4d_hll_merge_rollup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS INT) AS merge_ok
+    FROM events GROUP BY event_type
+    """,
+    description="A4's SCALE pattern under the hash gate: per-(day, type) "
+    "HLL sketches built first, then MERGED across days (hll_union_agg) — "
+    "the two-level rollup that lets 100 TB pipelines persist mergeable "
+    "binary sketches next to their rollups and answer distinct-count "
+    "queries without revisiting raw data. The merged estimate is gated "
+    "in-query against the exact distinct count (within 10%; the exact "
+    "branch exists only for the gate), so the driver's hash verifies the "
+    "union path end-to-end even though sketch bytes are engine-specific.",
+    tags=("A4", "T1"),
+)
+def a4d_hll_merge_rollup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type", "exact_users",
+        F.when(
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users"), 1
+        ).otherwise(0).cast("int").alias("merge_ok"),
+    )
+
+
+@register(
     "a5_percentiles",
     oracle="""
     SELECT l_returnflag,
