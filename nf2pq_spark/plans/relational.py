@@ -1367,7 +1367,7 @@ def u3_intersect(spark, sf_dir):
     oracle="""
     SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 3 = 0
     INTERSECT ALL
-    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 4 = 0
+    SELECT l_suppkey AS k, l_linestatus AS st FROM lineitem WHERE l_orderkey % 2 = 0
     """,
     description="intersect preserving multiplicity (U3): min(count_a, "
     "count_b) copies per value survive",
