@@ -1492,8 +1492,14 @@ def sql24_important_inventory(spark, sf_dir):
            .groupBy("l_partkey")
            .agg(F.sum(cents("l_extendedprice")
                       * cents("l_quantity")).alias("value_c")))
-    total = F.sum("value_c").over(Window.partitionBy())
-    return (val.withColumn("total_c", total)
+    # global total as a broadcast scalar, NOT Window.partitionBy(): the
+    # unpartitioned window funnels every per-partkey row through ONE task
+    # (WindowExec warns exactly this) — a real serialization point when
+    # partkeys number in the hundreds of millions. The cents sums are
+    # exact longs, so the agg total is order-independent and bit-identical
+    # to the windowed form.
+    total = val.agg(F.sum("value_c").alias("total_c"))
+    return (val.join(F.broadcast(total))
             .filter(F.col("value_c").cast("double")
                     > 0.001 * F.col("total_c").cast("double"))
             .select("l_partkey",

@@ -1483,6 +1483,11 @@ def w6_ratio_to_report(spark, sf_dir):
         .agg((F.sum(cents("o_totalprice")).cast("double") / 100.0)
              .alias("revenue"))
     )
+    # unpartitioned window is deliberate here: its input is the per-NATION
+    # aggregate (bounded at |nations| rows at any corpus size), so the
+    # single-partition WindowExec holds 25 rows — not a scale hazard.
+    # (Contrast sql24, where the same shape over per-partkey rows was a
+    # real serialization point and uses a broadcast scalar instead.)
     w = Window.partitionBy()
     return nat_rev.select(
         "c_nationkey", "revenue",
