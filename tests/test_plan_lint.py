@@ -22,6 +22,24 @@ _SKIP_PREFIXES = ("st", "s6", "s5", "s4", "mm2")
 #: intentional cartesian (J9 is the cross-join operator itself)
 _CARTESIAN_OK = {"j9_cross_join"}
 
+#: unpartitioned (global) windows funnel their whole input through ONE
+#: task — allowed only where the window input is a bounded-domain
+#: aggregate (w6: per-nation rows). Everything else must use a broadcast
+#: scalar total instead (see sql24's rework).
+_GLOBAL_WINDOW_OK = {"w6_ratio_to_report"}
+
+
+def _has_unpartitioned_window(plan: str) -> bool:
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0].strip()
+        # partition columns precede ordering specs; a leading ASC/DESC or
+        # frame spec means the partition list is empty
+        if " ASC" in first or " DESC" in first                 or first.startswith("specifiedwindowframe"):
+            return True
+    return False
+
 _BATCH_SPECS = [
     s for s in plans.REGISTRY.values()
     if not s.name.startswith(_SKIP_PREFIXES)
@@ -37,6 +55,11 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, spec):
     assert "BatchEvalPython" not in plan, (
         f"{spec.name}: row-at-a-time Python UDF in plan"
     )
+    if spec.name not in _GLOBAL_WINDOW_OK:
+        assert not _has_unpartitioned_window(plan), (
+            f"{spec.name}: unpartitioned window — single-task funnel; use a"
+            " broadcast scalar aggregate unless the input is bounded"
+        )
 
 
 def test_no_driver_materialization_in_graded_fns():
