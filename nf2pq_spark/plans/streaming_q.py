@@ -546,3 +546,36 @@ def st10_watermark_drop(spark, sf_dir):
     _, name = run_available_now(agg, output_mode="append")
     return spark.table(name).select(
         F.col("window.start").alias("bucket"), "n")
+
+
+@register(
+    "st14_stream_antijoin_dedup",
+    oracle="""
+    WITH seen AS (SELECT event_id FROM events WHERE event_id % 7 = 0)
+    SELECT event_type, COUNT(*) AS n_new,
+           CAST(MIN(event_id) AS BIGINT) AS min_new_id
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.event_id = e.event_id)
+    GROUP BY event_type
+    """,
+    description="stream-static LEFT ANTI join (T7 family): the STREAMING "
+    "half of incremental ingest dedup (batch twin: l26) — arriving events "
+    "whose id already exists in the static already-ingested catalog are "
+    "dropped in-flight, survivors aggregate per type. The static side "
+    "behaves like any dim table: at scale it broadcast- or shuffle-joins "
+    "per micro-batch with no streaming state for the anti side.",
+    tags=("T7", "J4"),
+)
+def st14_stream_antijoin_dedup(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    seen = (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 7 == 0)
+            .select(F.col("event_id").alias("seen_id")))
+    fresh = stream.join(
+        seen, stream.event_id == seen.seen_id, "left_anti")
+    agg = fresh.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("event_id").cast("bigint").alias("min_new_id"),
+    )
+    _, name = run_available_now(agg, output_mode="complete")
+    return spark.table(name)
