@@ -300,3 +300,67 @@ def l20_quality_weighted_sample(spark, sf_dir):
         F.min(F.when(kept, F.col("doc_id"))).cast("bigint")
          .alias("first_kept"),
     )
+
+
+@register(
+    "dq4_order_reconciliation",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                 * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT))) AS amt_s
+      FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT o.o_orderstatus,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) * 10000
+                 AS total_s,
+             l.amt_s
+      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE amt_s IS NULL) AS BIGINT)
+               AS n_no_lines,
+           CAST(COUNT(*) FILTER (WHERE amt_s IS NOT NULL
+                AND ABS(total_s - amt_s) * 100 > total_s) AS BIGINT)
+               AS n_mismatch,
+           CAST(MAX(CASE WHEN amt_s IS NOT NULL
+                    THEN ABS(total_s - amt_s) END) AS DOUBLE) / 1000000.0
+               AS max_delta_dollars
+    FROM j GROUP BY o_orderstatus
+    """,
+    description="cross-table financial reconciliation (the double-entry "
+    "audit a warehouse runs per load): order headers vs the sum of their "
+    "line amounts (price x (1-disc) x (1+tax)), classified per status into "
+    "no-lines / mismatched-beyond-1%. All arithmetic in exact scaled "
+    "integers (cents x 100 x 100), so classification and the max delta "
+    "are engine-exact with no float tolerance anywhere. Scale: one "
+    "lineitem shuffle on orderkey + one header join on the same key.",
+    tags=("DQ", "J2"),
+)
+def dq4_order_reconciliation(spark, sf_dir):
+    from .helpers import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (cents("o_totalprice") * 10000).alias("total_s"),
+    )
+    l_amt = li.groupBy("l_orderkey").agg(
+        F.sum(
+            cents("l_extendedprice")
+            * (100 - cents("l_discount", 100))
+            * (100 + cents("l_tax", 100))
+        ).alias("amt_s")
+    )
+    j = o.join(l_amt, o.o_orderkey == l_amt.l_orderkey, "left")
+    has = F.col("amt_s").isNotNull()
+    delta = F.abs(F.col("total_s") - F.col("amt_s"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("bigint").alias("n_no_lines"),
+        F.sum(F.when(has & (delta * 100 > F.col("total_s")), 1).otherwise(0))
+        .cast("bigint").alias("n_mismatch"),
+        (F.max(F.when(has, delta)).cast("double") / 1000000.0)
+        .alias("max_delta_dollars"),
+    )
