@@ -31,7 +31,11 @@ from . import curation  # noqa: E402,F401
 CURATED_PREFIX: tuple[str, ...] = (
     "q1_pricing_summary",    # flagship (entry())
     "a8_collect",            # r1's one hard FAIL, now string-serialized
-    "f1_strings", "f2_dates", "f3_math", "f4_arrays", "m1_map_functions",
+    # f3_math ceded its slot to the r2-continuation curation surface
+    # (g1 PageRank — iterative checkpointed graph op, the newest family);
+    # the F battery keeps seven other prefix slots (f1/f2/f4/m1/f6/f7/f8)
+    "f1_strings", "f2_dates", "g1_nation_pagerank", "f4_arrays",
+    "m1_map_functions",
     "f6_json", "f7_flownet", "f8_hash",
     "j15_lpm_enrich", "j8_asof_join",
     "t1_tumbling_hour", "t2_sliding_window", "t3_session_window",
