@@ -95,3 +95,25 @@ def test_g1_iterations_never_rescan_the_fact_table(spark, sf_dir):
     p = _plan(spark, sf_dir, "g1_nation_pagerank")
     assert "lineitem.parquet" not in p and "orders.parquet" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ts1_correlation_matches_numpy(spark, sf_dir):
+    """Independent implementation check: recompute the Pearson correlation
+    for every returned user with numpy over the dense daily-count matrix
+    (missing days as zeros) and match the query's rounded values."""
+    import numpy as np
+
+    from nf2pq_spark.sources.tables import load_table
+
+    rows = plans.REGISTRY["ts1_series_similarity"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = (load_table(spark, sf_dir, "events")
+          .selectExpr("user_id", "to_date(ts) AS d").toPandas())
+    days = sorted(ev["d"].unique())
+    def series(uid):
+        cnt = ev[ev.user_id == uid].groupby("d").size()
+        return np.array([cnt.get(d, 0) for d in days], dtype=float)
+    ref = series(1)
+    for r in rows:
+        got = np.corrcoef(series(r.user_id), ref)[0, 1]
+        assert abs(round(float(got), 6) - r.corr_ref) <= 1e-6, r.user_id
