@@ -1493,3 +1493,57 @@ def w6_ratio_to_report(spark, sf_dir):
         "c_nationkey", "revenue",
         (F.col("revenue") / F.sum("revenue").over(w)).alias("revenue_share"),
     )
+
+
+@register(
+    "a7d_share_of_parent",
+    oracle="""
+    WITH nr AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), tot AS (SELECT SUM(rev_c) AS tot_c FROM nr)
+    SELECT region, nation,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_c AS DOUBLE)
+             / CAST(SUM(rev_c) OVER (PARTITION BY region) AS DOUBLE)
+               AS share_of_region,
+           CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS share_of_total
+    FROM nr, tot
+    """,
+    description="hierarchical share-of-parent analytic (A7 cousin): each "
+    "nation's revenue as a fraction of its region and of the whole — the "
+    "drill-down ratio every BI rollup needs. Ratios divide exact "
+    "integer-cents longs, so no rounding is required anywhere. Scale: one "
+    "fact shuffle to the (region, nation) aggregate; the region window "
+    "partitions over the bounded region domain, and the grand total is a "
+    "broadcast scalar (NOT an unpartitioned window — lint-enforced).",
+    tags=("A7", "W3"),
+)
+def a7d_share_of_parent(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    )
+    tot = nr.agg(F.sum("rev_c").alias("tot_c"))
+    w = Window.partitionBy("region")
+    return nr.join(F.broadcast(tot)).select(
+        "region", "nation",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.col("rev_c").cast("double") / F.sum("rev_c").over(w).cast("double"))
+        .alias("share_of_region"),
+        (F.col("rev_c").cast("double") / F.col("tot_c").cast("double"))
+        .alias("share_of_total"),
+    )
