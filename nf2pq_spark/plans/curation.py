@@ -624,3 +624,58 @@ def ts1_series_similarity(spark, sf_dir):
         .orderBy(F.desc("corr_ref"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# --- mm3: audio-style frame energy over vector windows ----------------------
+
+_FRAME_W, _FRAME_HOP = 16, 8
+
+
+@register(
+    "mm3_frame_energy",
+    oracle=f"""
+    WITH off AS (
+      SELECT vec_id, label, embedding,
+             UNNEST(range(0, {_SRP_DIMS}, {_FRAME_HOP})) AS o
+      FROM embeddings
+    ), fr AS (
+      SELECT vec_id, label, CAST(o // {_FRAME_HOP} AS BIGINT) AS frame_idx,
+             list_transform(embedding[o + 1 : o + {_FRAME_W}],
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sq
+      FROM off
+    )
+    SELECT vec_id, frame_idx,
+           CAST(len(sq) AS BIGINT) AS n_samples,
+           ROUND(list_reduce(sq, (a, b) -> a + b), 6) AS energy
+    FROM fr
+    """,
+    description="audio-style frame analysis over the vector column (L5 "
+    f"shape): {_FRAME_W}-sample frames at hop {_FRAME_HOP} with per-frame "
+    "energy (sum of squares, left-to-right fold — bit-identical to the "
+    "oracle's list_reduce since 0+x1² = x1²). The framing math every "
+    "waveform feature extractor needs, as pure codegen'd column ops: "
+    "sequence+explode+slice+fold, no shuffle, no Python — the real audio "
+    "decode stays behind the multimodal mapInPandas plumbing (mm1/mm2).",
+    tags=("L5", "F4"),
+)
+def mm3_frame_energy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    frame = F.slice(F.col("v"), F.col("o") + 1, F.lit(_FRAME_W))
+    energy = F.aggregate(frame, F.lit(0.0), lambda acc, x: acc + x * x)
+    return (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_SRP_DIMS - 1), F.lit(_FRAME_HOP))
+            ).alias("o"),
+            "v",
+        )
+        .select(
+            "vec_id",
+            (F.col("o") / _FRAME_HOP).cast("long").alias("frame_idx"),
+            F.size(frame).cast("long").alias("n_samples"),
+            F.round(energy, 6).alias("energy"),
+        )
+    )
