@@ -154,6 +154,53 @@ def l2c_simhash(spark, sf_dir):
 
 
 @register(
+    "l2f_simhash_gate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_query_docs,
+           CAST(1 AS INT) AS precision_ok, CAST(1 AS INT) AS recall_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    description="SimHash under the HARD hash gate (companion to rows-only "
+    "l2c, same pattern as a4c/l3e/l3f): among doc pairs with simhash "
+    "hamming distance <= 12, the fraction with exact token Jaccard >= 0.4 "
+    "(precision) and the fraction of true near-dups the hamming cutoff "
+    "finds (recall) are computed in-query and flagged >= 0.9 / >= 0.25 — "
+    "measured precision ~0.995 and recall 0.44-0.50 across all three "
+    "fixture scales (base dup rate 0.84, so precision shows real lift). "
+    "xxhash64 is deterministic in Spark, so the flags are stable and a "
+    "broken bit-vote fails the driver's hash. Query side bounded to 50 "
+    "docs so the verify pair set stays linear in corpus size.",
+    tags=("L2",),
+)
+def l2f_simhash_gate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = simhash64(d)
+    a = sig.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("ia"), F.col("simhash").alias("ha"),
+        F.array_distinct(F.split("text", " ")).alias("ta"))
+    b = sig.select(
+        F.col("doc_id").alias("ib"), F.col("simhash").alias("hb"),
+        F.array_distinct(F.split("text", " ")).alias("tb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    jac = (F.size(F.array_intersect("ta", "tb")).cast("double")
+           / F.size(F.array_union("ta", "tb")))
+    st = pairs.select(ham.alias("h"), jac.alias("j")).agg(
+        F.count_if(F.col("h") <= 12).alias("__close"),
+        F.count_if((F.col("h") <= 12) & (F.col("j") >= 0.4)).alias("__cd"),
+        F.count_if(F.col("j") >= 0.4).alias("__dup"),
+    )
+    n_q = d.filter(F.col("doc_id") < 50).count()
+    return st.select(
+        F.lit(n_q).cast("bigint").alias("n_query_docs"),
+        F.when(F.col("__cd") >= 0.9 * F.col("__close"), 1)
+        .otherwise(0).cast("int").alias("precision_ok"),
+        F.when(F.col("__cd") >= 0.25 * F.col("__dup"), 1)
+        .otherwise(0).cast("int").alias("recall_ok"),
+    )
+
+
+@register(
     "l2d_neardup_components",
     oracle="""
     WITH RECURSIVE toks AS (
