@@ -679,3 +679,61 @@ def mm3_frame_energy(spark, sf_dir):
             F.round(energy, 6).alias("energy"),
         )
     )
+
+
+# --- l28: source distribution drift (KL divergence) -------------------------
+
+
+@register(
+    "l28_source_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), b AS (
+      SELECT source, substr(md5(w), 1, 2) AS bk FROM tok
+    ), sb AS (
+      SELECT source, bk, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), st AS (SELECT source, SUM(c) AS n FROM sb GROUP BY 1),
+    gb AS (SELECT bk, SUM(c) AS g FROM sb GROUP BY 1),
+    gt AS (SELECT SUM(c) AS m FROM sb)
+    SELECT sb.source, CAST(MAX(st.n) AS BIGINT) AS n_tokens,
+           ROUND(SUM(((sb.c + 1.0) / (st.n + 256.0))
+                     * ln(((sb.c + 1.0) / (st.n + 256.0))
+                          / ((gb.g + 1.0) / (gt.m + 256.0)))), 5) AS kl_drift
+    FROM sb JOIN st USING (source) JOIN gb USING (bk), gt
+    GROUP BY sb.source
+    """,
+    description="corpus drift monitor (the distribution-shift check a "
+    "training pipeline runs per source/ingest): add-1-smoothed KL "
+    "divergence of each source's hashed-token distribution (256 md5 "
+    "buckets) from the global corpus distribution. Buckets a source never "
+    "emits contribute nothing to the sum (their smoothed p is a constant "
+    "factored out by the shared bucket join on observed rows only — "
+    "mirrored exactly in the oracle). Scale: one corpus tokenize pass to "
+    "(source,bucket) counts; everything after runs on |sources| x 256 "
+    "rows; the global bucket table broadcasts.",
+    tags=("L4", "DQ"),
+)
+def l28_source_drift(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    sb = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .select("source", F.substring(F.md5("w"), 1, 2).alias("bk"))
+        .groupBy("source", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = sb.groupBy("source").agg(F.sum("c").alias("n"))
+    gb = sb.groupBy("bk").agg(F.sum("c").alias("g"))
+    gt = sb.agg(F.sum("c").alias("m"))
+    p = (F.col("c") + 1.0) / (F.col("n") + 256.0)
+    q = (F.col("g") + 1.0) / (F.col("m") + 256.0)
+    return (
+        sb.join(F.broadcast(st), "source")
+        .join(F.broadcast(gb), "bk")
+        .join(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 5).alias("kl_drift"),
+        )
+    )
