@@ -737,3 +737,60 @@ def l28_source_drift(spark, sf_dir):
             F.round(F.sum(p * F.log(p / q)), 5).alias("kl_drift"),
         )
     )
+
+
+# --- t12: interval union length (sweep-line via prefix-max) -----------------
+
+
+@register(
+    "t12_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + event_id % 600 AS e,
+             event_id
+      FROM events
+    ), sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pme, s)), 0))
+                AS BIGINT) AS covered_s,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM sweep GROUP BY user_id
+    """,
+    description="interval-union length per user (the classic "
+    "hard-in-plain-SQL coverage op: total ONLINE seconds with overlapping "
+    "activity intervals merged, not summed). Sweep-line as a prefix-max "
+    "window: each interval contributes max(0, end - max(start, "
+    "prev_max_end)) under a deterministic total order — exact integer "
+    "epoch-second arithmetic on both engines. Interval = [ts, ts + "
+    "event_id%600s] synthesized from the point events. Scale: ONE "
+    "shuffle on user_id; the window is per-user ordered, no global sort.",
+    tags=("T3", "W3"),
+)
+def t12_interval_union(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.col("event_id") % 600).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = ev.withColumn("pme", F.max("e").over(w))
+    contrib = F.greatest(
+        F.col("e") - F.greatest(F.col("s"), F.coalesce("pme", F.col("s"))),
+        F.lit(0),
+    )
+    return sweep.groupBy("user_id").agg(
+        F.sum(contrib).cast("bigint").alias("covered_s"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
