@@ -579,3 +579,54 @@ def st14_stream_antijoin_dedup(spark, sf_dir):
     )
     _, name = run_available_now(agg, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "st15_stream_chained_rollup",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    b AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS b15, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, b15) AS hour_start, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM b, wm
+    WHERE time_bucket(INTERVAL 1 HOUR, b15) + INTERVAL 1 HOUR <= w
+    GROUP BY 1, 2
+    """,
+    description="CHAINED stateful streaming aggregation (Spark 3.5+/4 "
+    "multiple-stateful-operator support; batch twin t11): a 15-minute "
+    "streaming rollup re-windowed via window_time into hourly buckets in "
+    "the SAME streaming query, append mode — the state-shrinking pattern "
+    "for long-horizon streaming rollups (level-2 state holds 4 rows per "
+    "key-hour, not events). Append emits exactly the hours the final "
+    "watermark (10 min) closed; the oracle is the batch two-level rollup "
+    "restricted to closed hours. Integer cents keep both levels exact.",
+    tags=("T1", "T4", "T8"),
+)
+def st15_stream_chained_rollup(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    lvl1 = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.window_time("window"), "1 hour"),
+                     "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"),
+             F.count(F.lit(1)).alias("n_buckets"))
+    )
+    out = lvl2.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type", "n", "cents", "n_buckets",
+    )
+    _, name = run_available_now(out, output_mode="append")
+    return spark.table(name)
