@@ -1154,3 +1154,49 @@ def sql25_parameterized(spark, sf_dir):
         """,
         args={"cutoff_date": "1996-01-01", "min_price": 150000},
     )
+
+
+@register(
+    "s6j_port_entropy",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL}),
+    d AS (
+      SELECT CAST(string_split(sa, '.')[1] AS BIGINT) AS src_net, dp,
+             COUNT(*) AS c
+      FROM f GROUP BY 1, 2
+    ), t AS (SELECT src_net, SUM(c) AS n FROM d GROUP BY 1)
+    SELECT d.src_net, CAST(MAX(t.n) AS BIGINT) AS n_flows,
+           CAST(COUNT(*) AS BIGINT) AS n_ports,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+                 5) AS port_entropy
+    FROM d JOIN t USING (src_net) GROUP BY d.src_net
+    """,
+    description="destination-port entropy per /8 source network over "
+    "decoded v5 flows — the scan-detection statistic nfdump-style "
+    "security reports compute (uniform port spray maximizes entropy; "
+    "focused traffic minimizes it). Exact integer (net, port) counts "
+    "feed one final float expression, rounded once. Scale: two "
+    "map-side-combined shuffles, the second over |nets| x |ports| rows.",
+    tags=("S6", "F7", "A1"),
+)
+def s6j_port_entropy(spark, sf_dir):
+    path = _datagram_dir(spark, sf_dir, "v5")
+    flows = read_flow_files(spark, path)
+    d = (
+        flows.select(
+            F.split(F.col("sa"), r"\.").getItem(0).cast("bigint")
+             .alias("src_net"), "dp")
+        .groupBy("src_net", "dp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = d.groupBy("src_net").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        d.join(F.broadcast(t), "src_net")
+        .groupBy("src_net")
+        .agg(
+            F.max("n").cast("bigint").alias("n_flows"),
+            F.count(F.lit(1)).alias("n_ports"),
+            F.round(-F.sum(p * F.log(p)), 5).alias("port_entropy"),
+        )
+    )
