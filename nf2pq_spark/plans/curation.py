@@ -794,3 +794,65 @@ def t12_interval_union(spark, sf_dir):
         F.sum(contrib).cast("bigint").alias("covered_s"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+# --- l29: n-gram novelty scoring --------------------------------------------
+
+
+@register(
+    "l29_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             UNNEST(list_distinct(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END)) AS g
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents)
+    ), df AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g
+    ), per_doc AS (
+      SELECT sh.doc_id, sh.source,
+             CAST(COUNT(*) FILTER (WHERE df.nd = 1) AS DOUBLE) / COUNT(*)
+                 AS novelty
+      FROM sh JOIN df USING (g) GROUP BY sh.doc_id, sh.source
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(novelty), 5) AS avg_novelty,
+           ROUND(MIN(novelty), 5) AS min_novelty
+    FROM per_doc GROUP BY source
+    """,
+    description="n-gram novelty scoring (the uniqueness/memorization-risk "
+    "metric a curation pipeline tracks): per doc, the fraction of its "
+    "distinct 3-gram shingles that appear in NO other document, averaged "
+    "per source. Per-doc ratios are exact int/int divisions; only the "
+    "per-source average is rounded. Scale: one explode pass to distinct "
+    "(doc, shingle) rows, a shingle-document-frequency aggregate joined "
+    "back on the shingle key — the same two-shuffle shape as TF-IDF, with "
+    "the DF table reused via the materialized intermediate pattern.",
+    tags=("L4", "L2"),
+)
+def l29_ngram_novelty(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = (
+        d.select(
+            "doc_id", "source",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("g"),
+        )
+        .localCheckpoint(eager=True)  # feeds both the DF agg and the join
+    )
+    df_tbl = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        sh.join(df_tbl, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            (F.count_if(F.col("nd") == 1).cast("double")
+             / F.count(F.lit(1))).alias("novelty")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("novelty"), 5).alias("avg_novelty"),
+        F.round(F.min("novelty"), 5).alias("min_novelty"),
+    )
