@@ -856,3 +856,42 @@ def l29_ngram_novelty(spark, sf_dir):
         F.round(F.avg("novelty"), 5).alias("avg_novelty"),
         F.round(F.min("novelty"), 5).alias("min_novelty"),
     )
+
+
+# --- a20: robust spread (median absolute deviation) -------------------------
+
+
+@register(
+    "a20_mad_robust_spread",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(ROUND(MAX(m.med), 4) AS DOUBLE) AS median_price,
+           CAST(ROUND(median(ABS(l.l_extendedprice - m.med)), 4) AS DOUBLE)
+               AS mad_price
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    description="median absolute deviation per group (the robust spread "
+    "statistic outlier-heavy pipelines use instead of stddev): two-pass "
+    "exact interpolated medians — group median broadcast back onto the "
+    "fact rows, then the median of absolute deviations. Same "
+    "exact-percentile parity the a5 family pinned. Scale: two shuffles "
+    "on the 3-value group key; the tiny median table broadcasts.",
+    tags=("A5", "A6"),
+)
+def a20_mad_robust_spread(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med"))
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    return dev.groupBy("l_returnflag").agg(
+        F.round(F.max("med"), 4).alias("median_price"),
+        F.round(
+            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5),
+            4).alias("mad_price"),
+    )
