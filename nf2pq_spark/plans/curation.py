@@ -895,3 +895,71 @@ def a20_mad_robust_spread(spark, sf_dir):
             F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5),
             4).alias("mad_price"),
     )
+
+
+# --- j17: interval-overlap join ---------------------------------------------
+
+_OVL_BUCKET = 600  # seconds; >= max interval length, so spans <= 2 buckets
+
+
+@register(
+    "j17_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + event_id % 600 AS e
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM iv a JOIN iv b
+      ON a.event_id < b.event_id AND a.user_id <> b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2
+    """,
+    description="interval-OVERLAP join (distinct from j7's "
+    "point-in-interval): concurrent-activity pairs across users, i.e. "
+    "interval pairs with a.s <= b.e AND b.s <= a.e. Spark side avoids the "
+    "quadratic theta join via time-bucket blocking: each interval lands "
+    "in its ceil(len/600s) <= 2 covering buckets, candidates equi-join on "
+    "the bucket, the exact overlap predicate filters, and pairs seen in "
+    "two shared buckets dedupe — O(pairs-per-bucket) work per bucket "
+    "instead of all-pairs, the same blocking idea as the LSH and range "
+    "join operators. The oracle is the direct theta join (DuckDB IEJoin).",
+    tags=("J7", "T3"),
+)
+def j17_interval_overlap_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.col("event_id") % 600).alias("e"),
+    )
+    iv = ev.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _OVL_BUCKET),
+                F.floor(F.col("e") / _OVL_BUCKET),
+            )
+        ),
+    )
+    a = iv.select(*[F.col(c).alias(f"a_{c}") for c in
+                    ("event_id", "user_id", "event_type", "s", "e")], "bkt")
+    b = iv.select(*[F.col(c).alias(f"b_{c}") for c in
+                    ("event_id", "user_id", "event_type", "s", "e")], "bkt")
+    pairs = (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("a_event_id") < F.col("b_event_id"))
+            & (F.col("a_user_id") != F.col("b_user_id"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select("a_event_id", "b_event_id", "a_event_type", "b_event_type")
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.col("a_event_type").alias("type_a"),
+        F.col("b_event_type").alias("type_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
