@@ -11,6 +11,7 @@ oracle.
 from __future__ import annotations
 
 import pandas as pd
+from collections.abc import Iterator  # noqa: F401 — resolves x11's UDF type hints
 import pyarrow
 
 from pyspark.sql import functions as F
@@ -323,4 +324,78 @@ def x9_udtf_table_arg(spark, sf_dir):
             TABLE(SELECT user_id, event_type, ts, event_id, value
                   FROM events_v)
             PARTITION BY user_id ORDER BY (ts, event_id))
+    """)
+
+
+@register(
+    "x11_pandas_iter_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice * 1.1 AS DECIMAL(18,4))) AS DOUBLE)
+               AS adj_total,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="ITERATOR-form scalar pandas UDF (X1 variant, "
+    "Iterator[pd.Series] -> Iterator[pd.Series]): the form that amortizes "
+    "expensive per-worker initialization (model load, dictionary build) "
+    "across every Arrow batch of a partition instead of paying it per "
+    "batch — the serving-shaped UDF surface. The 'expensive init' here is "
+    "a deterministic factor built once before the loop; the per-row "
+    "double is cast to DECIMAL(18,4) (boundary-free: 2-decimal money x "
+    "1.1 has <= 3 decimals) so the aggregate is exact.",
+    tags=("X1",),
+)
+def x11_pandas_iter_udf(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        factor = 1.1  # stands in for per-worker init (built ONCE per task)
+        for prices in batches:
+            yield prices * factor
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("adj", adjust(F.col("o_totalprice")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("adj").cast("decimal(18,4)")).cast("double")
+            .alias("adj_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "sql29_sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+               AS n_open,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+               AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="SQL PIVOT clause (the declarative wide-format twin of "
+    "a13's DataFrame pivot): order counts per priority spread across "
+    "status columns, absent combinations coalesced to zero. The oracle "
+    "is the dialect-neutral conditional-count form. Scale: Catalyst "
+    "rewrites PIVOT into exactly that conditional aggregate — one "
+    "shuffle on the grouping key, map-side partials.",
+    tags=("A13", "SQL"),
+)
+def sql29_sql_pivot(spark, sf_dir):
+    from ..sources.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(COALESCE(o, 0) AS BIGINT) AS n_open,
+               CAST(COALESCE(f, 0) AS BIGINT) AS n_finished,
+               CAST(COALESCE(p, 0) AS BIGINT) AS n_pending
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
     """)
