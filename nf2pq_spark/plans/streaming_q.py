@@ -630,3 +630,41 @@ def st15_stream_chained_rollup(spark, sf_dir):
     )
     _, name = run_available_now(out, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "st16_stream_union",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')
+      UNION ALL
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM u GROUP BY event_type
+    """,
+    description="multi-source streaming topology (S8/T1): two readStream "
+    "sources (overlapping type filters standing in for two capture feeds) "
+    "unioned into ONE streaming aggregation — rows in both feeds count "
+    "twice, pinning bag-union semantics. The collector shape for merging "
+    "several exporters' capture directories into one pipeline. Scale: "
+    "each source scans independently (per-source parallelism), the union "
+    "is a no-shuffle narrow op, and state is shared downstream.",
+    tags=("S8", "T1", "U1"),
+)
+def st16_stream_union(spark, sf_dir):
+    a = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view"))
+    b = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase"))
+    unioned = a.unionByName(b).select("event_type", "value")
+    agg = unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("sum_value"),
+    )
+    _, name = run_available_now(agg, output_mode="complete")
+    return spark.table(name)
