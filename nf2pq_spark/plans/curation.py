@@ -963,3 +963,67 @@ def j17_interval_overlap_join(spark, sf_dir):
         F.col("a_event_type").alias("type_a"),
         F.col("b_event_type").alias("type_b"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- j18: nearest-in-time join (as-of family completion) --------------------
+
+
+@register(
+    "j18_nearest_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, c.click_id,
+           CAST(ABS(epoch_us(p.ts) - epoch_us(c.cts)) AS BIGINT) AS gap_us
+    FROM p JOIN c USING (user_id)
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY p.event_id
+      ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.cts)), c.cts, c.click_id
+    ) = 1
+    """,
+    description="NEAREST-in-time join (completes the as-of family: j8 "
+    "backward, j8b forward, this picks whichever is closer, ties to the "
+    "earlier/backward side): each purchase matched to its nearest click "
+    "per user in either direction. Composed from the two one-shuffle "
+    "as-of passes + a gap comparison, so it inherits their scaling; the "
+    "oracle is the per-event argmin over all candidates (QUALIFY "
+    "row_number), feasible only because DuckDB sees small fixtures — at "
+    "scale the composed form is the only viable plan.",
+    tags=("J8",),
+)
+def j18_nearest_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"))
+    back = asof_join(p, c, on="user_id", left_ts="ts", right_ts="cts",
+                     payload=["click_id", "cts"], how="left",
+                     direction="backward").select(
+        "event_id", "user_id", "ts",
+        F.col("click_id").alias("b_id"), F.col("cts").alias("b_ts"))
+    fwd = asof_join(p, c, on="user_id", left_ts="ts", right_ts="cts",
+                    payload=["click_id", "cts"], how="left",
+                    direction="forward").select(
+        F.col("event_id").alias("f_eid"),
+        F.col("click_id").alias("f_id"), F.col("cts").alias("f_ts"))
+    j = back.join(fwd, back.event_id == fwd.f_eid)
+    us = lambda col: F.unix_micros(F.col(col))  # noqa: E731
+    b_gap = F.abs(us("ts") - us("b_ts"))
+    f_gap = F.abs(us("ts") - us("f_ts"))
+    take_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (b_gap <= f_gap))
+    return j.select(
+        "event_id", "user_id",
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id"))
+        .alias("click_id"),
+        F.when(take_back, b_gap).otherwise(f_gap).cast("bigint")
+        .alias("gap_us"),
+    ).filter(F.col("click_id").isNotNull())
