@@ -1027,3 +1027,38 @@ def j18_nearest_join(spark, sf_dir):
         F.when(take_back, b_gap).otherwise(f_gap).cast("bigint")
         .alias("gap_us"),
     ).filter(F.col("click_id").isNotNull())
+
+
+# --- a21: frequency-weighted percentile -------------------------------------
+
+
+@register(
+    "a21_weighted_median",
+    oracle="""
+    WITH expanded AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem, UNNEST(range(CAST(l_quantity AS BIGINT))) AS r
+    )
+    SELECT l_returnflag,
+           CAST(ROUND(median(l_extendedprice), 4) AS DOUBLE) AS w_median,
+           CAST(SUM(1) AS BIGINT) AS total_weight
+    FROM expanded GROUP BY l_returnflag
+    """,
+    description="frequency-weighted percentile (A5 variant): the median "
+    "price where each row counts l_quantity times — Spark's native "
+    "percentile(col, p, frequency) three-argument form, which computes "
+    "the weighted quantile WITHOUT materializing the expansion. The "
+    "oracle proves the semantics by actually expanding (unnest x weight) "
+    "and taking the plain median — viable only on fixture data; at scale "
+    "the frequency form is the only plan that works (the expansion "
+    "multiplies the shuffle by the mean weight, ~25x here).",
+    tags=("A5",),
+)
+def a21_weighted_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5), freq), 4)
+        .alias("w_median"),
+        F.sum(freq).alias("total_weight"),
+    )
