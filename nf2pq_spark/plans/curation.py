@@ -713,6 +713,7 @@ def mm3_frame_energy(spark, sf_dir):
     "(source,bucket) counts; everything after runs on |sources| x 256 "
     "rows; the global bucket table broadcasts.",
     tags=("L4", "DQ"),
+    bench=True,
 )
 def l28_source_drift(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("source", "text")
@@ -773,6 +774,7 @@ def l28_source_drift(spark, sf_dir):
     "event_id%600s] synthesized from the point events. Scale: ONE "
     "shuffle on user_id; the window is per-user ordered, no global sort.",
     tags=("T3", "W3"),
+    bench=True,
 )
 def t12_interval_union(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
@@ -928,6 +930,7 @@ _OVL_BUCKET = 600  # seconds; >= max interval length, so spans <= 2 buckets
     "instead of all-pairs, the same blocking idea as the LSH and range "
     "join operators. The oracle is the direct theta join (DuckDB IEJoin).",
     tags=("J7", "T3"),
+    bench=True,
 )
 def j17_interval_overlap_join(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
