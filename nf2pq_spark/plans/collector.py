@@ -1200,3 +1200,48 @@ def s6j_port_entropy(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 5).alias("port_entropy"),
         )
     )
+
+
+@register(
+    "s7b_clickhouse_ddl",
+    oracle="""
+    SELECT column_name AS col,
+           CASE WHEN column_name = 'event_id' THEN m
+                ELSE 'Nullable(' || m || ')' END AS ch_type
+    FROM (
+      SELECT column_name,
+             CASE data_type
+               WHEN 'BIGINT' THEN 'Int64'
+               WHEN 'DOUBLE' THEN 'Float64'
+               WHEN 'VARCHAR' THEN 'String'
+               WHEN 'TIMESTAMP' THEN 'DateTime64(6)'
+               WHEN 'TIMESTAMP_NS' THEN 'DateTime64(6)'
+               WHEN 'TIMESTAMP WITH TIME ZONE' THEN 'DateTime64(6)'
+             END AS m
+      FROM information_schema.columns WHERE table_name = 'events'
+    )
+    """,
+    description="ClickHouse sink DDL type mapping under the hash gate (the "
+    "verifiable half of S7 — no server exists in this environment, but "
+    "the schema→MergeTree column mapping is pure logic): the REAL "
+    "generator (streaming/sinks.clickhouse_ddl, order key non-nullable, "
+    "everything else Nullable) is run against the events table and its "
+    "emitted column lines parsed back; the oracle independently derives "
+    "the same mapping from information_schema over the raw parquet — two "
+    "codepaths, one contract. Catches a silent type-map drift that would "
+    "otherwise only surface as a server-side insert failure.",
+    tags=("S7",),
+)
+def s7b_clickhouse_ddl(spark, sf_dir):
+    from ..streaming.sinks import clickhouse_ddl
+
+    ev = load_table(spark, sf_dir, "events")
+    ddl = clickhouse_ddl(ev, "events_ch", order_by=["event_id"],
+                         partition_by="toDate(ts)")
+    rows = []
+    for line in ddl.splitlines():
+        ls = line.strip().rstrip(",")
+        if ls.startswith("`"):
+            name, ch = ls.split("` ", 1)
+            rows.append((name.lstrip("`"), ch))
+    return spark.createDataFrame(rows, "col string, ch_type string")
