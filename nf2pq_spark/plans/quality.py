@@ -364,3 +364,38 @@ def dq4_order_reconciliation(spark, sf_dir):
         (F.max(F.when(has, delta)).cast("double") / 1000000.0)
         .alias("max_delta_dollars"),
     )
+
+
+@register(
+    "dq5_freshness",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events)
+    SELECT event_type,
+           CAST((epoch_us(g.gmax) - epoch_us(MAX(ts))) // 1000000 AS BIGINT)
+               AS staleness_s,
+           CAST(COUNT(*) FILTER (
+                WHERE ts >= g.gmax - INTERVAL 1 HOUR) AS BIGINT)
+               AS n_last_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events, g GROUP BY event_type, g.gmax
+    """,
+    description="data-freshness audit (the staleness monitor every "
+    "ingest pipeline pages on): per slice, the lag of its newest row "
+    "behind the table's newest row, plus last-hour arrival volume — "
+    "exact integer epoch arithmetic throughout. Scale: one aggregate "
+    "pass; the 1-row global max broadcasts.",
+    tags=("DQ", "F2"),
+)
+def dq5_freshness(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    j = ev.join(F.broadcast(g))
+    return j.groupBy("event_type").agg(
+        ((F.unix_micros(F.max("gmax")) - F.unix_micros(F.max("ts")))
+         / F.lit(1000000)).cast("bigint").alias("staleness_s"),
+        F.sum(
+            F.when(F.col("ts") >= F.col("gmax") - F.expr("INTERVAL 1 HOUR"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_last_hour"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
