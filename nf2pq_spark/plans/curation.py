@@ -1156,3 +1156,50 @@ def g3_triangle_count(spark, sf_dir):
         F.col("n_edges").cast("bigint").alias("n_edges"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
     )
+
+
+# --- t14: week-over-week growth ---------------------------------------------
+
+
+@register(
+    "t14_wow_growth",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01') AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT event_type, wk, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+      FROM w
+    )
+    SELECT event_type, wk, n, prev_n,
+           ROUND((n - prev_n) / CAST(prev_n AS DOUBLE), 4) AS wow_growth
+    FROM l WHERE prev_n IS NOT NULL
+    """,
+    description="week-over-week growth per event type (the BI trend "
+    "report): weekly counts, previous week via LAG, relative change as "
+    "exact-int difference over exact-int base — one rounded division. "
+    "Scale: one shuffle to the weekly rollup; the window runs over "
+    "weeks-per-type rows.",
+    tags=("T1", "W2"),
+)
+def t14_wow_growth(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type",
+        F.window("ts", "7 days").getField("start").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lag = F.lag("n").over(
+        Window.partitionBy("event_type").orderBy("wk"))
+    return (
+        w.withColumn("prev_n", lag)
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type", "wk", "n", "prev_n",
+            F.round(
+                (F.col("n") - F.col("prev_n")) / F.col("prev_n").cast("double"),
+                4).alias("wow_growth"),
+        )
+    )
