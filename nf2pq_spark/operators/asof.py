@@ -39,6 +39,7 @@ def asof_join(
     payload: list[str],
     how: str = "left",
     direction: str = "backward",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """As-of join per ``on`` key.
 
@@ -46,6 +47,13 @@ def asof_join(
     ``right_ts <= left_ts``. ``direction='forward'``: earliest ``right``
     row with ``right_ts >= left_ts`` (the window simply orders descending,
     so the carried payload is the nearest *following* right row).
+
+    ``tie_break``: optional payload column that deterministically picks
+    ONE right row when several share the matched timestamp (the smallest
+    ``tie_break`` value wins, in both directions). Without it, equal-ts
+    right rows are ordered only by (__ts, __side) and the carried row is
+    whichever the shuffle happened to place last — nondeterministic across
+    runs and potentially divergent from an oracle that tie-breaks by id.
 
     Returns all columns of ``left`` plus ``payload`` columns from ``right``.
     ``how='left'`` keeps unmatched left rows (payload → null), matching
@@ -72,10 +80,16 @@ def asof_join(
 
     ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
     # at equal ts the right row (side 0) must sort before the left row so
-    # exact ties match in both directions (>= / <= semantics)
+    # exact ties match in both directions (>= / <= semantics). The
+    # tie-break sorts equal-ts right rows DESCENDING so last() lands on
+    # the smallest value; left rows carry a null tie column and desc
+    # ordering places nulls last, but __side already separates them.
+    order_cols = [ts_order, F.asc("__side")]
+    if tie_break is not None:
+        order_cols.append(F.desc(tie_break))
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_order, F.asc("__side"))
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # non-null exactly on right rows → last(ignorenulls) tracks the nearest

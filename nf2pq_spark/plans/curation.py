@@ -182,6 +182,16 @@ def l24_dsir_weights(spark, sf_dir):
 # --- l25: SemDeDup-shaped SRP semantic dedup --------------------------------
 
 _SRP_PLANES, _SRP_DIMS, _SRP_THRESHOLD = 6, 64, 0.85
+# hot-bucket guard (mirrors operators.dedup.lsh_candidate_pairs): a bucket
+# with b members feeds a b² within-bucket join, so one degenerate bucket
+# (e.g. a corpus of near-identical template embeddings) can go quadratic.
+# Buckets above the cap are excluded from PAIRING (their members count as
+# kept in the final accounting — semantic dedup of a giant identical
+# cluster belongs to exact dedup upstream). Fixture buckets peak well
+# under 200 (sf0.1: 2000 vecs / 64 buckets ≈ 31 avg), so oracles are
+# unaffected; the guard is mirrored in the oracle SQL regardless so both
+# engines agree even on a degenerate corpus.
+_SRP_MAX_BUCKET = 200
 
 
 def _srp_sign(p: int, i: int) -> float:
@@ -212,15 +222,20 @@ def _srp_sign(p: int, i: int) -> float:
              string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
                         ORDER BY p) AS bucket
       FROM dots GROUP BY vec_id
+    ), sigc AS (
+      SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bn
+      FROM sig
     ), pairs AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib
       FROM (SELECT e.vec_id, e.embedding, s.bucket
-            FROM embeddings e JOIN sig s USING (vec_id)) a
+            FROM embeddings e JOIN sigc s USING (vec_id)
+            WHERE s.bn <= {_SRP_MAX_BUCKET}) a
       JOIN (SELECT e.vec_id, e.embedding, s.bucket
-            FROM embeddings e JOIN sig s USING (vec_id)) b
+            FROM embeddings e JOIN sigc s USING (vec_id)
+            WHERE s.bn <= {_SRP_MAX_BUCKET}) b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[]))
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6)
             >= {_SRP_THRESHOLD}
     ), drops AS (SELECT DISTINCT ib AS vec_id FROM pairs)
     SELECT e.label, COUNT(*) AS n_total, COUNT(d.vec_id) AS n_dropped,
@@ -228,41 +243,63 @@ def _srp_sign(p: int, i: int) -> float:
     FROM embeddings e LEFT JOIN drops d USING (vec_id)
     GROUP BY e.label
     """,
-    description="SemDeDup-shaped semantic dedup (L2/L3): 6-plane SRP-LSH "
+    description="SemDeDup-shaped semantic dedup (L2/L3): n-plane SRP-LSH "
     "signatures from deterministic md5-derived ±1 hyperplanes bucket the "
-    "embeddings; exact cosine runs only WITHIN buckets; any vector with a "
-    "smaller-id near-duplicate (cos ≥ 0.85) in its bucket is dropped. "
-    "Fully oracle-checked including the bucketing — the hyperplanes are "
-    "md5 of public strings, reproduced in SQL. Scale: bucket equi-join "
-    "bounds candidate pairs (no all-pairs); signatures are one codegen'd "
-    "fold per plane, no shuffle before the bucket join.",
+    "embeddings; exact cosine (rounded to 6dp on BOTH engines before the "
+    "threshold — cross-engine float folds can differ in the last ulp) "
+    "runs only WITHIN buckets; any vector with a smaller-id "
+    "near-duplicate (cos ≥ 0.85) in its bucket is dropped. Fully "
+    "oracle-checked including the bucketing — the hyperplanes are md5 of "
+    "public strings, reproduced in SQL. Scale: bucket equi-join bounds "
+    "candidate pairs (no all-pairs); hot buckets above max_bucket are "
+    "excluded from pairing (guard mirrored in the oracle), and the plane "
+    "count is a parameter — size it ~log2(N/target_bucket) so buckets "
+    "stay bounded as the corpus grows; signatures are one codegen'd fold "
+    "per plane, no shuffle before the bucket join.",
     tags=("L2", "L3"),
     bench=True,
 )
-def l25_semdedup_srp(spark, sf_dir):
+def l25_semdedup_srp(spark, sf_dir, n_planes=_SRP_PLANES,
+                     max_bucket=_SRP_MAX_BUCKET):
+    from pyspark.sql.window import Window
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
     bits = []
-    for p in range(_SRP_PLANES):
+    for p in range(n_planes):
         signs = F.array(*[F.lit(_srp_sign(p, i)) for i in range(_SRP_DIMS)])
         dot_p = F.aggregate(
             F.zip_with(F.col("v"), signs, lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x,
         )
         bits.append(F.when(dot_p >= 0, "1").otherwise("0"))
-    # materialize the signature table: it feeds the self-join (both sides)
-    # AND the final keep/drop accounting — unmaterialized, the embeddings
-    # scan + 6 signature folds ran three times (audited). Signatures add
-    # one small column to the embedding rows, so this is the "write the
-    # sketch once" pattern, not a corpus copy.
-    sig = e.withColumn("bucket", F.concat(*bits)).localCheckpoint(eager=True)
-    a = sig.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "bucket")
-    b = sig.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "bucket")
+    # materialize the signature table (WITH the bucket population — the
+    # count window rides the same data and is computed once here): it
+    # feeds the self-join (both sides) AND the final keep/drop accounting
+    # — unmaterialized, the embeddings scan + signature folds ran three
+    # times (audited). Signatures add one small column to the embedding
+    # rows, so this is the "write the sketch once" pattern, not a corpus
+    # copy.
+    sig = (
+        e.withColumn("bucket", F.concat(*bits))
+        .withColumn("__bn",
+                    F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+        .localCheckpoint(eager=True)
+    )
+    # hot-bucket guard: members of buckets above the cap skip pairing
+    # (kept in accounting) — without it one degenerate bucket is a b²
+    # join; same policy as operators.dedup.lsh_candidate_pairs
+    paired = sig.filter(F.col("__bn") <= max_bucket)
+    a = paired.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+                      "bucket")
+    b = paired.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+                      "bucket")
     drops = (
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= _SRP_THRESHOLD)
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                >= _SRP_THRESHOLD)
         .select(F.col("ib").alias("vec_id"))
         .distinct()
         .withColumn("d", F.lit(1))
@@ -925,10 +962,12 @@ _OVL_BUCKET = 600  # seconds; >= max interval length, so spans <= 2 buckets
     "interval pairs with a.s <= b.e AND b.s <= a.e. Spark side avoids the "
     "quadratic theta join via time-bucket blocking: each interval lands "
     "in its ceil(len/600s) <= 2 covering buckets, candidates equi-join on "
-    "the bucket, the exact overlap predicate filters, and pairs seen in "
-    "two shared buckets dedupe — O(pairs-per-bucket) work per bucket "
-    "instead of all-pairs, the same blocking idea as the LSH and range "
-    "join operators. The oracle is the direct theta join (DuckDB IEJoin).",
+    "the bucket, the exact overlap predicate filters, and each pair is "
+    "emitted only from its FIRST common bucket (the one holding "
+    "max(a_s, b_s)) — shuffle-free dedup, O(pairs-per-bucket) work per "
+    "bucket instead of all-pairs, the same blocking idea as the LSH and "
+    "range join operators. The oracle is the direct theta join (DuckDB "
+    "IEJoin).",
     tags=("J7", "T3"),
     bench=True,
 )
@@ -958,9 +997,16 @@ def j17_interval_overlap_join(spark, sf_dir):
             & (F.col("a_user_id") != F.col("b_user_id"))
             & (F.col("a_s") <= F.col("b_e"))
             & (F.col("b_s") <= F.col("a_e"))
+            # count each pair ONCE without any dedup shuffle: an
+            # overlapping pair shares every bucket in the overlap region,
+            # so report it only from the first common bucket — the one
+            # containing max(a_s, b_s), which both intervals provably
+            # cover. Replaces a .distinct() over (ids, types) that added
+            # a full-width exchange (r2 verdict item: widest bench query).
+            & (F.col("bkt")
+               == F.floor(F.greatest("a_s", "b_s") / _OVL_BUCKET))
         )
-        .select("a_event_id", "b_event_id", "a_event_type", "b_event_type")
-        .distinct()
+        .select("a_event_type", "b_event_type")
     )
     return pairs.groupBy(
         F.col("a_event_type").alias("type_a"),
@@ -990,9 +1036,12 @@ def j17_interval_overlap_join(spark, sf_dir):
     """,
     description="NEAREST-in-time join (completes the as-of family: j8 "
     "backward, j8b forward, this picks whichever is closer, ties to the "
-    "earlier/backward side): each purchase matched to its nearest click "
-    "per user in either direction. Composed from the two one-shuffle "
-    "as-of passes + a gap comparison, so it inherits their scaling; the "
+    "earlier/backward side, equal-timestamp clicks to the smallest "
+    "click_id via the asof tie_break — deterministic even if a user ever "
+    "logs two clicks in the same microsecond): each purchase matched to "
+    "its nearest click per user in either direction. Composed from the "
+    "two one-shuffle as-of passes + a gap comparison, so it inherits "
+    "their scaling; the "
     "oracle is the per-event argmin over all candidates (QUALIFY "
     "row_number), feasible only because DuckDB sees small fixtures — at "
     "scale the composed form is the only viable plan.",
@@ -1009,12 +1058,12 @@ def j18_nearest_join(spark, sf_dir):
         F.col("event_id").alias("click_id"))
     back = asof_join(p, c, on="user_id", left_ts="ts", right_ts="cts",
                      payload=["click_id", "cts"], how="left",
-                     direction="backward").select(
+                     direction="backward", tie_break="click_id").select(
         "event_id", "user_id", "ts",
         F.col("click_id").alias("b_id"), F.col("cts").alias("b_ts"))
     fwd = asof_join(p, c, on="user_id", left_ts="ts", right_ts="cts",
                     payload=["click_id", "cts"], how="left",
-                    direction="forward").select(
+                    direction="forward", tie_break="click_id").select(
         F.col("event_id").alias("f_eid"),
         F.col("click_id").alias("f_id"), F.col("cts").alias("f_ts"))
     j = back.join(fwd, back.event_id == fwd.f_eid)

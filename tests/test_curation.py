@@ -76,6 +76,51 @@ def test_l25_semdedup_counts_consistent(spark, sf_dir):
         assert r.n_dropped >= 0 and r.n_kept > 0
 
 
+def _write_degenerate_embeddings(path, n, dims, seed=7):
+    """n near-identical unit vectors (1e-6 perturbation): one SRP bucket."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal(dims)
+    base /= np.linalg.norm(base)
+    vecs = base[None, :] + 1e-6 * rng.standard_normal((n, dims))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.astype("float32") for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+    })
+    pq.write_table(tbl, f"{path}/embeddings.parquet")
+
+
+def test_l25_hot_bucket_guard_bounds_degenerate_corpus(spark, tmp_path):
+    """1,000 near-identical vectors collapse into ONE SRP bucket; without
+    the max_bucket guard the within-bucket join is ~500k pairs. With the
+    guard the bucket is excluded from pairing entirely — zero drops, all
+    kept — while the accounting still covers every vector."""
+    from nf2pq_spark.plans.curation import l25_semdedup_srp
+
+    _write_degenerate_embeddings(tmp_path, 1000, _SRP_DIMS)
+    rows = l25_semdedup_srp(spark, str(tmp_path), max_bucket=50).collect()
+    assert sum(r.n_total for r in rows) == 1000
+    assert sum(r.n_dropped for r in rows) == 0
+    assert sum(r.n_kept for r in rows) == 1000
+
+
+def test_l25_guard_off_still_dedups_under_cap(spark, tmp_path):
+    """Same corpus under the cap: pairing runs and drops every vector but
+    the smallest-id one (all pairwise cosines ≈ 1 ≥ 0.85)."""
+    from nf2pq_spark.plans.curation import l25_semdedup_srp
+
+    _write_degenerate_embeddings(tmp_path, 120, _SRP_DIMS)
+    rows = l25_semdedup_srp(spark, str(tmp_path), max_bucket=200).collect()
+    assert sum(r.n_total for r in rows) == 120
+    assert sum(r.n_dropped for r in rows) == 119
+    assert sum(r.n_kept for r in rows) == 1
+
+
 def test_g1_pagerank_mass_and_floor(spark, sf_dir):
     """Leaky formulation: every rank ≥ (1−d)/N and total mass ≤ 1."""
     rows = plans.REGISTRY["g1_nation_pagerank"].fn(spark, sf_dir).collect()
