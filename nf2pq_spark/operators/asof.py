@@ -122,35 +122,40 @@ def asof_join_bucketed(
     The plain formulation windows over the key alone, so a power-law key
     (one user with 80% of the events) serializes into ONE task — and
     unlike joins, AQE cannot split a skewed *window* partition. This
-    variant is the segmented-scan decomposition:
+    variant is the segmented-scan decomposition with PHANTOM CARRY ROWS
+    (no join after the window — the r2 formulation joined a carry table
+    back onto the full-width windowed union, a second full-width
+    exchange):
 
-    1. window per ``(key, time_bucket)`` — the hot key's timeline splits
-       into ~range/bucket independent tasks;
-    2. per-bucket summary (one row per (key, bucket): the last right row
-       seen in that bucket) — tiny;
-    3. running carry-in across buckets on the SUMMARY table (a window
-       over O(buckets) rows per key, trivially cheap even for the
-       hottest key);
-    4. join the carry-in back on (key, bucket) and coalesce with the
-       in-bucket fill.
+    1. per-bucket summary of the right side (one row per (key, bucket):
+       the last right row seen in that bucket) — tiny;
+    2. running carry-in across buckets: a window over the summary rows
+       interleaved with the left bucket spine, O(buckets) rows per key,
+       trivially cheap even for the hottest key;
+    3. materialize the carry-in as phantom rows (__side = -1, __ts =
+       bucket start) and union them UNDER the real rows;
+    4. ONE window per ``(key, time_bucket)`` — the hot key's timeline
+       splits into ~range/bucket independent tasks; phantom rows sort
+       before everything in their bucket, so the in-bucket
+       last(ignorenulls) carry-forward alone produces the final answer.
 
-    The full-width union shuffles ONCE on (key, bucket); the summary and
-    bucket-spine side plans shuffle only column-pruned (key, ts[, payload])
-    projections — vs the plain version's single shuffle; worth it exactly
-    when the key is hot.
-    ``bucket`` is any Spark interval literal; pick it so a hot key's
-    densest bucket fits one task (~100k-1M rows).
+    The full-width data shuffles ONCE on (key, bucket) — same as the
+    plain version's one shuffle on (key); the two side plans shuffle only
+    column-pruned (key, ts[, payload]) projections. ``bucket`` is any
+    Spark interval literal; pick it so a hot key's densest bucket fits
+    one task (~100k-1M rows).
     """
     lcols = left.columns
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     for c in payload:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(rtypes[c]))
     r_tag = right.select(
         F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"), *payload
     )
     for c in lcols:
         if c != on:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(ltypes[c]))
     # interval string buckets a timestamp axis; an int buckets a numeric one
     bucket_expr = (
         F.window("__ts", bucket).getField("start") if isinstance(bucket, str)
@@ -163,49 +168,79 @@ def asof_join_bucketed(
         .withColumn("__b", bucket_expr)
     )
 
+    # per-(key, bucket) summary in ONE pass over the pruned sides: the
+    # last right row of the bucket (__v, null when the bucket has no
+    # right rows) and whether any left row lives there (__has_left —
+    # only those buckets consume a carry). Derived from pruned inputs
+    # rather than the windowed union: referencing that twice recomputed
+    # the whole scan+union+window subtree (audited: 4 source scans, no
+    # exchange reuse). max_by ignores null keys, so the when() guards
+    # restrict it to right rows.
+    pay_struct = F.struct(*[F.col(c) for c in payload])
+    pruned = (
+        left.select(F.col(on), F.col(left_ts).alias("__ts"),
+                    F.lit(1).alias("__side"),
+                    *[F.lit(None).cast(rtypes[c]).alias(c) for c in payload])
+        .unionByName(right.select(F.col(on), F.col(right_ts).alias("__ts"),
+                                  F.lit(0).alias("__side"), *payload))
+        .withColumn("__b", bucket_expr)
+    )
+    summary = (
+        pruned.groupBy(on, "__b")
+        .agg(
+            F.max_by(F.when(F.col("__side") == 0, pay_struct),
+                     F.when(F.col("__side") == 0, F.col("__ts"))).alias("__v"),
+            F.max(F.col("__side")).alias("__has_left"),
+        )
+    )
+    # carry-in across buckets: one window per key over O(buckets) summary
+    # rows — trivially cheap even for the hottest key. The frame ends at
+    # -1 so a bucket's own right rows never leak into its carry. Each
+    # left-occupied bucket with a non-null carry becomes a phantom row at
+    # the bucket start. (Right-only buckets emit no phantom — no left row
+    # there consumes a carry — but their __v flows through the window so
+    # later buckets inherit it.)
+    across = (
+        Window.partitionBy(on).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_type = dict(unioned.dtypes)["__ts"]
+    # phantom __ts = the true bucket START so it sorts before every real
+    # row of its bucket: the window.start timestamp for interval buckets,
+    # __b * bucket for numeric axes (NOT __b itself — on a negative axis
+    # floor(ts/bucket) can exceed the in-bucket ts values)
+    phantom_ts = (F.col("__b") if isinstance(bucket, str)
+                  else F.col("__b") * F.lit(bucket))
+    phantom = (
+        summary
+        .select(on, "__b", "__has_left",
+                F.last("__v", ignorenulls=True).over(across).alias("__carry"))
+        .filter((F.col("__has_left") == 1) & F.col("__carry").isNotNull())
+        .select(
+            F.col(on),
+            phantom_ts.cast(ts_type).alias("__ts"),
+            F.lit(-1).alias("__side"),
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols if c != on],
+            *[F.col("__carry").getField(c).alias(c) for c in payload],
+            F.col("__b"),
+        )
+    )
+
+    # non-null exactly on right + phantom rows; phantoms sort first in
+    # their bucket (__ts = bucket start, __side -1 < 0), so any real
+    # in-bucket right row overrides the carry for later left rows
     right_row = F.when(
-        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload]))
+        F.col("__side") <= 0, F.struct(*[F.col(c) for c in payload]))
     in_bucket = (
         Window.partitionBy(on, "__b")
         .orderBy(F.asc("__ts"), F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*", F.last(right_row, ignorenulls=True).over(in_bucket).alias("__fill"))
-
-    # per-(key, bucket) last right row. Derived from the RIGHT input alone
-    # (only right rows can ever fill) rather than from `filled`: `filled`
-    # is the full-width windowed union, and referencing it twice recomputed
-    # the whole scan+union+window subtree (audited: 4 source scans, no
-    # exchange reuse). The bucket spine — every (key, bucket) either side
-    # touches, needed so left-only buckets still receive carry-in — comes
-    # from two column-pruned (key, ts) scans; their shuffle payload is a
-    # deduped pair list, a sliver of the full-width exchange this avoids.
-    summary_r = (
-        right.select(F.col(on), F.col(right_ts).alias("__ts"), *payload)
-        .withColumn("__b", bucket_expr)
-        .groupBy(on, "__b")
-        .agg(F.max_by(F.struct(*[F.col(c) for c in payload]), F.col("__ts"))
-             .alias("__bucket_last"))
-    )
-    buckets = (
-        left.select(F.col(on), F.col(left_ts).alias("__ts"))
-        .unionByName(right.select(F.col(on), F.col(right_ts).alias("__ts")))
-        .withColumn("__b", bucket_expr)
-        .select(on, "__b").distinct()
-    )
-    across = (
-        Window.partitionBy(on).orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = buckets.join(summary_r, [on, "__b"], "left").select(
-        on, "__b",
-        F.last("__bucket_last", ignorenulls=True).over(across).alias("__carry"),
-    )
-
     out = (
-        filled.join(carry, [on, "__b"], "left")
-        .withColumn("__asof", F.coalesce("__fill", "__carry"))
+        unioned.unionByName(phantom)
+        .select("*",
+                F.last(right_row, ignorenulls=True).over(in_bucket)
+                .alias("__asof"))
         .filter(F.col("__side") == 1)
     )
     if how == "inner":

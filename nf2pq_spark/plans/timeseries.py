@@ -164,12 +164,14 @@ def j8_asof_join(spark, sf_dir):
     "user ids are remapped so ~80% of events share ONE key, then joined "
     "with operators.asof.asof_join_bucketed — the segmented-scan variant "
     "that windows per (key, day-bucket) and carries last-seen values "
-    "across buckets via a tiny per-bucket summary. The plain one-window "
-    "formulation would serialize the hot key into a single task (window "
-    "partitions are not AQE-splittable, unlike joins); here the hot "
-    "timeline splits into ~30 day-tasks. Identical semantics "
-    "property-tested against the plain operator; bench.py reports the "
-    "skew ratio vs the uniform j8.",
+    "across buckets as PHANTOM rows unioned under the data (one "
+    "full-width shuffle + two tiny summary stages, no join — 3 exchanges "
+    "total vs the r2 formulation's 6). The plain one-window formulation "
+    "would serialize the hot key into a single task (window partitions "
+    "are not AQE-splittable, unlike joins); here the hot timeline splits "
+    "into ~30 day-tasks. Identical semantics property-tested against the "
+    "plain operator (incl. negative time axes); bench.py reports the "
+    "skew ratio vs the uniform j8 with its documented noise envelope.",
     tags=("J8", "J14"),
     bench=True,
 )

@@ -616,9 +616,9 @@ def test_asof_bucketed_equals_plain(spark):
     from nf2pq_spark.operators.asof import asof_join, asof_join_bucketed
 
     @settings(max_examples=6, deadline=None)
-    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(-100, 100)),
                     min_size=1, max_size=15),
-           st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+           st.lists(st.tuples(st.integers(0, 2), st.integers(-100, 100)),
                     min_size=0, max_size=15),
            st.sampled_from([3, 10, 1000]))
     def check(left_rows, right_rows, width):

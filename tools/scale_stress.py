@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Dev-only 10x scale stress: detects nonlinear blowups bench.py can't see.
+
+bench.py never leaves sf0.1, so an operator that is quadratic in corpus
+size (a missing bucket cap, a widening blocking window, a fast-path
+threshold) looks fine there and melts at 100 TB. This tool synthesizes a
+10x corpus FROM the sf0.1 fixtures — entirely executor-side (explode over
+a replica spine; no driver-side row synthesis) — with the salting chosen
+so that within-replica structure is preserved and cross-replica rows
+cannot collide:
+
+- documents: every token gets a per-replica suffix -> each replica is an
+  independent corpus with the ORIGINAL near-dup structure; pair graph
+  scales x10, never x100.
+- embeddings: per-replica circular shift of the vector (an orthogonal
+  permutation) -> within-replica cosines exact, cross-replica ~random.
+- events: ids offset per replica; timestamps untouched -> 10x density on
+  the same time axis (the honest stress for time-blocked operators:
+  pairs-per-bucket grows, which is the regime j17 must survive).
+- lineitem/orders/customer: order/cust keys offset consistently; nation
+  and supplier keys untouched so g1's 625-row edge list stays fixed.
+
+Run:  python tools/scale_stress.py [--regen] > SCALE_STRESS.md
+Prints a wall-time table (min-of-2 after warmup, same timing protocol as
+bench.py) with the empirical scaling exponent log10(t10/t1) per query,
+and the expected exponent with the reason. Kept OUT of PLANS.md because
+these are measured wall-times — PLANS.md must stay byte-regenerable for
+the staleness test (tests/test_plan_staleness.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nf2pq_spark import plans  # noqa: E402
+from nf2pq_spark.session import get_spark  # noqa: E402
+from nf2pq_spark.sources.tables import load_table  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/nf2pq_scale10"
+K = 10
+
+#: (query, expected exponent, reason) — expected ~1.0 unless the OUTPUT
+#: itself grows superlinearly, in which case O(output) is optimal.
+CASES = [
+    ("q1_pricing_summary", 1.0, "single scan+agg; linear baseline"),
+    ("l2d_neardup_components", 1.0, "pair graph x10 by construction "
+     "(independent replicas); CC cost O(pairs)"),
+    ("l25_semdedup_srp", 2.0, "FIXED 6-plane bucketing: 64 buckets hold "
+     "10x members -> within-bucket pairs x100. The documented mitigation "
+     "is scaling n_planes with the corpus — see the l25@9planes row"),
+    ("l25@9planes", 1.0, "same corpus, n_planes=9 (512 buckets): bucket "
+     "population restored -> pair count ~linear again. NOTE: at this n "
+     "the +3 signature folds (64-dim each) cost more than the pair "
+     "savings — the crossover where extra planes pay is bucket "
+     "population >> vector dims, i.e. real corpus sizes"),
+    ("j17_interval_overlap_join", 2.0, "OUTPUT is every concurrent pair: "
+     "10x density on the same time axis -> Theta(n^2) result rows; plan "
+     "cost is O(output), which is optimal for this query"),
+    ("g1_nation_pagerank", 1.0, "fact aggregation x10; iterations run on "
+     "the constant 625-row edge list"),
+    ("j8_asof_join", 1.0, "one shuffle + per-user windows"),
+    ("j8c_asof_hot_key", 1.0, "bucketed as-of (r3 phantom-carry plan: 3 "
+     "exchanges, no join): hot key splits into day-buckets; the extra "
+     "small stages are constant-cost — this row is the evidence behind "
+     "bench.py's skew-ratio envelope"),
+]
+
+
+def synthesize(spark) -> None:
+    """Write the 10x tables (+ passthrough copies) under DST."""
+    os.makedirs(DST, exist_ok=True)
+    spine = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("__k")
+
+    docs = load_table(spark, SRC, "documents")
+    (docs.select("*", spine)
+     .select(
+         (F.col("doc_id") + F.col("__k") * F.lit(10_000_000)).alias("doc_id"),
+         F.array_join(
+             F.transform(F.split("text", " "),
+                         lambda t: F.concat(t, F.lit("_"), F.col("__k"))),
+             " ").alias("text"),
+         "lang", "source", "n_chars")
+     .write.mode("overwrite").parquet(f"{DST}/documents.parquet"))
+
+    emb = load_table(spark, SRC, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    shifted = F.concat(
+        F.slice(F.col("embedding"), (F.col("__k") % dims) + 1,
+                dims),  # slice clamps at the end
+        F.slice(F.col("embedding"), 1, F.col("__k") % dims))
+    (emb.select("*", spine)
+     .select(
+         (F.col("vec_id") + F.col("__k") * F.lit(10_000_000)).alias("vec_id"),
+         shifted.alias("embedding"), "label")
+     .write.mode("overwrite").parquet(f"{DST}/embeddings.parquet"))
+
+    ev = load_table(spark, SRC, "events")
+    (ev.select("*", spine)
+     .select(
+         (F.col("event_id") + F.col("__k") * F.lit(100_000_000)).alias("event_id"),
+         "ts",
+         (F.col("user_id") + F.col("__k") * F.lit(10_000_000)).alias("user_id"),
+         "event_type", "value", "props")
+     .write.mode("overwrite").parquet(f"{DST}/events.parquet"))
+
+    li = load_table(spark, SRC, "lineitem")
+    (li.select("*", spine)
+     .select(
+         (F.col("l_orderkey") + F.col("__k") * F.lit(100_000_000)).alias("l_orderkey"),
+         *[c for c in li.columns if c != "l_orderkey"])
+     .write.mode("overwrite").parquet(f"{DST}/lineitem.parquet"))
+
+    od = load_table(spark, SRC, "orders")
+    (od.select("*", spine)
+     .select(
+         (F.col("o_orderkey") + F.col("__k") * F.lit(100_000_000)).alias("o_orderkey"),
+         (F.col("o_custkey") + F.col("__k") * F.lit(10_000_000)).alias("o_custkey"),
+         *[c for c in od.columns if c not in ("o_orderkey", "o_custkey")])
+     .write.mode("overwrite").parquet(f"{DST}/orders.parquet"))
+
+    cu = load_table(spark, SRC, "customer")
+    (cu.select("*", spine)
+     .select(
+         (F.col("c_custkey") + F.col("__k") * F.lit(10_000_000)).alias("c_custkey"),
+         *[c for c in cu.columns if c != "c_custkey"])
+     .write.mode("overwrite").parquet(f"{DST}/customer.parquet"))
+
+    for t in ("region", "nation", "supplier", "part"):
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet")
+
+
+def run_case(spark, case: str, sf_dir: str) -> float:
+    if case == "l25@9planes":
+        from nf2pq_spark.plans.curation import l25_semdedup_srp
+        fn = lambda s, d: l25_semdedup_srp(s, d, n_planes=9)  # noqa: E731
+    else:
+        fn = plans.REGISTRY[case].fn
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warmup (JIT, listings)
+    return round(min(once(), once()), 3)
+
+
+def main() -> None:
+    spark = get_spark("nf2pq_spark-scale-stress", cpus="32")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv and os.path.exists(DST):
+        shutil.rmtree(DST)
+    if not os.path.exists(f"{DST}/events.parquet"):
+        print(f"synthesizing {K}x corpus at {DST} ...", file=sys.stderr)
+        synthesize(spark)
+
+    print(f"| query | t@sf0.1 | t@10x | ratio | exponent | expected | why |")
+    print(f"|---|---|---|---|---|---|---|")
+    for case, expected, why in CASES:
+        t1 = run_case(spark, case, SRC)
+        t10 = run_case(spark, case, DST)
+        exp = round(math.log10(max(t10, 1e-9) / max(t1, 1e-9)), 2)
+        flag = " **!**" if exp > expected + 0.3 else ""
+        print(f"| {case} | {t1}s | {t10}s | {round(t10 / t1, 2)}x "
+              f"| {exp}{flag} | ~{expected} | {why} |")
+
+
+if __name__ == "__main__":
+    main()
