@@ -1,10 +1,12 @@
 """The grading driver's correctness sweep covers the FIRST 50 registered
 queries, and its evidence accumulates across rounds. plans/__init__.py
-curates that prefix; this test pins it so a future module reshuffle or new
-@register cannot silently reorder the registry and waste the sweep (r1
-post-mortem: all 50 slots went to one module), and pins the ROTATION
-property (r2 post-mortem: a frozen prefix would re-prove the same 50
-queries forever while 150+ never earn a driver row).
+COMPUTES that prefix at import — five fixed canaries + 45 never-graded
+queries, where "graded" is read from the committed CORRECTNESS_r*.json
+files — so every round automatically extends the cumulative driver-green
+union (r1 post-mortem: all 50 slots went to one module; r2 post-mortem:
+a frozen prefix would re-prove the same 50 queries forever). These tests
+pin the registry ordering, the canaries, the rotation property, and the
+algorithm's behavior on synthetic grade sets.
 """
 
 from __future__ import annotations
@@ -14,11 +16,6 @@ import os
 
 from nf2pq_spark import plans
 
-_CANARIES = (
-    "q1_pricing_summary", "a8_collect", "st1_stream_tumbling",
-    "s6_netflow_v5_decode", "l2d_neardup_components",
-)
-
 
 def test_first_50_are_the_curated_prefix():
     assert len(plans.CURATED_PREFIX) == 50
@@ -27,32 +24,67 @@ def test_first_50_are_the_curated_prefix():
 
 
 def test_prefix_keeps_the_canaries():
-    for name in _CANARIES:
+    assert len(plans.CANARIES) == 5
+    for name in plans.CANARIES:
         assert name in plans.CURATED_PREFIX, f"canary {name} dropped"
 
 
-def test_prefix_rotates_to_never_graded_queries():
-    """>=45 prefix slots must go to queries with no CORRECTNESS row in any
-    prior round — driver evidence accumulates, so re-grading old names
-    wastes slots. Skipped quietly if the grade files aren't present (e.g.
-    a bare checkout)."""
+def _committed_graded() -> set[str]:
     graded: set[str] = set()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for fn in sorted(os.listdir(root)):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(root, fn)) as f:
                 graded |= set(json.load(f))
+    return graded
+
+
+def test_prefix_rotates_to_never_graded_queries():
+    """>=45 prefix slots must go to queries with no CORRECTNESS row in any
+    committed round — until the never-graded pool itself runs dry."""
+    graded = _committed_graded()
     if not graded:
-        return
+        return  # bare checkout without grade files
+    ungraded_total = sum(1 for n in plans.REGISTRY if n not in graded)
     first_time = [n for n in plans.CURATED_PREFIX if n not in graded]
-    assert len(first_time) >= 45 or len(graded) >= len(plans.REGISTRY) - 5, (
-        f"only {len(first_time)} first-time names in the prefix; "
-        f"rotate out already-graded queries"
+    assert len(first_time) >= min(45, ungraded_total), (
+        f"only {len(first_time)} first-time names in the prefix "
+        f"({ungraded_total} never-graded queries remain)"
     )
 
 
+def test_rotation_algorithm_on_synthetic_grade_sets():
+    reg = list(plans.REGISTRY)
+
+    # nothing graded: canaries + the priority seed head the prefix
+    p0 = plans.compute_prefix(frozenset())
+    assert p0[:5] == plans.CANARIES and len(set(p0)) == 50
+
+    # one round lands: the next prefix is 45 entirely-new names
+    p1 = plans.compute_prefix(frozenset(p0))
+    assert p1[:5] == plans.CANARIES
+    fresh = [n for n in p1 if n not in set(p0)]
+    assert len(fresh) == 45
+
+    # successive rounds never re-grade until the pool is dry, and the
+    # union reaches the whole registry
+    graded: set[str] = set()
+    rounds = 0
+    while len(graded) < len(reg) and rounds < 10:
+        graded |= set(plans.compute_prefix(frozenset(graded)))
+        rounds += 1
+    assert len(graded) == len(reg), "rotation never covers some queries"
+    assert rounds <= (len(reg) - 5) // 45 + 2
+
+    # everything graded: still a full, duplicate-free, canary-led prefix
+    pc = plans.compute_prefix(frozenset(reg))
+    assert pc[:5] == plans.CANARIES and len(set(pc)) == 50
+
+
 def test_prefix_is_mostly_oracle_backed():
-    # the sweep is only useful if the prefix rows carry hard hash checks
+    # the sweep is only useful if the prefix rows carry hard hash checks;
+    # the registry has 7 rows-only queries and the rotation sends them
+    # last, so no prefix can hold more than those 7
     specs = [plans.REGISTRY[n] for n in plans.CURATED_PREFIX]
     n_oracle = sum(1 for s in specs if s.oracle)
-    assert n_oracle >= 48, f"only {n_oracle}/50 prefix queries have oracles"
+    assert n_oracle >= 43, f"only {n_oracle}/50 prefix queries have oracles"
