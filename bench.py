@@ -77,7 +77,7 @@ def main() -> None:
     # therefore wanders 1.3-2.6 on identical code (r2 driver saw 1.53 on
     # the OLD 6-exchange plan; the r3 plan is 3 exchanges, no join).
     # skew_overhead_sec is the stable invariant to track; the 10x scale
-    # table in PLANS.md shows both queries scaling sub-linearly
+    # table in SCALE_STRESS.md shows both queries scaling sub-linearly
     # (exponents 0.15-0.2), i.e. still overhead-dominated at 1M rows.
     if "j8c_asof_hot_key" in timings and "j8_asof_join" in timings:
         ratio = round(

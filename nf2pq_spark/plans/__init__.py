@@ -84,7 +84,10 @@ def _graded_names() -> frozenset[str]:
             try:
                 with open(os.path.join(root, fn)) as f:
                     names |= set(json.load(f))
-            except (OSError, ValueError):
+            except (OSError, ValueError, TypeError):
+                # a malformed or unexpectedly-shaped grade file (e.g. a
+                # list of result objects) must degrade the rotation, not
+                # brick every import of the package
                 continue
     return frozenset(names)
 

@@ -261,8 +261,6 @@ def _srp_sign(p: int, i: int) -> float:
 )
 def l25_semdedup_srp(spark, sf_dir, n_planes=_SRP_PLANES,
                      max_bucket=_SRP_MAX_BUCKET):
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
@@ -274,23 +272,27 @@ def l25_semdedup_srp(spark, sf_dir, n_planes=_SRP_PLANES,
             F.lit(0.0), lambda acc, x: acc + x,
         )
         bits.append(F.when(dot_p >= 0, "1").otherwise("0"))
-    # materialize the signature table (WITH the bucket population — the
-    # count window rides the same data and is computed once here): it
-    # feeds the self-join (both sides) AND the final keep/drop accounting
-    # — unmaterialized, the embeddings scan + signature folds ran three
+    # materialize the signature table: it feeds the bucket counts, the
+    # self-join (both sides) AND the final keep/drop accounting —
+    # unmaterialized, the embeddings scan + signature folds ran three
     # times (audited). Signatures add one small column to the embedding
     # rows, so this is the "write the sketch once" pattern, not a corpus
     # copy.
-    sig = (
-        e.withColumn("bucket", F.concat(*bits))
-        .withColumn("__bn",
-                    F.count(F.lit(1)).over(Window.partitionBy("bucket")))
-        .localCheckpoint(eager=True)
-    )
+    sig = e.withColumn("bucket", F.concat(*bits)).localCheckpoint(eager=True)
     # hot-bucket guard: members of buckets above the cap skip pairing
     # (kept in accounting) — without it one degenerate bucket is a b²
-    # join; same policy as operators.dedup.lsh_candidate_pairs
-    paired = sig.filter(F.col("__bn") <= max_bucket)
+    # join; same policy as operators.dedup.lsh_candidate_pairs. The
+    # population comes from a groupBy on the checkpointed signatures
+    # (map-side partial -> tiny (bucket, count) shuffle) broadcast back
+    # as a semi-join filter — NOT a count window over the corpus, which
+    # would full-width-shuffle every vector on bucket and serialize the
+    # exact hot bucket the guard defends against into one unsplittable
+    # window task.
+    ok_buckets = (
+        sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket).select("bucket")
+    )
+    paired = sig.join(F.broadcast(ok_buckets), "bucket")
     a = paired.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
                       "bucket")
     b = paired.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),

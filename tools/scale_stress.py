@@ -54,14 +54,19 @@ CASES = [
     ("q1_pricing_summary", 1.0, "single scan+agg; linear baseline"),
     ("l2d_neardup_components", 1.0, "pair graph x10 by construction "
      "(independent replicas); CC cost O(pairs)"),
-    ("l25_semdedup_srp", 2.0, "FIXED 6-plane bucketing: 64 buckets hold "
-     "10x members -> within-bucket pairs x100. The documented mitigation "
-     "is scaling n_planes with the corpus — see the l25@9planes row"),
-    ("l25@9planes", 1.0, "same corpus, n_planes=9 (512 buckets): bucket "
-     "population restored -> pair count ~linear again. NOTE: at this n "
-     "the +3 signature folds (64-dim each) cost more than the pair "
-     "savings — the crossover where extra planes pay is bucket "
-     "population >> vector dims, i.e. real corpus sizes"),
+    ("l25_semdedup_srp", 1.0, "the SHIPPED config (6 planes, "
+     "max_bucket=200): at 10x, ~93% of the 20k vectors sit in buckets "
+     "above the cap and are excluded from pairing — this row measures "
+     "the GUARD bounding the quadratic as designed, not pairing cost"),
+    ("l25@6planes_uncapped", 2.0, "guard disabled: 64 fixed buckets hold "
+     "10x members -> within-bucket pairs x100. This is the raw "
+     "fixed-plane quadratic the guard and the n_planes parameter exist "
+     "for"),
+    ("l25@9planes_uncapped", 1.5, "guard disabled, n_planes=9 (512 "
+     "buckets): 8x more buckets -> ~8x fewer pairs than 6-plane "
+     "uncapped at the same n; the residual superlinearity is the "
+     "remaining population growth (planes must keep scaling with "
+     "log2(n))"),
     ("j17_interval_overlap_join", 2.0, "OUTPUT is every concurrent pair: "
      "10x density on the same time axis -> Theta(n^2) result rows; plan "
      "cost is O(output), which is optimal for this query"),
@@ -72,6 +77,23 @@ CASES = [
      "exchanges, no join): hot key splits into day-buckets; the extra "
      "small stages are constant-cost — this row is the evidence behind "
      "bench.py's skew-ratio envelope"),
+    ("l2_minhash_bands", 1.0, "per-doc shingle+md5 folds; no pairing"),
+    ("l16_decontamination", 1.0, "eval-gram set broadcast, one train "
+     "pass"),
+    ("l24_dsir_weights", 1.0, "one (doc,bucket) count table, weights "
+     "broadcast"),
+    ("l26_incremental_dedup", 1.0, "new-batch fingerprints anti-join "
+     "the seen set"),
+    ("g2_copurchase_pairs", 1.0, "per-order pair expansion capped at "
+     "10 parts/order — pair count linear in orders"),
+    ("g3_triangle_count", 1.0, "triangles on the aggregated small "
+     "graph; the fact aggregation is the linear part"),
+    ("sql6_volume_shipping", 1.0, "TPC-H Q7 shape: broadcast dims + "
+     "one fact shuffle"),
+    ("a19_two_phase_skew_agg", 1.0, "salted partial agg then final agg "
+     "over salt groups"),
+    ("j14_salted_skew_join", 1.0, "salted replicated-dim join"),
+    ("t12_interval_union", 1.0, "per-user interval sweep windows"),
 ]
 
 
@@ -140,9 +162,12 @@ def synthesize(spark) -> None:
 
 
 def run_case(spark, case: str, sf_dir: str) -> float:
-    if case == "l25@9planes":
+    if case.startswith("l25@"):
         from nf2pq_spark.plans.curation import l25_semdedup_srp
-        fn = lambda s, d: l25_semdedup_srp(s, d, n_planes=9)  # noqa: E731
+        n = 9 if "9planes" in case else 6
+        cap = 10**9 if "uncapped" in case else None
+        fn = (lambda s, d: l25_semdedup_srp(  # noqa: E731
+            s, d, n_planes=n, max_bucket=cap or 200))
     else:
         fn = plans.REGISTRY[case].fn
 
@@ -164,8 +189,18 @@ def main() -> None:
         print(f"synthesizing {K}x corpus at {DST} ...", file=sys.stderr)
         synthesize(spark)
 
-    print(f"| query | t@sf0.1 | t@10x | ratio | exponent | expected | why |")
-    print(f"|---|---|---|---|---|---|---|")
+    print("# SCALE_STRESS — 10x synthetic scale run (dev-only)")
+    print()
+    print("Generated by `python tools/scale_stress.py > SCALE_STRESS.md` "
+          "(see the module docstring for the corpus construction). "
+          "Wall-times are machine-sensitive; the EXPONENT column "
+          "(log10(t10/t1)) is the signal. An operator whose empirical "
+          "exponent exceeds its expectation by >0.3 is flagged **!**. "
+          "Sub-linear exponents mean fixed overhead still dominates at "
+          "these sizes.")
+    print()
+    print("| query | t@sf0.1 | t@10x | ratio | exponent | expected | why |")
+    print("|---|---|---|---|---|---|---|")
     for case, expected, why in CASES:
         t1 = run_case(spark, case, SRC)
         t10 = run_case(spark, case, DST)
