@@ -563,7 +563,9 @@ def l8_jaccard_pairs(spark, sf_dir):
 )
 def l7_tfidf_top_term(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # parquet count(*): footer metadata, no column read
+    # corpus size as a broadcast 1-row aggregate (metadata-only count),
+    # folded into the single plan — no separate eager driver job
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # one corpus pass: DF derives from the materialized TF table ((doc,term)
     # rows are unique there, so df = row count per term) instead of a second
@@ -571,9 +573,14 @@ def l7_tfidf_top_term(spark, sf_dir):
     tf = (terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
           .localCheckpoint(eager=True))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id", "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id", "term",
+            (F.col("tf") * F.log(F.col("__n_docs") / F.col("df")))
+            .alias("score"),
+        )
     )
     from pyspark.sql.window import Window
 

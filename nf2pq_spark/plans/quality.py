@@ -241,7 +241,6 @@ def a18b_cms_error_gate(spark, sf_dir):
 
     eps = 0.001
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    n_total = ev.count()
     sketch = _read_sketch(
         spark, count_min_sketch_bytes(ev, "user_id", eps=eps))
     est_df = spark.createDataFrame(
@@ -249,8 +248,13 @@ def a18b_cms_error_gate(spark, sf_dir):
         "user_id long, __est long")
     exact = (ev.filter(F.col("user_id") < 10)
              .groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")))
-    slack = int(eps * n_total) + 1
-    return exact.join(F.broadcast(est_df), "user_id").select(
+    # the CMS error bound eps*N as a broadcast 1-row aggregate folded into
+    # the plan (no separate eager count job); floor(eps*N)+1 == the
+    # previous int(eps*n_total)+1 for non-negative N
+    nt = ev.agg(F.count(F.lit(1)).alias("__n_total"))
+    slack = F.floor(F.lit(eps) * F.col("__n_total")).cast("long") + 1
+    return exact.join(F.broadcast(est_df), "user_id").join(
+        F.broadcast(nt)).select(
         "user_id", "exact_n",
         F.when((F.col("__est") >= F.col("exact_n"))
                & (F.col("__est") <= F.col("exact_n") + slack), 1)
