@@ -121,6 +121,53 @@ def test_l25_guard_off_still_dedups_under_cap(spark, tmp_path):
     assert sum(r.n_kept for r in rows) == 1
 
 
+def test_j17_first_common_bucket_counts_each_pair_once(spark):
+    """Property: the time-bucket-blocked overlap join with
+    first-common-bucket emission (no dedup shuffle) produces exactly the
+    brute-force pair count — incl. intervals spanning a bucket edge,
+    where the pair shares TWO buckets and must not double-count."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    B = 600
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 3000), st.integers(0, 599)),
+                    min_size=2, max_size=25))
+    def check(rows):
+        iv = [(i, i % 3, s, s + ln) for i, (s, ln) in enumerate(rows)]
+        want = sum(
+            1 for (ia, ua, sa, ea), (ib, ub, sb, eb)
+            in itertools.combinations(iv, 2)
+            if ua != ub and sa <= eb and sb <= ea
+        )
+        df = spark.createDataFrame(
+            iv, "event_id long, user_id long, s long, e long")
+        ex = df.withColumn(
+            "bkt", F.explode(F.sequence(F.floor(F.col("s") / B),
+                                        F.floor(F.col("e") / B))))
+        a = ex.select(*[F.col(c).alias(f"a_{c}")
+                        for c in ("event_id", "user_id", "s", "e")], "bkt")
+        b = ex.select(*[F.col(c).alias(f"b_{c}")
+                        for c in ("event_id", "user_id", "s", "e")], "bkt")
+        got = (
+            a.join(b, "bkt")
+            .filter((F.col("a_event_id") < F.col("b_event_id"))
+                    & (F.col("a_user_id") != F.col("b_user_id"))
+                    & (F.col("a_s") <= F.col("b_e"))
+                    & (F.col("b_s") <= F.col("a_e"))
+                    & (F.col("bkt")
+                       == F.floor(F.greatest("a_s", "b_s") / B)))
+            .count()
+        )
+        assert got == want, (rows, got, want)
+
+    check()
+
+
 def test_g1_pagerank_mass_and_floor(spark, sf_dir):
     """Leaky formulation: every rank ≥ (1−d)/N and total mass ≤ 1."""
     rows = plans.REGISTRY["g1_nation_pagerank"].fn(spark, sf_dir).collect()
