@@ -67,18 +67,17 @@ def main() -> None:
         "n_registered": len(plans.REGISTRY),
     }
     # skew resilience: the 80/20 hot-key as-of (bucketed operator) vs the
-    # uniform-key as-of — the design target is a ratio ≤ 2 (the plain
-    # formulation would serialize the hot key into one task and blow past
-    # that at scale). NOISE ENVELOPE, measured r3: at sf0.1 (100k events)
-    # the bucketed plan's cost is 2-3 extra SMALL sequential stages
-    # (summary agg + carry window + phantom union; ~0.1 s local-mode
-    # dispatch each), a CONSTANT ~0.3-0.5 s independent of machine load —
-    # while the ~0.35 s denominator swings ±30% under load. The ratio
+    # uniform-key as-of. The segmented scan's STRUCTURAL cost is ~2x the
+    # uniform baseline (one extra column-pruned pass for the bucket
+    # summary/spine — measured 2.26 at 10M events, SCALE_STRESS.md 100x
+    # tier); that is the price of not serializing the hot key into one
+    # task, which at cluster scale never finishes. NOISE ENVELOPE,
+    # measured r3: at sf0.1 (100k events) 2-3 extra SMALL sequential
+    # stages add a CONSTANT ~0.3-0.5 s independent of machine load,
+    # while the ~0.35 s denominator swings ±30% under load — the ratio
     # therefore wanders 1.3-2.6 on identical code (r2 driver saw 1.53 on
     # the OLD 6-exchange plan; the r3 plan is 3 exchanges, no join).
-    # skew_overhead_sec is the stable invariant to track; the 10x scale
-    # table in SCALE_STRESS.md shows both queries scaling sub-linearly
-    # (exponents 0.15-0.2), i.e. still overhead-dominated at 1M rows.
+    # skew_overhead_sec is the stable invariant to track.
     if "j8c_asof_hot_key" in timings and "j8_asof_join" in timings:
         ratio = round(
             timings["j8c_asof_hot_key"] / max(timings["j8_asof_join"], 1e-9), 2)

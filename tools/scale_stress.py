@@ -21,11 +21,15 @@ cannot collide:
   and supplier keys untouched so g1's 625-row edge list stays fixed.
 
 Run:  python tools/scale_stress.py [--regen] > SCALE_STRESS.md
-Prints a wall-time table (min-of-2 after warmup, same timing protocol as
-bench.py) with the empirical scaling exponent log10(t10/t1) per query,
-and the expected exponent with the reason. Kept OUT of PLANS.md because
-these are measured wall-times — PLANS.md must stay byte-regenerable for
-the staleness test (tests/test_plan_staleness.py).
+Prints two wall-time tables (min-of-2 after warmup, same timing protocol
+as bench.py): the 10x tier over the full heavy-tail case list, and a
+100x events-only amortization tier (10M rows) that shows the sub-linear
+10x exponents converging toward true linear cost as fixed stage overhead
+washes out. Each row carries the empirical scaling exponent
+log10(t_big/t_small) and the expected exponent with the reason. Kept OUT
+of PLANS.md because these are measured wall-times — PLANS.md must stay
+byte-regenerable for the staleness test (tests/test_plan_staleness.py).
+Takes ~10 minutes end-to-end on an otherwise idle machine.
 """
 
 from __future__ import annotations
@@ -95,6 +99,42 @@ CASES = [
     ("j14_salted_skew_join", 1.0, "salted replicated-dim join"),
     ("t12_interval_union", 1.0, "per-user interval sweep windows"),
 ]
+
+#: 100x amortization tier (events-only, 10M rows): the 10x table's
+#: sub-linear exponents mean fixed stage overhead still dominates at 1M
+#: rows — this tier shows the same operators converging toward true
+#: linear cost, and in particular whether the bucketed as-of's constant
+#: overhead (bench.py's skew-ratio envelope) washes out at real sizes.
+K100 = 100
+DST100 = "/tmp/nf2pq_scale100"
+CASES_100 = [
+    ("j8_asof_join", 1.0, "one shuffle + per-user windows"),
+    ("j8c_asof_hot_key", 1.0, "hot key = 8M of 10M events, split into "
+     "~30 day-buckets; at data-dominated sizes the segmented scan costs "
+     "~2x the uniform baseline — one extra column-pruned pass for the "
+     "bucket summary/spine — which is the structural price of skew "
+     "resilience (the plain window on this key would be ONE 8M-row "
+     "task and at cluster scale never finishes)"),
+    ("a19_two_phase_skew_agg", 1.0, "salted partial agg"),
+    ("t12_interval_union", 1.0, "per-user interval sweep windows"),
+    ("t1_tumbling_hour", 1.0, "tumbling-window rollup"),
+]
+
+
+def synthesize_events_100x(spark) -> None:
+    """Write the 100x events table under DST100 (events-only tier)."""
+    os.makedirs(DST100, exist_ok=True)
+    spine = F.explode(F.sequence(F.lit(0), F.lit(K100 - 1))).alias("__k")
+    ev = load_table(spark, SRC, "events")
+    k = F.col("__k").cast("long")  # k*1e8 overflows int32 past k=21
+    (ev.select("*", spine)
+     .select(
+         (F.col("event_id") + k * F.lit(100_000_000)).alias("event_id"),
+         "ts",
+         (F.col("user_id") + k * F.lit(10_000_000)).alias("user_id"),
+         "event_type", "value", "props")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{DST100}/events.parquet"))
 
 
 def synthesize(spark) -> None:
@@ -208,6 +248,40 @@ def main() -> None:
         flag = " **!**" if exp > expected + 0.3 else ""
         print(f"| {case} | {t1}s | {t10}s | {round(t10 / t1, 2)}x "
               f"| {exp}{flag} | ~{expected} | {why} |")
+
+    if not os.path.exists(f"{DST100}/events.parquet"):
+        print(f"synthesizing {K100}x events at {DST100} ...", file=sys.stderr)
+        synthesize_events_100x(spark)
+    print()
+    print("## 100x amortization tier (events-only, 10M rows)")
+    print()
+    print("Exponents here are log10(t100/t10)/1 over the 10x→100x step; "
+          "convergence toward ~1.0 confirms the sub-linear 10x numbers "
+          "were fixed overhead, not mismeasured work. The j8c/j8 ratio "
+          "at this size is the scale-side answer to bench.py's "
+          "skew-ratio envelope.")
+    print()
+    print("| query | t@10x | t@100x | ratio | exponent | expected | why |")
+    print("|---|---|---|---|---|---|---|")
+    t100s = {}
+    for case, expected, why in CASES_100:
+        t10 = run_case(spark, case, DST)
+        t100 = run_case(spark, case, DST100)
+        t100s[case] = t100
+        exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
+        flag = " **!**" if exp > expected + 0.3 else ""
+        print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
+              f"| {exp}{flag} | ~{expected} | {why} |")
+    if "j8_asof_join" in t100s and "j8c_asof_hot_key" in t100s:
+        r = round(t100s["j8c_asof_hot_key"] / t100s["j8_asof_join"], 2)
+        print()
+        print(f"**j8c/j8 ratio at 100x: {r}** — the structural ~2x of "
+              "the segmented scan (one extra column-pruned pass), not "
+              "overhead; the sf0.1 envelope 1.3-2.6 is stage-dispatch "
+              "noise on top of it. The honest comparison at scale is vs "
+              "the plain window ON the skewed key, which serializes the "
+              "hot key into a single task and does not complete at "
+              "cluster sizes.")
 
 
 if __name__ == "__main__":
