@@ -28,7 +28,13 @@ from ..functions.vectors import cosine, dot
 
 
 def _ranked(joined: DataFrame, k: int, round_to: int = 6) -> DataFrame:
-    w = Window.partitionBy("q_id").orderBy(F.desc("__cos"), F.asc("c_id"))
+    # rank on the ROUNDED cosine (ties to the smaller candidate id): the
+    # oracle engine's cosine can differ from Spark's fold in the last ulp,
+    # so an unrounded ordering could flip near-tied neighbors at the
+    # rank-k boundary in one engine only (cross-engine float rule — same
+    # as the l25/l3c threshold comparisons)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("__cos", round_to)), F.asc("c_id"))
     return (
         joined.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)

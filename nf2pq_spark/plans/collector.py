@@ -10,6 +10,7 @@ aggregated — a full binary round-trip under the hash gate.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pandas as pd
 
@@ -122,8 +123,13 @@ def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
             ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
             .applyInPandas(pack_group, schema="bucket int, n long")
         )
-        # O(buckets) rows to the driver — a write barrier, not data movement
-        assert status.count() > 0
+        # O(buckets) rows to the driver — a write barrier, not data
+        # movement. An ordinary statement, NOT an assert: under python -O
+        # an assert (and the pack job inside it) would be stripped
+        # entirely, caching _DONE over an empty directory.
+        n_buckets = status.count()
+        if n_buckets == 0:
+            raise RuntimeError(f"capture synthesis packed 0 buckets at {out}")
         with open(done, "w") as fh:
             fh.write("ok")
     return out
@@ -457,61 +463,63 @@ def m1b_map_transform(spark, sf_dir):
     )
 
 
-def _seed_csv_fixture() -> None:
-    """Pre-seed the s4 CSV directory at import so the oracle side is valid
-    regardless of whether the driver evaluates it before or after the Spark
-    query (the query fn overwrites the directory distributed when it runs).
-    Written from the grading scale's parquet via DuckDB — a single-node
-    fixture-prep step outside the graded Spark plan. Doubles go out in
-    round-trip repr, matching what df.write.csv produces semantically."""
+def _seed_dir_fixture(src: str, dst: str, filename: str,
+                      copy_sql: str) -> None:
+    """Pre-seed an S4 scan directory at import so the oracle side is valid
+    regardless of whether the driver evaluates it before or after the
+    Spark query (the query fn overwrites the directory distributed when it
+    runs). Written from the grading scale's parquet via DuckDB — a
+    single-node fixture-prep step outside the graded Spark plan.
+
+    Hardened (r3 review, one helper so fixes can't drift between the CSV
+    and JSON copies): the guard checks for ANY data file of the format —
+    after the query fn's distributed overwrite replaced the seed with
+    Spark part files, a warm-restart import must NOT drop a second copy
+    of the dataset next to them (the oracle globs the whole directory) —
+    and the export goes to a per-process tmp name + atomic os.replace so
+    a concurrent reader never sees a truncated seed (the
+    _seed_corrupt_csv_fixture recipe)."""
+    import glob as _glob
     import sys
+    import tempfile
 
     import duckdb
 
-    src = "/root/testdata/sf0.01/customer.parquet"
-    dst = "/tmp/nf2pq_csv_customer"
-    if os.path.exists(src) and not os.path.exists(os.path.join(dst, "seed.csv")):
-        try:
-            os.makedirs(dst, exist_ok=True)
-            con = duckdb.connect()
-            con.execute(
-                f"COPY (SELECT c_custkey, c_name, c_nationkey, "
-                f"c_acctbal, c_mktsegment "
-                f"FROM read_parquet('{src}') ORDER BY c_custkey) "
-                f"TO '{dst}/seed.csv' (HEADER, DELIMITER ',')"
-            )
-            con.close()
-        except Exception as exc:  # pragma: no cover - env-dependent
-            print(f"s4 csv seed skipped: {exc!r}", file=sys.stderr)
+    ext = os.path.splitext(filename)[1]
+    if not os.path.exists(src) or _glob.glob(os.path.join(dst, f"*{ext}")):
+        return
+    tmp = None
+    try:
+        os.makedirs(dst, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(prefix="nf2pq_seed_", suffix=".tmp",
+                                   dir=dst)
+        os.close(fd)
+        con = duckdb.connect()
+        con.execute(copy_sql.format(src=src, dst=tmp))
+        con.close()
+        os.replace(tmp, os.path.join(dst, filename))
+        tmp = None
+    except Exception as exc:  # pragma: no cover - env-dependent
+        print(f"seed {dst} skipped: {exc!r}", file=sys.stderr)
+    finally:
+        if tmp and os.path.exists(tmp):
+            os.remove(tmp)
 
 
-_seed_csv_fixture()
-
-
-def _seed_json_fixture() -> None:
-    """Same contract as the CSV seed, for the S4 JSON scan: newline-
-    delimited JSON exported once from the grading-scale parquet."""
-    import sys
-
-    import duckdb
-
-    src = "/root/testdata/sf0.01/events.parquet"
-    dst = "/tmp/nf2pq_json_events"
-    if os.path.exists(src) and not os.path.exists(os.path.join(dst, "seed.json")):
-        try:
-            os.makedirs(dst, exist_ok=True)
-            con = duckdb.connect()
-            con.execute(
-                f"COPY (SELECT event_id, user_id, event_type, value "
-                f"FROM read_parquet('{src}') ORDER BY event_id) "
-                f"TO '{dst}/seed.json' (FORMAT JSON)"
-            )
-            con.close()
-        except Exception as exc:  # pragma: no cover - env-dependent
-            print(f"s4b json seed skipped: {exc!r}", file=sys.stderr)
-
-
-_seed_json_fixture()
+_seed_dir_fixture(
+    "/root/testdata/sf0.01/customer.parquet",
+    "/tmp/nf2pq_csv_customer", "seed.csv",
+    "COPY (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM read_parquet('{src}') ORDER BY c_custkey) "
+    "TO '{dst}' (FORMAT CSV, HEADER, DELIMITER ',')",
+)
+_seed_dir_fixture(
+    "/root/testdata/sf0.01/events.parquet",
+    "/tmp/nf2pq_json_events", "seed.json",
+    "COPY (SELECT event_id, user_id, event_type, value "
+    "FROM read_parquet('{src}') ORDER BY event_id) "
+    "TO '{dst}' (FORMAT JSON)",
+)
 
 
 @register(
@@ -726,7 +734,10 @@ def _sampled_dir(spark, sf_dir: str) -> str:
                         % _N_PACK_BUCKETS).alias("s"))
             .applyInPandas(pack_group, schema="exp int, n long")
         )
-        assert status.count() > 0
+        # ordinary statement, not assert — see _datagram_dir's barrier
+        n_groups = status.count()
+        if n_groups == 0:
+            raise RuntimeError(f"sampled synthesis packed 0 groups at {out}")
         with open(done, "w") as fh:
             fh.write("ok")
     return out
@@ -1064,6 +1075,11 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     out = f"/tmp/nf2pq_flows_written_{tag}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
+        # no _DONE = either first run or a PARTIAL previous run that died
+        # mid-write; clear leftovers so the rewrite can't duplicate flows
+        # (the writer's deterministic per-partition names make in-run task
+        # retries safe, this makes cross-run retries safe)
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         flows = _flow_columns(load_table(spark, sf_dir, "events"))
         flows.write.format("nfcapture").mode("append").save(out)

@@ -322,8 +322,9 @@ def l2e_neardup_dedup_keep(spark, sf_dir):
       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
              CAST(ROW_NUMBER() OVER (
                   PARTITION BY q.vec_id
-                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                  ORDER BY ROUND(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])), 6) DESC,
                            c.vec_id) AS BIGINT) AS rn,
              CAST(ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                                CAST(c.embedding AS DOUBLE[])), 6)
@@ -333,8 +334,10 @@ def l2e_neardup_dedup_keep(spark, sf_dir):
     WHERE rn <= 5
     """,
     description="brute-force exact top-5 cosine neighbors for 10 query "
-    "vectors (L3). Scale: queries broadcast, candidates stream once, "
-    "ranking shuffles on q_id only.",
+    "vectors (L3); both engines rank on the 6dp-rounded cosine so a "
+    "last-ulp cross-engine divergence can't flip near-tied neighbors at "
+    "the rank-k boundary. Scale: queries broadcast, candidates stream "
+    "once, ranking shuffles on q_id only.",
     tags=("L3",),
     bench=True,
 )

@@ -217,8 +217,12 @@ class CaptureWriter(DataSourceWriter):
     sp/dp/pr/flg/ipkt/ibyt/ts_ms/te_ms/sas/das — see
     :data:`nf2pq_spark.sources.ipfix._IE_KEYS`). Files are written
     atomically (tmp + rename, like the rotation bridge), so a concurrent
-    reader or stream never sees a partial capture. Exactly the reverse of
-    :class:`CaptureReader`: write → read round-trips the flow table.
+    reader or stream never sees a partial capture, and are named
+    DETERMINISTICALLY by partition id — a retried or speculative task
+    replaces its own previous file instead of duplicating flows (the
+    same recipe as :class:`CaptureStreamWriter`'s (batch, partition)
+    names). Exactly the reverse of :class:`CaptureReader`: write → read
+    round-trips the flow table.
     """
 
     def __init__(self, options, overwrite: bool):
@@ -229,7 +233,7 @@ class CaptureWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import uuid
+        from pyspark import TaskContext
 
         from .ipfix import encode_netflow_v5, write_capture_file
 
@@ -237,7 +241,8 @@ class CaptureWriter(DataSourceWriter):
         if flows:
             os.makedirs(self.path, exist_ok=True)
             dgrams = encode_netflow_v5(flows)
-            fname = f"cap_w_{uuid.uuid4().hex}.bin"
+            pid = TaskContext.get().partitionId()
+            fname = f"cap_w_{pid:05d}.bin"
             write_capture_file(os.path.join(self.path, fname), dgrams)
         return WriterCommitMessage()
 

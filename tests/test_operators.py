@@ -841,3 +841,32 @@ def test_connected_components_long_chain_converges(spark):
            for r in connected_components(
                edges, small_graph_edges=0).collect()}
     assert got == {i: 0 for i in range(60)}
+
+
+def test_seed_dir_fixture_guard_and_atomicity(tmp_path):
+    """r3 review regression: after the query fn's distributed overwrite
+    replaced seed.csv with Spark part files, a warm-restart import must
+    NOT drop a second copy of the dataset next to them (the oracle globs
+    the whole directory — doubling the data breaks the hash)."""
+    import os
+
+    from nf2pq_spark.plans.collector import _seed_dir_fixture
+
+    src = "/root/testdata/sf0.01/customer.parquet"
+    sql = ("COPY (SELECT c_custkey FROM read_parquet('{src}') "
+           "ORDER BY c_custkey LIMIT 5) "
+           "TO '{dst}' (FORMAT CSV, HEADER, DELIMITER ',')")
+
+    fresh = tmp_path / "fresh"
+    _seed_dir_fixture(src, str(fresh), "seed.csv", sql)
+    assert (fresh / "seed.csv").exists()
+    # no stray tmp files left behind
+    assert [p.name for p in fresh.iterdir()] == ["seed.csv"]
+
+    warm = tmp_path / "warm"
+    os.makedirs(warm)
+    (warm / "part-00000.csv").write_text("c_custkey\n1\n")
+    _seed_dir_fixture(src, str(warm), "seed.csv", sql)
+    assert not (warm / "seed.csv").exists(), (
+        "seeder re-seeded next to existing part files — doubles the data"
+    )
