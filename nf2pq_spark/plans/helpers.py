@@ -111,3 +111,22 @@ def cents_avg(expr: Column, scale: int, alias: str) -> Column:
 
 def ocents_avg(sql_expr: str, scale: int, alias: str) -> str:
     return f"CAST(SUM({sql_expr}) AS DOUBLE) / {scale}.0 / COUNT(*) AS {alias}"
+
+
+#: Knuth's multiplicative constant (2^32 / golden ratio, public knowledge)
+KNUTH_MULT = 2654435761
+
+
+def khash(col: Column | str) -> Column:
+    """Deterministic multiplicative id hash (long) for reproducible
+    sampling/splits/sharding: no rand(), no partition sensitivity,
+    identical on any engine or cluster size. The ``% 2^31`` keeps the
+    product inside long range. One definition shared by every query AND
+    its oracle (:func:`okhash`) so the two sides cannot drift."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c % F.lit(2147483648)) * F.lit(KNUTH_MULT)
+
+
+def okhash(col: str) -> str:
+    """Oracle-side twin of :func:`khash`."""
+    return f"(({col} % 2147483648) * {KNUTH_MULT})"

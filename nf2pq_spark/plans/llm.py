@@ -17,6 +17,7 @@ from ..operators.dedup import (exact_dedup, jaccard_pairs, lsh_candidate_pairs,
                                minhash_signature, simhash64)
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
+from .helpers import khash, okhash
 from .registry import register
 
 
@@ -962,9 +963,9 @@ def l11_pii_redaction(spark, sf_dir):
 
 @register(
     "l12_train_val_split",
-    oracle="""
+    oracle=f"""
     SELECT lang,
-           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90
+           CASE WHEN {okhash('doc_id')} % 100 < 90
                 THEN 'train' ELSE 'val' END AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -981,8 +982,7 @@ def l11_pii_redaction(spark, sf_dir):
 )
 def l12_train_val_split(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    split = F.when(((F.col("doc_id") % 2147483648) * 2654435761) % 100 < 90, "train") \
-             .otherwise("val")
+    split = F.when(khash("doc_id") % 100 < 90, "train").otherwise("val")
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -1275,17 +1275,17 @@ def l17_repetition_filter(spark, sf_dir):
 
 @register(
     "l18_domain_reweight",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
     )
     SELECT d.source,
            CAST(MAX(c.n_total) AS BIGINT) AS n_total,
            CAST(COUNT(*) FILTER (
-                WHERE ((d.doc_id % 2147483648) * 2654435761) % c.n_total < 20) AS BIGINT)
+                WHERE {okhash('d.doc_id')} % c.n_total < 20) AS BIGINT)
              AS n_kept,
            CAST(MIN(d.doc_id) FILTER (
-                WHERE ((d.doc_id % 2147483648) * 2654435761) % c.n_total < 20) AS BIGINT)
+                WHERE {okhash('d.doc_id')} % c.n_total < 20) AS BIGINT)
              AS first_kept
     FROM documents d JOIN c USING (source)
     GROUP BY d.source
@@ -1304,7 +1304,7 @@ def l18_domain_reweight(spark, sf_dir):
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"))
     j = docs.join(F.broadcast(counts), "source")
-    kept = (((F.col("doc_id") % 2147483648) * 2654435761) % F.col("n_total")) < 20
+    kept = (khash("doc_id") % F.col("n_total")) < 20
     return j.groupBy("source").agg(
         F.max("n_total").cast("bigint").alias("n_total"),
         F.count_if(kept).alias("n_kept"),
@@ -1315,11 +1315,11 @@ def l18_domain_reweight(spark, sf_dir):
 
 @register(
     "l19_global_shuffle",
-    oracle="""
+    oracle=f"""
     WITH k AS (
       SELECT doc_id,
-             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS kh,
-             ((doc_id % 2147483648) * 2654435761) % 64 AS shard
+             {okhash('doc_id')} % 4294967296 AS kh,
+             {okhash('doc_id')} % 64 AS shard
       FROM documents
     ), p AS (
       SELECT shard, doc_id,
@@ -1347,7 +1347,7 @@ def l19_global_shuffle(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    h = (F.col("doc_id") % 2147483648) * F.lit(2654435761)
+    h = khash("doc_id")
     keyed = docs.select(
         "doc_id",
         (h % F.lit(4294967296)).alias("kh"),

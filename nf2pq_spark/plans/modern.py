@@ -279,10 +279,7 @@ def f12_xml_roundtrip(spark, sf_dir):
         F.lit("<e><u>"), F.col("user_id").cast("string"),
         F.lit("</u><t>"), F.col("event_type"), F.lit("</t></e>"),
     )
-    parsed = F.expr(
-        "from_xml(concat('<e><u>', user_id, '</u><t>', event_type, "
-        "'</t></e>'), 'u BIGINT, t STRING')"
-    )
+    parsed = F.from_xml(xml, "u BIGINT, t STRING")
     return (
         ev.select(parsed.alias("x"))
         .select(F.col("x.t").alias("t"), F.col("x.u").alias("u"))
@@ -368,13 +365,17 @@ def sql26_sql_udf(spark, sf_dir):
 
 @register(
     "sql27_sql_scripting",
-    oracle="""
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(SUM({ocents('o_totalprice')}) AS DOUBLE) / 100.0
+             / COUNT(*) AS ap
+      FROM orders
+    )
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
-           CAST(ROUND(SUM(o_totalprice /
-                (SELECT AVG(o_totalprice) FROM orders)), 2) AS DOUBLE)
+           CAST(ROUND(SUM(o_totalprice / (SELECT ap FROM a)), 2) AS DOUBLE)
              AS sum_ratio
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT ap FROM a)
     GROUP BY o_orderpriority
     """,
     description="SQL scripting (Spark 4 BEGIN..END blocks): a global "
@@ -396,10 +397,16 @@ def sql27_sql_scripting(spark, sf_dir):
     prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     try:
-        return spark.sql("""
+        # exact-cents average (the sql8 recipe): a raw AVG(double) differs
+        # between engines in the last ulp, and any order priced inside
+        # that window would flip across the > threshold in one engine
+        # only — integer-cents sum + one division is bit-identical
+        return spark.sql(f"""
             BEGIN
               DECLARE avg_price DOUBLE DEFAULT 0;
-              SET avg_price = (SELECT AVG(o_totalprice) FROM sql27_orders);
+              SET avg_price = (SELECT CAST(SUM({ocents('o_totalprice')})
+                                      AS DOUBLE) / 100.0 / COUNT(*)
+                               FROM sql27_orders);
               SELECT o_orderpriority, COUNT(*) AS n_above,
                      CAST(ROUND(SUM(o_totalprice / avg_price), 2) AS DOUBLE)
                        AS sum_ratio
@@ -416,13 +423,15 @@ def sql27_sql_scripting(spark, sf_dir):
 
 @register(
     "sql28_df_scalar_subquery",
-    oracle="""
+    oracle=f"""
     SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
            CAST(COUNT(*) AS BIGINT) AS n_big,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
              AS revenue
     FROM orders
-    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT CAST(SUM({ocents('o_totalprice')})
+                                       AS DOUBLE) / 100.0 / COUNT(*)
+                                FROM orders)
     GROUP BY 1
     """,
     description="DataFrame-API scalar subquery (Spark 4 "
@@ -439,8 +448,13 @@ def sql27_sql_scripting(spark, sf_dir):
     tags=("SQL", "A2", "P2"),
 )
 def sql28_df_scalar_subquery(spark, sf_dir):
+    from .helpers import cents
+
     o = load_table(spark, sf_dir, "orders")
-    avg_price = o.agg(F.avg("o_totalprice")).scalar()
+    # exact-cents average — see sql27's comment on the cross-engine ulp
+    avg_price = o.agg(
+        F.sum(cents("o_totalprice")).cast("double") / 100.0
+        / F.count(F.lit(1))).scalar()
     return (
         o.filter(F.col("o_totalprice") > 1.5 * avg_price)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))

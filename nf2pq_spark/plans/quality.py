@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
+from .helpers import khash, okhash
 from .registry import register
 
 
@@ -182,10 +183,17 @@ def dq3_domain_violations(spark, sf_dir):
 )
 def l9_bigram_profile(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    # the length >= 2 guard matches the oracle's generate_series(1, n-1),
+    # which is EMPTY for degenerate docs — Spark's sequence(1, n-1) would
+    # instead generate a DESCENDING [1, 0(, -1)] for 0/1-char text and
+    # emit spurious bigrams (latent: fixture texts are 100+ chars)
     grams = docs.select(
         "lang",
         F.explode(F.expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+            "CASE WHEN length(text) >= 2 THEN "
+            "transform(sequence(1, length(text) - 1), "
+            "          i -> substring(text, i, 2)) "
+            "ELSE CAST(array() AS array<string>) END"
         )).alias("bg"),
     )
     counts = grams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
@@ -264,7 +272,7 @@ def a18b_cms_error_gate(spark, sf_dir):
 
 @register(
     "l20_quality_weighted_sample",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
              LEAST(95, GREATEST(5, len(string_split(text, ' ')))) AS w
@@ -273,10 +281,10 @@ def a18b_cms_error_gate(spark, sf_dir):
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(COUNT(*) FILTER (
-                WHERE ((doc_id % 2147483648) * 2654435761) % 100 < w) AS BIGINT) AS n_kept,
+                WHERE {okhash('doc_id')} % 100 < w) AS BIGINT) AS n_kept,
            CAST(SUM(w) AS BIGINT) AS weight_sum,
            CAST(MIN(doc_id) FILTER (
-                WHERE ((doc_id % 2147483648) * 2654435761) % 100 < w) AS BIGINT)
+                WHERE {okhash('doc_id')} % 100 < w) AS BIGINT)
              AS first_kept
     FROM scored GROUP BY source
     """,
@@ -296,7 +304,7 @@ def l20_quality_weighted_sample(spark, sf_dir):
     w = F.least(F.lit(95), F.greatest(
         F.lit(5), F.size(F.split(F.col("text"), " "))))
     scored = docs.select("doc_id", "source", w.cast("long").alias("w"))
-    kept = (((F.col("doc_id") % 2147483648) * 2654435761) % 100) < F.col("w")
+    kept = (khash("doc_id") % 100) < F.col("w")
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count_if(kept).alias("n_kept"),
