@@ -92,10 +92,14 @@ def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
     how flows are sharded across capture files. On a real cluster /tmp
     becomes a shared filesystem or object-store prefix.
     """
+    from .helpers import cache_current, source_stamp, write_cache_marker
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_{kind}_{tag}"
     done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(done, stamp):
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
 
         def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -130,8 +134,7 @@ def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
         n_buckets = status.count()
         if n_buckets == 0:
             raise RuntimeError(f"capture synthesis packed 0 buckets at {out}")
-        with open(done, "w") as fh:
-            fh.write("ok")
+        write_cache_marker(done, stamp)
     return out
 
 
@@ -705,10 +708,14 @@ def _sampled_dir(spark, sf_dir: str) -> str:
     RFC 7011 §8.1), flows follow as ordinary IPFIX data sets."""
     from ..sources.ipfix import encode_ipfix_options
 
+    from .helpers import cache_current, source_stamp, write_cache_marker
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_sampled_{tag}"
     done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(done, stamp):
+        shutil.rmtree(out, ignore_errors=True)
         exp_conf = {0: (64, "samp-a"), 1: (256, "samp-b")}
         for e in exp_conf:
             os.makedirs(os.path.join(out, f"exp{e}"), exist_ok=True)
@@ -738,8 +745,7 @@ def _sampled_dir(spark, sf_dir: str) -> str:
         n_groups = status.count()
         if n_groups == 0:
             raise RuntimeError(f"sampled synthesis packed 0 groups at {out}")
-        with open(done, "w") as fh:
-            fh.write("ok")
+        write_cache_marker(done, stamp)
     return out
 
 
@@ -1071,20 +1077,23 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     from ..sources.datasource import register_capture_source
 
     register_capture_source(spark)
+    from .helpers import cache_current, source_stamp, write_cache_marker
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_written_{tag}"
     done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
-        # no _DONE = either first run or a PARTIAL previous run that died
-        # mid-write; clear leftovers so the rewrite can't duplicate flows
-        # (the writer's deterministic per-partition names make in-run task
-        # retries safe, this makes cross-run retries safe)
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(done, stamp):
+        # stale marker = first run, a PARTIAL previous run that died
+        # mid-write, or a regenerated source fixture; clear leftovers so
+        # the rewrite can't duplicate flows (the writer's deterministic
+        # per-partition names make in-run task retries safe, this makes
+        # cross-run retries safe)
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         flows = _flow_columns(load_table(spark, sf_dir, "events"))
         flows.write.format("nfcapture").mode("append").save(out)
-        with open(done, "w") as fh:
-            fh.write("ok")
+        write_cache_marker(done, stamp)
     back = spark.read.format("nfcapture").load(out)
     return back.groupBy("pr").agg(
         F.count(F.lit(1)).alias("n_flows"),

@@ -320,6 +320,11 @@ def l25_semdedup_srp(spark, sf_dir, n_planes=_SRP_PLANES,
 # --- g1: iterative PageRank over an aggregated flow graph -------------------
 
 _PR_DAMP, _PR_ITERS = 0.85, 3
+# teleport term as an EXPLICIT literal, not 1 - _PR_DAMP: in IEEE double
+# (1 - 0.85) = 0.15000000000000002 while the oracle's literal 0.15 parses
+# to 0.1499999999999999944 — a deterministic cross-engine mismatch in
+# every pr value, masked only by the 6dp rounding (r3 review)
+_PR_TELEPORT = 0.15
 
 
 @register(
@@ -416,7 +421,7 @@ def g1_nation_pagerank(spark, sf_dir):
         r = nodes.join(F.broadcast(contrib), "n", "left").select(
             "n", "n_nodes",
             (
-                F.lit(1 - _PR_DAMP) / F.col("n_nodes")
+                F.lit(_PR_TELEPORT) / F.col("n_nodes")
                 + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
             ).alias("pr"),
         )
@@ -428,6 +433,34 @@ def g1_nation_pagerank(spark, sf_dir):
 # --- g2: co-occurrence mining -----------------------------------------------
 
 _COOC_CAP = 10  # max distinct parts per order before pair blowup guard
+
+
+def _basket_pairs(li, a: str = "pa", b: str = "pb"):
+    """Ordered co-purchase pairs from lineitem, MAP-SIDE: one shuffle
+    groups each order's distinct parts into a sorted array, element i
+    pairs with every later element (sorted + distinct, so a < b by
+    construction), and the _COOC_CAP size filter bounds the quadratic
+    term. Shared by g2 (pair counts) and g3 (triangle edges) so the cap
+    policy and the i+2 slice arithmetic — mirrored in BOTH oracles —
+    cannot drift between them."""
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= _COOC_CAP)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias(a), y.alias(b)),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select(F.col(f"pr.{a}").alias(a), F.col(f"pr.{b}").alias(b))
+    )
 
 
 @register(
@@ -458,25 +491,8 @@ _COOC_CAP = 10  # max distinct parts per order before pair blowup guard
 )
 def g2_copurchase_pairs(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .filter(F.size("parts") <= _COOC_CAP)
-    )
-    # map-side pair generation: for element i, pair with every later
-    # element (array is sorted and distinct, so pa < pb by construction)
-    pairs = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
-        )
-    )
     return (
-        baskets.select(F.explode(pairs).alias("pr"))
-        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        _basket_pairs(li, "pa", "pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pa"), F.asc("pb"))
@@ -787,14 +803,31 @@ def l28_source_drift(spark, sf_dir):
 
 # --- t12: interval union length (sweep-line via prefix-max) -----------------
 
+#: synthesized interval fixture shared by t12 (union) and j17 (overlap):
+#: each event opens an interval of event_id % _IVL_MAX_LEN seconds. The
+#: modulus also fixes j17's blocking bucket width — _OVL_BUCKET must be
+#: >= the max interval length for its <=2-buckets-per-interval bound, so
+#: the two constants are tied here, and both oracles interpolate the
+#: same value.
+_IVL_MAX_LEN = 600
+
+
+def _synth_intervals(ev, *cols):
+    return ev.select(
+        *cols,
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.col("event_id") % _IVL_MAX_LEN)
+        .alias("e"),
+    )
+
 
 @register(
     "t12_interval_union",
-    oracle="""
+    oracle=f"""
     WITH iv AS (
       SELECT user_id,
              epoch_us(ts) // 1000000 AS s,
-             epoch_us(ts) // 1000000 + event_id % 600 AS e,
+             epoch_us(ts) // 1000000 + event_id % {_IVL_MAX_LEN} AS e,
              event_id
       FROM events
     ), sweep AS (
@@ -822,11 +855,8 @@ def l28_source_drift(spark, sf_dir):
     bench=True,
 )
 def t12_interval_union(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id",
-        F.unix_timestamp("ts").alias("s"),
-        (F.unix_timestamp("ts") + F.col("event_id") % 600).alias("e"),
-    )
+    ev = _synth_intervals(load_table(spark, sf_dir, "events"),
+                          "user_id", "event_id")
     w = (
         Window.partitionBy("user_id")
         .orderBy("s", "e", "event_id")
@@ -946,16 +976,16 @@ def a20_mad_robust_spread(spark, sf_dir):
 
 # --- j17: interval-overlap join ---------------------------------------------
 
-_OVL_BUCKET = 600  # seconds; >= max interval length, so spans <= 2 buckets
+_OVL_BUCKET = _IVL_MAX_LEN  # >= max interval length: spans <= 2 buckets
 
 
 @register(
     "j17_interval_overlap_join",
-    oracle="""
+    oracle=f"""
     WITH iv AS (
       SELECT event_id, user_id, event_type,
              epoch_us(ts) // 1000000 AS s,
-             epoch_us(ts) // 1000000 + event_id % 600 AS e
+             epoch_us(ts) // 1000000 + event_id % {_IVL_MAX_LEN} AS e
       FROM events
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -980,11 +1010,8 @@ _OVL_BUCKET = 600  # seconds; >= max interval length, so spans <= 2 buckets
     bench=True,
 )
 def j17_interval_overlap_join(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type",
-        F.unix_timestamp("ts").alias("s"),
-        (F.unix_timestamp("ts") + F.col("event_id") % 600).alias("e"),
-    )
+    ev = _synth_intervals(load_table(spark, sf_dir, "events"),
+                          "event_id", "user_id", "event_type")
     iv = ev.withColumn(
         "bkt",
         F.explode(
@@ -1157,23 +1184,8 @@ def a21_weighted_median(spark, sf_dir):
 )
 def g3_triangle_count(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .filter(F.size("parts") <= _COOC_CAP)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     edges = (
-        baskets.select(F.explode(pairs).alias("pr"))
-        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        _basket_pairs(li, "a", "b")
         .distinct()
         .localCheckpoint(eager=True)  # feeds degrees, orientation, probe
     )
@@ -1186,6 +1198,10 @@ def g3_triangle_count(spark, sf_dir):
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # materialized: referenced THREE times below (w1, w2, closures) —
+    # unmaterialized, the degree aggregation + both degree joins re-ran
+    # per reference (the documented recompute pitfall); |directed| =
+    # |edges|, a small intermediate
     directed = (
         edges.join(da, "a").join(db, "b")
         .select(
@@ -1194,6 +1210,7 @@ def g3_triangle_count(spark, sf_dir):
             F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
+        .localCheckpoint(eager=True)
     )
     w1 = directed.select(F.col("u"), F.col("v").alias("v1"),
                          F.col("dv").alias("d1"))

@@ -137,11 +137,16 @@ def etl1_scd2_merge(spark, sf_dir):
 )
 def etl2_partition_overwrite(spark, sf_dir):
     import os
+    import shutil
+
+    from .helpers import cache_current, source_stamp, write_cache_marker
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/nf2pq_etl2_{tag}"
     marker = os.path.join(path, "_RESTATED")
-    if not os.path.exists(marker):
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(marker, stamp):
+        shutil.rmtree(path, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").withColumn(
             "d", F.date_format("ts", "yyyy-MM-dd"))
         # initial build: full (static) overwrite, date-partitioned layout
@@ -158,15 +163,13 @@ def etl2_partition_overwrite(spark, sf_dir):
                 # dynamic overwrite writes no partitions for an empty frame,
                 # which would silently leave the stale day in place — an
                 # empty restatement means "delete the partition"
-                import shutil
                 shutil.rmtree(os.path.join(path, "d=2024-01-15"),
                               ignore_errors=True)
             else:
                 corrected.write.partitionBy("d").mode("overwrite").parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        with open(marker, "w"):
-            pass
+        write_cache_marker(marker, stamp)
     df = spark.read.parquet(path)
     return (
         df.groupBy(F.col("d").cast("string").alias("d"))
@@ -207,12 +210,15 @@ def etl3_compaction_roundtrip(spark, sf_dir):
     # tempfile.mkdtemp-per-invocation left a fresh ~201-file directory in
     # /tmp on EVERY run (driver grade, bench iteration) and redid the
     # 200-file write each time
+    from .helpers import cache_current, source_stamp, write_cache_marker
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     base = f"/tmp/nf2pq_etl3_{tag}"
     small, compacted = os.path.join(base, "small"), os.path.join(base, "big")
     marker = os.path.join(base, "_BUILT")
-    if not os.path.exists(marker):
-        shutil.rmtree(base, ignore_errors=True)  # partial prior run
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(marker, stamp):
+        shutil.rmtree(base, ignore_errors=True)  # partial or stale prior run
         ev = load_table(spark, sf_dir, "events").select(
             "event_type", "user_id", "value")
         ev.repartition(200).write.parquet(small)  # the accreted-sink layout
@@ -222,8 +228,7 @@ def etl3_compaction_roundtrip(spark, sf_dir):
         if n_big * 10 > n_small:  # plain statement: must survive python -O
             raise RuntimeError(f"compaction didn't shrink 10x: "
                                f"{n_small} -> {n_big}")
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        write_cache_marker(marker, stamp)
     out = spark.read.parquet(compacted)
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

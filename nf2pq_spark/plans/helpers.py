@@ -130,3 +130,37 @@ def khash(col: Column | str) -> Column:
 def okhash(col: str) -> str:
     """Oracle-side twin of :func:`khash`."""
     return f"(({col} % 2147483648) * {KNUTH_MULT})"
+
+
+def source_stamp(sf_dir: str, *tables: str) -> str:
+    """Identity stamp of the fixture files backing a /tmp cache: absolute
+    path + mtime_ns + size per table. A marker carrying this stamp
+    self-invalidates when the fixture is regenerated, or when a
+    same-named leaf dir from a DIFFERENT tree is pointed at — the two
+    staleness modes a basename-keyed cache cannot see (r3 review)."""
+    import os
+
+    parts = []
+    for t in tables:
+        p = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}|{st.st_mtime_ns}|{st.st_size}")
+        except OSError:
+            parts.append(f"{p}|missing")
+    return ";".join(parts)
+
+
+def cache_current(marker: str, stamp: str) -> bool:
+    """True iff ``marker`` exists and records exactly ``stamp``. Legacy
+    empty/'ok' markers (pre-stamp) read as stale, forcing one rebuild."""
+    try:
+        with open(marker) as fh:
+            return fh.read() == stamp
+    except OSError:
+        return False
+
+
+def write_cache_marker(marker: str, stamp: str) -> None:
+    with open(marker, "w") as fh:
+        fh.write(stamp)

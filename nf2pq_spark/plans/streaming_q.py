@@ -234,10 +234,16 @@ def _chunked_events_dir(spark, sf_dir: str, n_chunks: int = 4) -> str:
     """
     import os
 
+    import shutil
+
+    from .helpers import cache_current, source_stamp, write_cache_marker
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_events_chunks_{tag}"
     done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(done, stamp):
+        shutil.rmtree(out, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
         us = ev.withColumn("ts_us", F.unix_micros("ts"))
         bounds = us.stat.approxQuantile(
@@ -248,8 +254,7 @@ def _chunked_events_dir(spark, sf_dir: str, n_chunks: int = 4) -> str:
            .drop("ts_us")
            .repartition(n_chunks, "chunk")
            .write.mode("overwrite").partitionBy("chunk").parquet(out))
-        with open(done, "w") as fh:
-            fh.write("ok")
+        write_cache_marker(done, stamp)
     return out
 
 
@@ -475,10 +480,16 @@ def _watermark_chunks_dir(spark, sf_dir: str) -> str:
     """
     import os
 
+    import shutil
+
+    from .helpers import cache_current, source_stamp, write_cache_marker
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_wm_chunks_{tag}"
     done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(done, stamp):
+        shutil.rmtree(out, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
         us = ev.withColumn("ts_us", F.unix_micros("ts"))
         q10, med, q75 = us.stat.approxQuantile(
@@ -502,8 +513,7 @@ def _watermark_chunks_dir(spark, sf_dir: str) -> str:
         for i in (0, 1, 2):
             for f in globmod.glob(os.path.join(out, f"chunk={i}", "*.parquet")):
                 os.utime(f, (now - 100 + i * 30, now - 100 + i * 30))
-        with open(done, "w") as fh:
-            fh.write("ok")
+        write_cache_marker(done, stamp)
     return out
 
 

@@ -208,22 +208,26 @@ def j8c_asof_hot_key(spark, sf_dir):
 )
 def rl1_hypertable_rollup(spark, sf_dir):
     import os
+    import shutil
 
     from ..operators.rollup import build_rollup, query_rollup
+    from .helpers import cache_current, source_stamp, write_cache_marker
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/nf2pq_rollup_{tag}"
-    # materialize once per sf (the continuous aggregate is maintained
-    # incrementally in production — tests/test_streaming.py covers that);
-    # repeated queries then show the rollup's point: answering from the
-    # small aggregate, not the raw events
-    # dynamic partitionOverwriteMode leaves no top-level _SUCCESS, so use an
-    # explicit marker — otherwise every call re-materializes the rollup
+    # materialize once per source-fixture IDENTITY (the continuous
+    # aggregate is maintained incrementally in production —
+    # tests/test_streaming.py covers that); repeated queries then show
+    # the rollup's point: answering from the small aggregate, not the
+    # raw events. The marker records the events.parquet stamp so a
+    # regenerated fixture (or a same-named leaf dir in another tree)
+    # rebuilds instead of silently serving stale aggregates.
     marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
+    stamp = source_stamp(sf_dir, "events")
+    if not cache_current(marker, stamp):
+        shutil.rmtree(path, ignore_errors=True)
         build_rollup(load_table(spark, sf_dir, "events"), path)
-        with open(marker, "w"):
-            pass
+        write_cache_marker(marker, stamp)
     return query_rollup(spark, path, grain="day")
 
 
@@ -394,9 +398,10 @@ _EWMA_ORACLE_WEIGHTS = " + ".join(
 def w8_ewma_smoothing(spark, sf_dir):
     from pyspark.sql import Window
 
+    from .helpers import cents
+
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+        "user_id", "ts", "event_id", cents("value").alias("c"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     num = None
     den = None
@@ -622,11 +627,13 @@ def t10_dynamic_session_gap(spark, sf_dir):
     tags=("T1", "F2"),
 )
 def t11_chained_window_rollup(spark, sf_dir):
+    from .helpers import cents as _cents
+
     ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     lvl1 = (
         ev.groupBy(F.window("ts", "15 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_cents("value")).alias("cents"))
     )
     lvl2 = (
         lvl1.groupBy(F.window(F.window_time("window"), "1 hour"),

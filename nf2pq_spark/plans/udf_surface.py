@@ -56,11 +56,21 @@ def x1_pandas_scalar(spark, sf_dir):
 
 
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     std = pdf["value"].std(ddof=1)  # sample stddev, matches STDDEV_SAMP
     mean = pdf["value"].mean()
-    z = (pdf["value"] - mean) / std if std and std > 0 else pd.Series([None] * len(pdf))
+    if std and std > 0:
+        z = (pdf["value"] - mean) / std
+        # symmetric floor(x*1e6+0.5) on BOTH engines (the cents() recipe):
+        # pandas .round is half-to-even while DuckDB ROUND is
+        # half-away-from-zero, so an exact-half tie would round
+        # differently per engine
+        z = np.floor(z * 1e6 + 0.5) / 1e6
+    else:
+        z = pd.Series([None] * len(pdf))
     return pd.DataFrame(
-        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z.round(6)}
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
     )
 
 
@@ -68,8 +78,8 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     "x2_apply_in_pandas",
     oracle="""
     SELECT event_id, user_id,
-           CAST(ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6)
-                AS DOUBLE) AS znorm
+           CAST(FLOOR((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
+                      * 1000000 + 0.5) / 1000000.0 AS DOUBLE) AS znorm
     FROM events WINDOW w AS (PARTITION BY user_id)
     """,
     description="grouped-map applyInPandas: z-score normalize event values "
@@ -347,7 +357,6 @@ def x9_udtf_table_arg(spark, sf_dir):
     tags=("X1",),
 )
 def x11_pandas_iter_udf(spark, sf_dir):
-    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -388,9 +397,7 @@ def x11_pandas_iter_udf(spark, sf_dir):
     tags=("A13", "SQL"),
 )
 def sql29_sql_pivot(spark, sf_dir):
-    from ..sources.tables import load_table as _lt
-
-    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
         SELECT o_orderpriority,
                CAST(COALESCE(o, 0) AS BIGINT) AS n_open,

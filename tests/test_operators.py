@@ -870,3 +870,41 @@ def test_seed_dir_fixture_guard_and_atomicity(tmp_path):
     assert not (warm / "seed.csv").exists(), (
         "seeder re-seeded next to existing part files — doubles the data"
     )
+
+
+def test_cache_marker_invalidates_on_source_change(tmp_path):
+    """r3 review regression: /tmp caches keyed only by basename(sf_dir)
+    served stale results after a fixture regeneration or when a
+    same-named leaf dir in a different tree was pointed at. The stamped
+    marker must go stale in both scenarios."""
+    import os
+    import shutil
+
+    from nf2pq_spark.plans.helpers import (cache_current, source_stamp,
+                                           write_cache_marker)
+
+    sf = tmp_path / "sf0.01"
+    os.makedirs(sf)
+    shutil.copy("/root/testdata/sf0.001/nation.parquet",
+                sf / "events.parquet")
+    marker = str(tmp_path / "_BUILT")
+
+    stamp = source_stamp(str(sf), "events")
+    assert not cache_current(marker, stamp)          # no marker yet
+    write_cache_marker(marker, stamp)
+    assert cache_current(marker, source_stamp(str(sf), "events"))
+
+    # regeneration: same path, new bytes/mtime -> stale
+    with open(sf / "events.parquet", "ab") as fh:
+        fh.write(b"x")
+    assert not cache_current(marker, source_stamp(str(sf), "events"))
+
+    # same-named leaf dir in another tree -> stale (path is in the stamp)
+    other = tmp_path / "elsewhere" / "sf0.01"
+    os.makedirs(other)
+    shutil.copy(sf / "events.parquet", other / "events.parquet")
+    assert not cache_current(marker, source_stamp(str(other), "events"))
+
+    # legacy pre-stamp 'ok' markers read as stale, forcing one rebuild
+    write_cache_marker(marker, "ok")
+    assert not cache_current(marker, source_stamp(str(sf), "events"))
