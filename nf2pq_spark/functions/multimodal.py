@@ -109,7 +109,13 @@ def resize_media(media: DataFrame, target: int, backend: str = "fake") -> DataFr
             rows = []
             for mid, c, t in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
                 a = _decode_bytes(bytes(c), t, backend)
-                idx = np.linspace(0, max(len(a) - 1, 0), num=target).astype(int)
+                if len(a) == 0:
+                    # empty buffer: linspace would emit index 0 and a[idx]
+                    # raise IndexError inside the worker, failing the whole
+                    # stage (extract_features guards the same case)
+                    rows.append((int(mid), b"\x00" * target, target))
+                    continue
+                idx = np.linspace(0, len(a) - 1, num=target).astype(int)
                 rows.append((int(mid), a[idx].tobytes(), target))
             yield pd.DataFrame(rows, columns=["media_id", "content", "width"])
 

@@ -62,6 +62,14 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: direction must be 'backward' or "
                          f"'forward', got {direction!r}")
+    clash = set(payload) & set(left.columns)
+    if clash:
+        # the union-tag trick nulls payload columns on left rows, so a
+        # shared name would silently null the left column AND emit two
+        # same-named output columns — alias the payload first
+        raise ValueError(f"asof_join: payload column(s) {sorted(clash)} "
+                         "also exist on the left side; alias them on the "
+                         "right input first")
     lcols = left.columns
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     for c in payload:
@@ -145,6 +153,11 @@ def asof_join_bucketed(
     Spark interval literal; pick it so a hot key's densest bucket fits
     one task (~100k-1M rows).
     """
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join_bucketed: payload column(s) "
+                         f"{sorted(clash)} also exist on the left side; "
+                         "alias them on the right input first")
     lcols = left.columns
     ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))

@@ -295,19 +295,31 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
     toks = F.array_distinct(tokens(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def vote(mask: int):
-        # two-arg closure (see band_hash note about lambda arity)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
+    # signed-long masks: bit 63 is the sign bit in Java's long
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
-    bit_cols = []
-    for bit in range(64):
-        # signed-long masks: bit 63 is the sign bit in Java's long
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
-        votes = F.aggregate(hashes, F.lit(0), vote(mask))
-        bit_cols.append(F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0)))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig.bitwiseOR(c)
+    def signs(h):
+        # per-token ±1 vote vector across all 64 bit positions
+        return F.array(*[
+            F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            for m in masks
+        ])
+
+    # ONE fold accumulating all 64 vote counters: the previous form ran
+    # 64 independent F.aggregate expressions, each embedding its own copy
+    # of the tokenize+xxhash chain (codegen does not CSE across
+    # higher-order lambda boundaries — see minhash_signature's band fold
+    # note; profiled ~64x the per-row hash work)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
+    )
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    sig = F.aggregate(
+        F.zip_with(votes, mask_arr,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
     return df.withColumn(out_col, sig)

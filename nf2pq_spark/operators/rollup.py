@@ -36,16 +36,25 @@ def build_rollup(events: DataFrame, path: str, bucket: str = "1 hour") -> None:
     """(Re)materialize the per-bucket rollup table, overwriting only the
     date partitions present in the input."""
     spark = events.sparkSession
+    # save/restore the overwrite mode: leaking 'dynamic' onto the shared
+    # session silently changes every later partitioned overwrite in the
+    # same session (stale partitions would survive a full rewrite)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    rolled = (
-        events.groupBy(F.window("ts", bucket).start.alias("bucket"), "event_type")
-        .agg(*_aggs())
-        .withColumn("date", F.to_date("bucket"))
-    )
-    # one file per date partition: the rollup is tiny relative to raw data,
-    # and a small-file-per-shuffle-task layout would dominate read cost
-    (rolled.repartition("date")
-           .write.mode("overwrite").partitionBy("date").parquet(path))
+    try:
+        rolled = (
+            events.groupBy(F.window("ts", bucket).start.alias("bucket"),
+                           "event_type")
+            .agg(*_aggs())
+            .withColumn("date", F.to_date("bucket"))
+        )
+        # one file per date partition: the rollup is tiny relative to raw
+        # data, and a small-file-per-shuffle-task layout would dominate
+        # read cost
+        (rolled.repartition("date")
+               .write.mode("overwrite").partitionBy("date").parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def stream_maintain_rollup(stream: DataFrame, path: str, checkpoint: str,

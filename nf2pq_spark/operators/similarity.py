@@ -102,11 +102,20 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, centroid array<double>",
     )
+    # probe cells by the SAME metric KMeans used for assignment (squared
+    # Euclidean distance) — ranking probes by cosine while candidates were
+    # binned by Euclidean mixes metrics: an unnormalized query can rank
+    # the cells in a different order than the assignment that placed its
+    # true neighbors, systematically missing the right cell (r3 review)
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
     q_cells = (
         queries.crossJoin(F.broadcast(centers_df))
-        .withColumn("__d", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("__d", sq_dist)
         .withColumn("__rk", F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.desc("__d"), F.asc("cell"))))
+            Window.partitionBy("q_id").orderBy(F.asc("__d"), F.asc("cell"))))
         .filter(F.col("__rk") <= n_probe)
         .select("q_id", "qv", F.col("cell").alias("__cell"))
     )

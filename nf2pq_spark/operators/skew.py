@@ -36,7 +36,17 @@ def salted_join(large: DataFrame, small: DataFrame, on: str,
     Cost model: small side inflates ×buckets (keep it the genuinely small
     side); the large side's per-key row bound drops ×buckets. Use when one
     key holds ≫ 1/partitions of the data and broadcast is impossible.
+
+    ``how`` is restricted to joins where unmatched SMALL-side rows are
+    dropped: under right/full outer semantics every unmatched small-side
+    key would surface once per replica (×buckets duplicate rows).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "semi", "anti", "cross"):
+        raise ValueError(
+            f"salted_join: how={how!r} would emit one row per salt replica "
+            "for unmatched small-side keys; use the plain join (or salt "
+            "the other side) for right/full outer semantics")
     lg = large.withColumn("__salt", _row_salt(large, buckets))
     sm = replicate(small, buckets)
     return lg.join(sm, [on, "__salt"], how).drop("__salt")

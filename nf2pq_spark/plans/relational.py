@@ -1458,13 +1458,13 @@ def u4_except(spark, sf_dir):
     oracle="""
     WITH nat_rev AS (
         SELECT c_nationkey,
-               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 100.0 AS revenue
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
     )
-    SELECT c_nationkey, revenue,
-           revenue / SUM(revenue) OVER () AS revenue_share
+    SELECT c_nationkey, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER () AS DOUBLE)
+             AS revenue_share
     FROM nat_rev
     """,
     description="ratio-to-report: each nation's share of total revenue via "
@@ -1480,18 +1480,22 @@ def w6_ratio_to_report(spark, sf_dir):
     nat_rev = (
         orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey")
-        .agg((F.sum(cents("o_totalprice")).cast("double") / 100.0)
-             .alias("revenue"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_c"))
     )
     # unpartitioned window is deliberate here: its input is the per-NATION
     # aggregate (bounded at |nations| rows at any corpus size), so the
     # single-partition WindowExec holds 25 rows — not a scale hazard.
     # (Contrast sql24, where the same shape over per-partkey rows was a
     # real serialization point and uses a broadcast scalar instead.)
+    # The window sums the integer CENTS, not doubles: a 25-term double
+    # sum is accumulation-order-dependent and could flip the unrounded
+    # revenue_share repr in one engine only (helpers.py convention).
     w = Window.partitionBy()
     return nat_rev.select(
-        "c_nationkey", "revenue",
-        (F.col("revenue") / F.sum("revenue").over(w)).alias("revenue_share"),
+        "c_nationkey",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.col("rev_c").cast("double")
+         / F.sum("rev_c").over(w).cast("double")).alias("revenue_share"),
     )
 
 

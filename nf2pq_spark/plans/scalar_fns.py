@@ -239,15 +239,51 @@ def f6_json(spark, sf_dir):
     )
 
 
-@register(
-    "f7_flownet",
-    oracle="""
-    WITH t AS (
-      SELECT event_id,
-             concat(CAST(event_id % 223 + 10 AS VARCHAR), '.',
+# --- synthesized flow source address (shared by f7 and j15) -----------------
+# octet formula (id%223+10).(id//7 %256).(id//11 %256).(id%256): ONE
+# definition each for the dotted-string and 32-bit-integer forms, on both
+# the Spark and oracle sides — f7's rollups and j15's ASN enrichment
+# describe "the same flows", and a modulus edited in one copy would
+# silently break that claim without failing either per-query oracle.
+
+_SA_STR_SQL = """concat(CAST(event_id % 223 + 10 AS VARCHAR), '.',
                     CAST((event_id // 7) % 256 AS VARCHAR), '.',
                     CAST((event_id // 11) % 256 AS VARCHAR), '.',
-                    CAST(event_id % 256 AS VARCHAR)) AS src_ip,
+                    CAST(event_id % 256 AS VARCHAR))"""
+
+_SA_INT_SQL = """
+    CAST(event_id % 223 + 10 AS BIGINT) * 16777216 +
+    CAST((event_id // 7) % 256 AS BIGINT) * 65536 +
+    CAST((event_id // 11) % 256 AS BIGINT) * 256 +
+    CAST(event_id % 256 AS BIGINT)
+"""
+
+
+def _sa_ip_str():
+    eid = F.col("event_id")
+    return F.concat_ws(
+        ".",
+        (eid % 223 + 10).cast("string"),
+        (F.expr("event_id div 7") % 256).cast("string"),
+        (F.expr("event_id div 11") % 256).cast("string"),
+        (eid % 256).cast("string"),
+    )
+
+
+def _sa_ip_int():
+    eid = F.col("event_id")
+    return ((eid % 223 + 10).cast("bigint") * 16777216
+            + (F.expr("event_id div 7") % 256).cast("bigint") * 65536
+            + (F.expr("event_id div 11") % 256).cast("bigint") * 256
+            + (eid % 256).cast("bigint"))
+
+
+@register(
+    "f7_flownet",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id,
+             {_SA_STR_SQL} AS src_ip,
              CAST(event_id % 64 AS INT) AS flags,
              CAST(event_id % 1024 AS INT) AS dport
       FROM events
@@ -278,13 +314,7 @@ def f7_flownet(spark, sf_dir):
     eid = F.col("event_id")
     t = ev.select(
         "event_id",
-        F.concat_ws(
-            ".",
-            (eid % 223 + 10).cast("string"),
-            (F.expr("event_id div 7") % 256).cast("string"),
-            (F.expr("event_id div 11") % 256).cast("string"),
-            (eid % 256).cast("string"),
-        ).alias("src_ip"),
+        _sa_ip_str().alias("src_ip"),
         (eid % 64).cast("int").alias("flags"),
         (eid % 1024).cast("int").alias("dport"),
     )
@@ -550,14 +580,6 @@ _LPM_LENS = sorted({ln for _, _, ln in _LPM_ROWS})
 _LPM_VALUES = ", ".join(f"({asn}, {net}::BIGINT, {ln})"
                         for asn, net, ln in _LPM_ROWS)
 
-_SA_INT_SQL = """
-    CAST(event_id % 223 + 10 AS BIGINT) * 16777216 +
-    CAST((event_id // 7) % 256 AS BIGINT) * 65536 +
-    CAST((event_id // 11) % 256 AS BIGINT) * 256 +
-    CAST(event_id % 256 AS BIGINT)
-"""
-
-
 @register(
     "j15_lpm_enrich",
     oracle=f"""
@@ -592,10 +614,7 @@ def j15_lpm_enrich(spark, sf_dir):
     eid = F.col("event_id")
     ips = load_table(spark, sf_dir, "events").select(
         "event_id",
-        ((eid % 223 + 10).cast("bigint") * 16777216
-         + (F.expr("event_id div 7") % 256).cast("bigint") * 65536
-         + (F.expr("event_id div 11") % 256).cast("bigint") * 256
-         + (eid % 256).cast("bigint")).alias("ip"),
+        _sa_ip_int().alias("ip"),
         (eid % 5000 + 40).cast("bigint").alias("ibyt"),
     )
     prefixes = spark.createDataFrame(
