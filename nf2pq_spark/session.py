@@ -47,10 +47,20 @@ RUNTIME_CONF: dict[str, str] = {
 
 
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine conf to an existing session (idempotent)."""
+    """Apply runtime-settable engine conf to an existing session (idempotent).
+
+    Shuffle partitions are only normalized when the session still carries
+    Spark's 200 default (the driver's vanilla session) — a deliberately
+    sized value (``get_spark(cpus=8)``, a user's own setting) is
+    respected rather than stomped back to 32 on every ``load_table``.
+    """
     for k, v in RUNTIME_CONF.items():
         try:
-            spark.conf.set(k, v)
+            if k == "spark.sql.shuffle.partitions":
+                if spark.conf.get(k, "200") == "200":
+                    spark.conf.set(k, v)
+            else:
+                spark.conf.set(k, v)
         except Exception:
             # a static conf on some build — leave the session's value in place
             pass
@@ -71,11 +81,19 @@ def get_spark(app_name: str = "nf2pq_spark", cpus: int | str | None = None,
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
+    # AFTER the blanket loop, so the computed size isn't overwritten by
+    # RUNTIME_CONF's driver-session default (the old order left every
+    # cpus/shuffle_partitions argument silently ignored)
+    builder = builder.config("spark.sql.shuffle.partitions",
+                             str(shuffle_partitions))
     spark = builder.getOrCreate()
-    return ensure_session_conf(spark)
+    ensure_session_conf(spark)
+    # getOrCreate may have returned a pre-existing session whose conf the
+    # builder couldn't change — make the sizing explicit either way
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

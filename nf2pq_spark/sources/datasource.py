@@ -289,7 +289,11 @@ class CaptureStreamWriter(DataSourceStreamWriter):
             fh.write("ok")
 
     def abort(self, messages, batchId: int) -> None:
-        # drop the aborted batch's files so a retry starts clean
+        # drop the aborted batch's files so a retry starts clean; the dir
+        # may not exist yet if the batch failed before any write — a
+        # FileNotFoundError here would mask the original failure
+        if not os.path.isdir(self.path):
+            return
         for f in os.listdir(self.path):
             if f.startswith(f"cap_b{batchId}_"):
                 os.remove(os.path.join(self.path, f))

@@ -343,8 +343,13 @@ def _decode_ipfix(buf: bytes, exporter: str,
                     for ie, ln in fields:
                         if ln == 16 and ie in _IPV6_IES:
                             vals[ie] = _ipv6_str(buf[p:p + 16])
-                        else:
+                        elif ln in _IE_UNPACK:
                             (vals[ie],) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
+                        else:
+                            # exotic widths (3/6-byte MACs, 16-byte non-v6):
+                            # big-endian int — the widths this scalar path
+                            # exists for must not KeyError the task
+                            vals[ie] = int.from_bytes(buf[p:p + ln], "big")
                         p += ln
                     # dual-stack: v6 address IEs (27/28) take precedence over
                     # the v4 ones (8/12) when the template carries them
@@ -485,22 +490,46 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
         length, off, tmpl_id = len(buf), _V9_HEADER.size, 0
         boot_ms = unix_s * 1000 - sys_up
     cols = [f.name for f in FLOW_SCHEMA.fields]
+    # PRE-SCAN: harvest every template set, then check whether any data
+    # set needs the scalar path — BEFORE anything enters acc. The old
+    # form bailed to a whole-message scalar decode mid-loop, after
+    # earlier sets of the same message were already accumulated, so
+    # those sets decoded twice (silent duplication of byte/packet
+    # counters on mixed-template messages).
+    scan = off
+    while scan + 4 <= length:
+        set_id, set_len = struct.unpack_from(">HH", buf, scan)
+        if set_len < 4:
+            break
+        set_end = min(scan + set_len, length)
+        if set_id == tmpl_id:
+            _parse_template_records(buf, scan + 4, set_end, exporter,
+                                    templates)
+        scan = set_end
+    scan = off
+    while scan + 4 <= length:
+        set_id, set_len = struct.unpack_from(">HH", buf, scan)
+        if set_len < 4:
+            break
+        set_end = min(scan + set_len, length)
+        if set_id >= 256:
+            fields = templates.get((exporter, set_id))
+            if fields is not None and _np_dtype_for(fields) is None:
+                # exotic widths → scalar path for the WHOLE message
+                scalar = (_decode_ipfix if version == 10 else _decode_v9)
+                return [pd.DataFrame(scalar(buf, exporter, templates),
+                                     columns=cols)]
+        scan = set_end
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
         if set_len < 4:
             break
         set_end = min(off + set_len, length)
         p = off + 4
-        if set_id == tmpl_id:
-            _parse_template_records(buf, p, set_end, exporter, templates)
-        elif set_id >= 256:
+        if set_id >= 256:
             fields = templates.get((exporter, set_id))
             if fields is not None:
                 dt = _np_dtype_for(fields)
-                if dt is None:  # exotic widths → scalar whole-message path
-                    scalar = (_decode_ipfix if version == 10 else _decode_v9)
-                    return [pd.DataFrame(scalar(buf, exporter, templates),
-                                         columns=cols)]
                 n = (set_end - p) // dt.itemsize
                 if n:
                     acc.add(fields,
@@ -671,8 +700,11 @@ def _decode_ipfix_options(buf: bytes, exporter: str,
                             p += 2
                         vals[ie] = buf[p:p + n].decode(errors="replace")
                         p += n
-                    else:
+                    elif ln in _IE_UNPACK:
                         (vals[ie],) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
+                        p += ln
+                    else:
+                        vals[ie] = int.from_bytes(buf[p:p + ln], "big")
                         p += ln
                 rows.append((
                     exporter,
@@ -763,7 +795,11 @@ def _decode_v9(buf: bytes, exporter: str,
                 while p + rec_len <= set_end:
                     vals = {}
                     for ie, ln in fields:
-                        (vals[ie],) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
+                        if ln in _IE_UNPACK:
+                            (vals[ie],) = struct.unpack_from(
+                                _IE_UNPACK[ln], buf, p)
+                        else:
+                            vals[ie] = int.from_bytes(buf[p:p + ln], "big")
                         p += ln
                     ts = vals.get(152, boot_ms + vals.get(22, 0))
                     te = vals.get(153, boot_ms + vals.get(21, 0))
@@ -816,23 +852,48 @@ def _iter_template_sets(buf: bytes):
 
 
 def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Phase-1 mapInPandas body: harvest IPFIX template sets only."""
+    """Phase-1 mapInPandas body: harvest IPFIX template sets only.
+
+    One row per template ANNOUNCEMENT carrying the full serialized field
+    list — merging whole announcements can never mix two layouts, which
+    the previous per-field position-wise merge did when a re-announced
+    template SHRANK (stale trailing fields survived, inflating rec_len
+    and silently skipping records)."""
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
             exporter = _exporter_of(path)
             for dgram in iter_datagrams(bytes(content)):
                 for tid, fields in _iter_template_sets(dgram):
-                    for pos, (ie, ln) in enumerate(fields):
-                        rows.append((exporter, tid, pos, ie, ln))
-        yield pd.DataFrame(rows, columns=["exporter", "tid", "pos", "ie", "ln"])
+                    sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
+                    rows.append((exporter, tid, sig))
+        yield pd.DataFrame(rows, columns=["exporter", "tid", "sig"])
 
 
 _TEMPLATE_SCHEMA = StructType([
     StructField("exporter", StringType()), StructField("tid", IntegerType()),
-    StructField("pos", IntegerType()), StructField("ie", IntegerType()),
-    StructField("ln", IntegerType()),
+    StructField("sig", StringType()),
 ])
+
+
+def _merge_template_rows(tmpl_rows) -> dict:
+    """Announcement rows → template cache: the majority field-list variant
+    per (exporter, tid) wins (ties break to the lexicographically smallest
+    signature) — deterministic regardless of file/partition order, and
+    never a position-wise mixture of two layouts."""
+    from collections import Counter
+
+    counts: dict[tuple[str, int], Counter] = {}
+    for r in tmpl_rows:
+        counts.setdefault((r.exporter, r.tid), Counter())[r.sig] += 1
+    cache: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for key, ctr in counts.items():
+        sig = min(ctr, key=lambda s: (-ctr[s], s))
+        cache[key] = [
+            (int(f.split(":")[0]), int(f.split(":")[1]))
+            for f in sig.split("|") if f
+        ]
+    return cache
 
 
 def make_decoder(initial_templates: dict | None = None):
@@ -864,9 +925,11 @@ def make_decoder(initial_templates: dict | None = None):
                             frames.extend(_decode_templated_vec(
                                 buf, exporter, templates, acc))
                         # unknown versions skipped, matching collector behavior
-                    except (struct.error, IndexError):
-                        # truncated/garbled datagram: a collector drops the
-                        # packet, never the pipeline
+                    except (struct.error, IndexError, ValueError, KeyError):
+                        # truncated/garbled datagram (np.frombuffer raises
+                        # ValueError when the declared length exceeds the
+                        # actual bytes): a collector drops the packet, never
+                        # the pipeline
                         continue
             frames.extend(acc.frames())
             if v5_arrs:
@@ -889,14 +952,8 @@ def read_flow_files(spark, path: str) -> DataFrame:
     """
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
     tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
-    # periodic re-announcements of a template id overwrite position-wise
-    by_pos: dict[tuple[str, int, int], tuple[int, int]] = {}
-    for r in tmpl_rows:
-        by_pos[(r.exporter, r.tid, r.pos)] = (r.ie, r.ln)
-    cache: dict[tuple[str, int], list[tuple[int, int]]] = {}
-    for exp, tid, pos in sorted(by_pos):
-        cache.setdefault((exp, tid), []).append(by_pos[(exp, tid, pos)])
-    return raw.mapInPandas(make_decoder(cache), FLOW_SCHEMA)
+    return raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows)),
+                           FLOW_SCHEMA)
 
 
 def stream_flow_files(spark, path: str, process, checkpoint: str,
@@ -914,13 +971,8 @@ def stream_flow_files(spark, path: str, process, checkpoint: str,
     def decode_batch(batch_df: DataFrame, batch_id: int) -> None:
         raw = batch_df.select("path", "content")
         tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
-        by_pos: dict[tuple[str, int, int], tuple[int, int]] = {}
-        for r in tmpl_rows:
-            by_pos[(r.exporter, r.tid, r.pos)] = (r.ie, r.ln)
-        cache: dict[tuple[str, int], list[tuple[int, int]]] = {}
-        for exp, tid, pos in sorted(by_pos):
-            cache.setdefault((exp, tid), []).append(by_pos[(exp, tid, pos)])
-        process(raw.mapInPandas(make_decoder(cache), FLOW_SCHEMA), batch_id)
+        process(raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows)),
+                                FLOW_SCHEMA), batch_id)
 
     stream = (spark.readStream.format("binaryFile")
               .schema("path string, modificationTime timestamp, length long, "

@@ -32,19 +32,31 @@ TABLES = [
 BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events.ts fixture quirk to session-TZ TimestampType.
+
+    THE one place handling both fixture generations (the module-docstring
+    invariant) — the batch loader and the streaming reader
+    (streaming.jobs.read_events_stream) both call this, so a third ts
+    encoding added here covers every path at once.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # exact int64 ns → µs truncation; matches DuckDB's read of the file
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # MICROS/isAdjustedToUTC=false fixture generation: arrives NTZ;
+        # cast to session-TZ TimestampType (session pinned UTC → exact)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing the events.ts nanosecond column."""
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # exact int64 ns → µs truncation; matches DuckDB's read of the file
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # MICROS/isAdjustedToUTC=false fixture generation: arrives NTZ;
-            # cast to session-TZ TimestampType (session pinned UTC → exact)
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     return df
 
 

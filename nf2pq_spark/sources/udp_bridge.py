@@ -55,8 +55,12 @@ class UdpCaptureBridge:
         d = os.path.join(self.out_dir, exporter_ip)
         os.makedirs(d, exist_ok=True)
         # write to a dot-prefixed temp name; the streaming source must never
-        # observe a half-written capture file
-        tmp = os.path.join(d, f".cap_{int(now * 1000)}.bin.tmp")
+        # observe a half-written capture file. The NAME uses zero-padded
+        # WALL-clock ms: the capture stream reader requires lexicographic
+        # order == arrival order, which unpadded names break at every
+        # digit rollover, and monotonic() resets on reboot (colliding with
+        # — and silently replacing — previously committed files).
+        tmp = os.path.join(d, f".cap_{int(time.time() * 1000):015d}.bin.tmp")
         fh = open(tmp, "wb")
         fh.write(_CAPTURE_MAGIC)
         self._files[exporter_ip] = (fh, now, tmp)
@@ -69,6 +73,14 @@ class UdpCaptureBridge:
                              os.path.basename(tmp)[1:-4])  # drop dot + .tmp
         os.rename(tmp, final)
 
+    def _flush_expired(self, now: float) -> None:
+        # rotation must not depend on the NEXT datagram arriving: an idle
+        # exporter's last capture would otherwise sit as a hidden .tmp
+        # (invisible to every reader) until stop()
+        for exporter, (_fh, opened, _tmp) in list(self._files.items()):
+            if now - opened >= self.rotate_seconds:
+                self._finalize(exporter)
+
     # -- socket loop ---------------------------------------------------------
 
     def _loop(self) -> None:
@@ -78,6 +90,7 @@ class UdpCaptureBridge:
             try:
                 data, (src_ip, _src_port) = self._sock.recvfrom(self.bufsize)
             except socket.timeout:
+                self._flush_expired(time.monotonic())
                 continue
             now = time.monotonic()
             fh = self._sink_for(src_ip, now)

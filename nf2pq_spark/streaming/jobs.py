@@ -34,23 +34,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     Spark's file stream source requires a *directory*, so the fixture file is
     symlinked into a fresh temp dir (the fixture tree is read-only).
     """
+    from ..sources.tables import normalize_events_ts
+
     ensure_session_conf(spark)
-    path = f"{sf_dir}/events.parquet"
+    # abspath: a RELATIVE sf_dir would make the symlink target resolve
+    # against the temp dir (broken link, empty stream)
+    path = os.path.abspath(f"{sf_dir}/events.parquet")
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(stream_dir)
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # MICROS/ntz fixture generation; watermarks need TimestampType.
-        # Session TZ is pinned UTC, so the cast is exact.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    # one shared normalization with the batch loader (watermarks need
+    # session-TZ TimestampType)
+    return normalize_events_ts(reader.parquet(stream_dir))
 
 
 def run_available_now(result: DataFrame, output_mode: str = "complete",
