@@ -18,28 +18,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def zvalue2(x: Column, y: Column, bits: int = 8) -> Column:
-    """Morton interleave of the low ``bits`` bits of two long columns.
+def zvalue(cols: list[Column], bits: int = 8) -> Column:
+    """Morton interleave of the low ``bits`` bits of k long columns.
 
     Disjoint-bit terms are summed (PySpark's ``|`` is logical); pure
-    shift/mask arithmetic, stays in whole-stage codegen.
+    shift/mask arithmetic, stays in whole-stage codegen. ``k * bits`` is
+    capped at 63: Java's ``<<`` masks the shift amount mod 64, so a
+    larger code would silently WRAP terms onto low bits (garbage
+    z-values, overlapping file ranges, no error), and bit 63 is the long
+    sign bit (high keys would sort negative-first).
     """
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (z
-             + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
-             + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
-    return z
-
-
-def zvalue(cols: list[Column], bits: int = 8) -> Column:
-    """Morton interleave of the low ``bits`` bits of k long columns."""
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"zvalue: {k} cols x {bits} bits = {k * bits} exceeds the 63 "
+            "usable bits of a long — lower bits (shift amounts wrap mod "
+            "64 in the JVM, silently corrupting the code)")
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
             z = z + F.shiftleft(F.shiftright(c, i).bitwiseAND(1), i * k + j)
     return z
+
+
+def zvalue2(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton interleave of two long columns (x on even bits, y on odd) —
+    the k=2 case of :func:`zvalue`, delegated so the interleave exists
+    exactly once."""
+    return zvalue([x, y], bits)
 
 
 def zorder_write(df: DataFrame, cols: list[str], dst: str,
@@ -55,13 +61,29 @@ def zorder_write(df: DataFrame, cols: list[str], dst: str,
     ranges = df.agg(*[f for c in cols
                       for f in (F.min(c).alias(f"lo_{c}"),
                                 F.max(c).alias(f"hi_{c}"))]).first()
+    if ranges is None or any(ranges[f"lo_{c}"] is None for c in cols):
+        # empty input (or an all-null key column): nothing to lay out —
+        # write the frame as-is instead of crashing on int(None)
+        null_cols = [c for c in cols
+                     if ranges is None or ranges[f"lo_{c}"] is None]
+        if df.isEmpty():
+            df.write.mode("overwrite").parquet(dst)
+            return
+        raise ValueError(
+            f"zorder_write: column(s) {null_cols} are entirely NULL — "
+            "cannot derive a quantization range")
     scale = (1 << bits) - 1
     quantized = []
     for c in cols:
         lo, hi = ranges[f"lo_{c}"], ranges[f"hi_{c}"]
         span = max(int(hi) - int(lo), 1)
+        # divide BEFORE multiplying (double intermediate): the long
+        # product (col - lo) * scale overflows for ranges wider than
+        # 2^63/scale (epoch-nanos, random 64-bit ids) and wraps negative
+        # with no error under non-ANSI defaults
         quantized.append(
-            ((F.col(c).cast("long") - int(lo)) * scale / span).cast("long"))
+            ((F.col(c).cast("long") - int(lo)).cast("double")
+             / span * scale).cast("long"))
     zv = zvalue(quantized, bits=bits)
     (df.withColumn("_zv", zv)
        .repartitionByRange(n_files, "_zv")

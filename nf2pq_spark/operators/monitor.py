@@ -29,7 +29,9 @@ def quality_metrics(df: DataFrame, cols: list[str] | None = None) -> list:
     numeric = {f.name for f in df.schema.fields
                if f.dataType.typeName() in
                ("integer", "long", "double", "float", "short", "decimal")}
-    for c in (cols or df.columns):
+    # `is None`, not falsy-or: an EXPLICIT empty list means "row count
+    # only", not "all columns" (the falsy-empty-container bug class)
+    for c in (df.columns if cols is None else cols):
         metrics.append(
             F.count_if(F.col(c).isNull()).alias(f"nulls_{c}"))
         if c in numeric:

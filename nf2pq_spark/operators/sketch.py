@@ -52,8 +52,12 @@ def top_talkers_cms(df: DataFrame, col: str, k: int = 10, local_m: int = 50,
 
     from pyspark.sql import Window
 
+    # null keys: the CMS aggregate skips them, so they must also skip the
+    # candidate scan — a frequent null group would otherwise reach the
+    # local top-m and int(None) would kill the job at estimate time
     local = (
-        df.groupBy(F.spark_partition_id().alias("__pid"), F.col(col).alias("__k"))
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.spark_partition_id().alias("__pid"), F.col(col).alias("__k"))
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     w = Window.partitionBy("__pid").orderBy(F.col("__n").desc(), F.col("__k"))
