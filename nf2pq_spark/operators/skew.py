@@ -41,8 +41,10 @@ def salted_join(large: DataFrame, small: DataFrame, on: str,
     dropped: under right/full outer semantics every unmatched small-side
     key would surface once per replica (×buckets duplicate rows).
     """
+    # NOTE: 'cross' is deliberately absent — with (key, salt) join columns
+    # it would silently degenerate to an equi-join, not cross semantics.
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
-                   "semi", "anti", "cross"):
+                   "semi", "anti"):
         raise ValueError(
             f"salted_join: how={how!r} would emit one row per salt replica "
             "for unmatched small-side keys; use the plain join (or salt "

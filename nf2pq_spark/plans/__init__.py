@@ -45,6 +45,8 @@ CANARIES: tuple[str, ...] = (
 #: already graded simply fall out; ungraded queries not listed here
 #: follow in registry order.
 _ROTATION_PRIORITY: tuple[str, ...] = (
+    "s7b_clickhouse_ddl",  # S7's one testable half — last §2 row with
+                           # zero driver evidence (r3 verdict item 2)
     "f3_math", "a15_bitwise_agg", "a16_histogram", "u5_unpivot",
     "a5b_exact_quantiles", "w3b_time_range_frame",
     "a5c_approx_percentile_gate", "a18b_cms_error_gate",
@@ -67,8 +69,24 @@ _ROTATION_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _row_passed(row) -> bool:
+    """A driver row counts as *graded* only if it passed: hash-green for
+    oracle-backed queries, or executed-with-rows for rows-only queries
+    (whose maximal grade is ``err == 'no_oracle'`` + a row count). A row
+    with a real error or a hash mismatch must rotate back into the
+    prefix so the driver re-verifies it after the fix lands."""
+    if not isinstance(row, dict):
+        # pre-row-object file shape (bare name list): assume graded
+        return True
+    err = row.get("err")
+    if err is None:
+        return bool(row.get("hash_match"))
+    return err == "no_oracle" and row.get("spark_rows") is not None
+
+
 def _graded_names() -> frozenset[str]:
-    """Names with a driver correctness row in any committed round file."""
+    """Names with a PASSING driver correctness row in any committed
+    round file (see _row_passed for what counts as passing)."""
     import json
     import os
 
@@ -83,7 +101,12 @@ def _graded_names() -> frozenset[str]:
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             try:
                 with open(os.path.join(root, fn)) as f:
-                    names |= set(json.load(f))
+                    data = json.load(f)
+                if isinstance(data, dict):
+                    names |= {n for n, row in data.items()
+                              if _row_passed(row)}
+                else:
+                    names |= set(data)
             except (OSError, ValueError, TypeError):
                 # a malformed or unexpectedly-shaped grade file (e.g. a
                 # list of result objects) must degrade the rotation, not

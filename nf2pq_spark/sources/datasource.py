@@ -218,19 +218,30 @@ class CaptureWriter(DataSourceWriter):
     :data:`nf2pq_spark.sources.ipfix._IE_KEYS`). Files are written
     atomically (tmp + rename, like the rotation bridge), so a concurrent
     reader or stream never sees a partial capture, and are named
-    DETERMINISTICALLY by partition id — a retried or speculative task
-    replaces its own previous file instead of duplicating flows (the
-    same recipe as :class:`CaptureStreamWriter`'s (batch, partition)
-    names). Exactly the reverse of :class:`CaptureReader`: write → read
-    round-trips the flow table.
+    DETERMINISTICALLY by (job uuid, partition id): the uuid is drawn ONCE
+    on the driver (``__init__`` runs at write planning; the instance is
+    pickled to executors, so every task — including retries and
+    speculative copies — sees the same value). A retried task therefore
+    replaces its own previous file instead of duplicating flows, while
+    two separate append jobs into the same directory keep distinct uuid
+    prefixes instead of silently overwriting each other. ``overwrite``
+    semantics are finished driver-side in :meth:`commit` — files from
+    earlier jobs are removed only after every task of this job has
+    succeeded, so a failed overwrite never destroys the prior data —
+    and :meth:`abort` drops this job's partial output. Exactly the
+    reverse of :class:`CaptureReader`: write → read round-trips the
+    flow table.
     """
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         path = options.get("path")
         if not path:
             raise ValueError("nfcapture: .save(<capture dir>) required")
         self.path = path
         self.overwrite = overwrite
+        self.job_uuid = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -242,9 +253,30 @@ class CaptureWriter(DataSourceWriter):
             os.makedirs(self.path, exist_ok=True)
             dgrams = encode_netflow_v5(flows)
             pid = TaskContext.get().partitionId()
-            fname = f"cap_w_{pid:05d}.bin"
+            fname = f"cap_w_{self.job_uuid}_{pid:05d}.bin"
             write_capture_file(os.path.join(self.path, fname), dgrams)
         return WriterCommitMessage()
+
+    def _own_file(self, fname: str) -> bool:
+        return fname.startswith(f"cap_w_{self.job_uuid}_")
+
+    def commit(self, messages) -> None:
+        # overwrite finishes here: clear every capture file that is NOT
+        # this job's output (older writes, and stale higher-pid files from
+        # a previous wider write) only once all tasks have succeeded
+        if self.overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".bin") and not self._own_file(f):
+                    os.remove(os.path.join(self.path, f))
+
+    def abort(self, messages) -> None:
+        # drop this job's partial output so the directory reflects only
+        # committed jobs; prior jobs' files are untouched
+        if not os.path.isdir(self.path):
+            return
+        for f in os.listdir(self.path):
+            if self._own_file(f):
+                os.remove(os.path.join(self.path, f))
 
 
 class CaptureStreamWriter(DataSourceStreamWriter):

@@ -858,37 +858,54 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
     list — merging whole announcements can never mix two layouts, which
     the previous per-field position-wise merge did when a re-announced
     template SHRANK (stale trailing fields survived, inflating rec_len
-    and silently skipping records)."""
+    and silently skipping records). Each row also carries an ordering key
+    (``src`` = file path, ``seq`` = announcement index within the file):
+    the rotation bridge names files monotonically (sorted == arrival
+    order), so (src, seq) totally orders an exporter's announcements and
+    the merge can honor latest-announcement-wins."""
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
             exporter = _exporter_of(path)
+            seq = 0
             for dgram in iter_datagrams(bytes(content)):
                 for tid, fields in _iter_template_sets(dgram):
                     sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
-                    rows.append((exporter, tid, sig))
-        yield pd.DataFrame(rows, columns=["exporter", "tid", "sig"])
+                    rows.append((exporter, tid, sig, path, seq))
+                    seq += 1
+        yield pd.DataFrame(rows,
+                           columns=["exporter", "tid", "sig", "src", "seq"])
 
 
 _TEMPLATE_SCHEMA = StructType([
     StructField("exporter", StringType()), StructField("tid", IntegerType()),
-    StructField("sig", StringType()),
+    StructField("sig", StringType()), StructField("src", StringType()),
+    StructField("seq", IntegerType()),
 ])
 
 
 def _merge_template_rows(tmpl_rows) -> dict:
-    """Announcement rows → template cache: the majority field-list variant
-    per (exporter, tid) wins (ties break to the lexicographically smallest
-    signature) — deterministic regardless of file/partition order, and
-    never a position-wise mixture of two layouts."""
-    from collections import Counter
-
-    counts: dict[tuple[str, int], Counter] = {}
+    """Announcement rows → template cache: the LATEST announcement per
+    (exporter, tid) wins — collector semantics (RFC 7011 §8: a template
+    re-announcement withdraws the previous definition). "Latest" orders
+    by (src file, in-file seq); the bridge's monotonic file naming makes
+    that arrival order. An exporter that re-announces a tid with a new
+    layout mid-capture therefore seeds the phase-2 cache with the layout
+    in force at the end of the harvest, not whichever variant was
+    announced more often. Ties on the full ordering key (only possible
+    for duplicate rows) break to the lexicographically smallest
+    signature, keeping the merge deterministic regardless of partition
+    order — and never a position-wise mixture of two layouts."""
+    latest: dict[tuple[str, int], tuple[tuple[str, int], str]] = {}
     for r in tmpl_rows:
-        counts.setdefault((r.exporter, r.tid), Counter())[r.sig] += 1
+        key = (r.exporter, r.tid)
+        order = (r.src, r.seq)
+        prev = latest.get(key)
+        if prev is None or order > prev[0] or (order == prev[0]
+                                               and r.sig < prev[1]):
+            latest[key] = (order, r.sig)
     cache: dict[tuple[str, int], list[tuple[int, int]]] = {}
-    for key, ctr in counts.items():
-        sig = min(ctr, key=lambda s: (-ctr[s], s))
+    for key, (_order, sig) in latest.items():
         cache[key] = [
             (int(f.split(":")[0]), int(f.split(":")[1]))
             for f in sig.split("|") if f

@@ -42,6 +42,7 @@ class UdpCaptureBridge:
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self._files: dict[str, tuple[object, float, str]] = {}
+        self._next_flush = float("inf")  # earliest rotation deadline
         self.datagrams_received = 0
 
     # -- file management ----------------------------------------------------
@@ -64,6 +65,7 @@ class UdpCaptureBridge:
         fh = open(tmp, "wb")
         fh.write(_CAPTURE_MAGIC)
         self._files[exporter_ip] = (fh, now, tmp)
+        self._next_flush = min(self._next_flush, now + self.rotate_seconds)
         return fh
 
     def _finalize(self, exporter_ip: str) -> None:
@@ -80,6 +82,12 @@ class UdpCaptureBridge:
         for exporter, (_fh, opened, _tmp) in list(self._files.items()):
             if now - opened >= self.rotate_seconds:
                 self._finalize(exporter)
+        # recompute the earliest deadline over the files still open, so
+        # the hot loop's per-datagram check is a single float compare
+        self._next_flush = min(
+            (opened + self.rotate_seconds
+             for _fh, opened, _tmp in self._files.values()),
+            default=float("inf"))
 
     # -- socket loop ---------------------------------------------------------
 
@@ -93,6 +101,12 @@ class UdpCaptureBridge:
                 self._flush_expired(time.monotonic())
                 continue
             now = time.monotonic()
+            # under SUSTAINED traffic the 0.2s recv timeout never fires, so
+            # the timeout branch alone would leave idle exporters' last
+            # captures hidden as .tmp; this deadline check is one float
+            # compare per datagram, scanning only when a rotation is due
+            if now >= self._next_flush:
+                self._flush_expired(now)
             fh = self._sink_for(src_ip, now)
             fh.write(struct.pack(">I", len(data)))
             fh.write(data)
