@@ -81,12 +81,17 @@ def main() -> None:
     if "j8c_asof_hot_key" in timings and "j8_asof_join" in timings:
         ratio = round(
             timings["j8c_asof_hot_key"] / max(timings["j8_asof_join"], 1e-9), 2)
-        out["skew_ratio_asof"] = ratio
-        out["skew_overhead_sec"] = round(
+        overhead = round(
             timings["j8c_asof_hot_key"] - timings["j8_asof_join"], 3)
-        # asserted bound: constant overhead (<=0.7s) on top of the
-        # denominator can't push past 3x unless something real regressed
+        out["skew_ratio_asof"] = ratio
+        out["skew_overhead_sec"] = overhead
+        # asserted bounds: the RATIO can't push past 3x unless something
+        # real regressed, and the stable metric — the constant overhead
+        # of the 2-3 extra small summary stages — stays <=0.7s (idle
+        # r4 A/B: phantom-carry 0.711s vs uniform 0.42s, overhead ~0.3s;
+        # the 0.7 bound leaves the measured ±0.2s machine swing)
         out["skew_ratio_in_envelope"] = bool(ratio <= 3.0)
+        out["skew_overhead_in_envelope"] = bool(overhead <= 0.7)
     print(json.dumps(out))
 
 

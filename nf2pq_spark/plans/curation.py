@@ -1174,20 +1174,25 @@ def a21_weighted_median(spark, sf_dir):
     description="triangle counting over the co-purchase graph (completes "
     "the distributed graph trio: connected components, PageRank, "
     "triangles — the clustering-coefficient primitive). Spark side uses "
-    "the DEGREE-ORIENTED formulation: each undirected edge is directed "
-    "from the (degree, id)-smaller endpoint, wedges form only at the "
-    "cheap end (sum of squared OUT-degrees is minimized — the standard "
-    "trick that tames power-law hubs at scale), and closure is one probe "
-    "join. The oracle counts the same triangles with the plain id-ordered "
+    "the DEGREE-ORIENTED adjacency-intersection formulation: each "
+    "undirected edge is directed from the (degree, id)-smaller endpoint "
+    "(sum of squared OUT-degrees is minimized — the standard trick that "
+    "tames power-law hubs at scale), out-neighborhoods are packed into "
+    "sorted arrays, and each directed edge (u,v) contributes "
+    "|adj(u) ∩ adj(v)| via one JVM-native array_intersect — Θ(E) rows "
+    "carrying arrays instead of the Σ outdeg² wedge materialization the "
+    "r3 plan shuffled (measured 2x faster at sf0.1: 7.3s → 3.5s warm). "
+    "The oracle counts the same triangles with the plain id-ordered "
     "triple join — orientation-independent, equal by construction.",
     tags=("G3",),
+    bench=True,
 )
 def g3_triangle_count(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
         _basket_pairs(li, "a", "b")
         .distinct()
-        .localCheckpoint(eager=True)  # feeds degrees, orientation, probe
+        .localCheckpoint(eager=True)  # feeds degrees, orientation, count
     )
     deg = (
         edges.select(F.col("a").alias("n")).unionByName(
@@ -1198,33 +1203,35 @@ def g3_triangle_count(spark, sf_dir):
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    # materialized: referenced THREE times below (w1, w2, closures) —
+    # materialized: referenced three times below (adj, probe, n_edges) —
     # unmaterialized, the degree aggregation + both degree joins re-ran
-    # per reference (the documented recompute pitfall); |directed| =
-    # |edges|, a small intermediate
+    # per reference (the documented recompute pitfall). The degree table
+    # is one row per VERTEX (the part catalog — orders of magnitude
+    # smaller than the edge list at any scale), so both degree joins are
+    # explicit broadcasts: orientation costs zero shuffles.
     directed = (
-        edges.join(da, "a").join(db, "b")
+        edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
-            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
         .localCheckpoint(eager=True)
     )
-    w1 = directed.select(F.col("u"), F.col("v").alias("v1"),
-                         F.col("dv").alias("d1"))
-    w2 = directed.select(F.col("u"), F.col("v").alias("v2"),
-                         F.col("dv").alias("d2"))
-    # wedge (v1, v2) around the cheap vertex u, ordered by (deg, id) so the
-    # closure edge's orientation is known
-    wedges = w1.join(w2, "u").filter(
-        (F.col("d1") < F.col("d2")) | (
-            (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    # sorted out-adjacency arrays: ~|V| rows, Θ(E) total payload. The two
+    # probe joins below stay shuffle joins deliberately — adj is Θ(E)
+    # data, NOT broadcastable at scale (unlike the degree table).
+    adj = directed.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nb"))
+    adj_v = adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v"))
+    # inner joins are correct: a vertex missing from adj has no
+    # out-edges, so its intersection would be empty — dropping the row
+    # changes nothing. Each triangle u→v, u→w, v→w is counted exactly
+    # once, at its (u,v) edge (w is the unique common out-neighbor).
+    tri = (
+        directed.join(adj, "u").join(adj_v, "v")
+        .select(F.size(F.array_intersect("nb", "nb_v")).alias("c"))
+        .agg(F.sum("c").alias("n_triangles"))
     )
-    closures = directed.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tri = wedges.join(closures, ["v1", "v2"]).agg(
-        F.count(F.lit(1)).alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.join(F.broadcast(tri)).select(
         F.col("n_edges").cast("bigint").alias("n_edges"),
