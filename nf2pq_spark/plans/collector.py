@@ -888,6 +888,30 @@ def s6h_ddos_profile(spark, sf_dir):
     )
 
 
+def _st9_rollup(flows):
+    return (
+        flows.groupBy(
+            "pr",
+            F.expr("dp div 128").cast("bigint").alias("port_class"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("ibyt").alias("total_bytes"),
+        )
+    )
+
+
+def _st9_batch_read(spark, sf_dir):
+    """Lint probe input: the BATCH half of the nfcapture source over the
+    same cached capture dir — identical decode partition planning, no
+    streaming query to start."""
+    from ..sources.datasource import register_capture_source
+
+    register_capture_source(spark)
+    return spark.read.format("nfcapture").load(
+        _datagram_dir(spark, sf_dir, "v5"))
+
+
 @register(
     "st9_capture_stream_decode",
     oracle=f"""
@@ -909,6 +933,8 @@ def s6h_ddos_profile(spark, sf_dir):
     "only new rotation files; the rollup state is bounded by the "
     "(pr, port-class) key space.",
     tags=("S5", "S6", "T1", "T8"),
+    lint_probe=lambda spark, sf_dir: _st9_rollup(_st9_batch_read(
+        spark, sf_dir)),
 )
 def st9_capture_stream_decode(spark, sf_dir):
     from ..sources.datasource import register_capture_source
@@ -917,16 +943,7 @@ def st9_capture_stream_decode(spark, sf_dir):
     path = _datagram_dir(spark, sf_dir, "v5")
     register_capture_source(spark)
     stream = spark.readStream.format("nfcapture").load(path)
-    rolled = (
-        stream.groupBy(
-            "pr",
-            F.expr("dp div 128").cast("bigint").alias("port_class"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_flows"),
-            F.sum("ibyt").alias("total_bytes"),
-        )
-    )
+    rolled = _st9_rollup(stream)
     _, name = run_available_now(rolled, output_mode="complete")
     return spark.table(name).select(
         F.col("pr").cast("int").alias("pr"),
@@ -1103,6 +1120,14 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     )
 
 
+def _st13_rollup(back):
+    return back.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.countDistinct("da").alias("n_dst"),
+    )
+
+
 @register(
     "st13_capture_stream_sink",
     oracle=f"""
@@ -1122,6 +1147,13 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     "as first-class Spark API on BOTH halves. Scale: sink tasks are "
     "shuffle-free; rotation granularity = micro-batch.",
     tags=("S3", "S5", "T8"),
+    # probe: the sink-side wire projection chained into the read-back
+    # rollup over batch events — the same columns the stream writes and
+    # the query aggregates, no streaming write executed
+    lint_probe=lambda spark, sf_dir: _st13_rollup(
+        _flow_columns(load_table(spark, sf_dir, "events"))
+        .withColumn("sa", F.col("sa_int").cast("string"))
+        .withColumn("da", F.col("da_int").cast("string"))),
 )
 def st13_capture_stream_sink(spark, sf_dir):
     import tempfile
@@ -1139,12 +1171,7 @@ def st13_capture_stream_sink(spark, sf_dir):
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    back = spark.read.format("nfcapture").load(out)
-    return back.groupBy("pr").agg(
-        F.count(F.lit(1)).alias("n_flows"),
-        F.sum("ibyt").alias("sum_bytes"),
-        F.countDistinct("da").alias("n_dst"),
-    )
+    return _st13_rollup(spark.read.format("nfcapture").load(out))
 
 
 @register(

@@ -35,19 +35,29 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
     #: queries worth timing in bench.py
     bench: bool = False
+    #: plan-lint stand-in for queries whose fn EXECUTES work when called
+    #: (streaming runs, sink round-trips): builds the same transformation
+    #: core on BATCH inputs so tests/test_plan_lint.py can inspect a
+    #: physical plan without running the stream. Streaming transforms are
+    #: shared builders (streaming/jobs.py) applied identically in both
+    #: modes — stream-batch equivalence is the module's design — so the
+    #: probe plans the same operator composition the stream executes.
+    lint_probe: QueryFn | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None = None, description: str = "",
-             tags: tuple[str, ...] = (), bench: bool = False):
+             tags: tuple[str, ...] = (), bench: bool = False,
+             lint_probe: QueryFn | None = None):
     """Decorator: add a query implementation to the graded registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, description, tags, bench)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, tags,
+                                   bench, lint_probe)
         return fn
 
     return deco

@@ -10,10 +10,19 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming.jobs import (read_events_stream, run_available_now,
-                              streaming_dedup, stream_static_join,
-                              windowed_rollup)
+                              stream_stream_interval_join, streaming_dedup,
+                              stream_static_join, windowed_rollup)
 from .helpers import msql, osum
 from .registry import register
+
+
+def _batch_events(spark, sf_dir):
+    """Batch twin of read_events_stream for the plan-lint probes: the
+    streaming transforms below are built by shared builders applied
+    identically in batch (stream-batch equivalence), so linting the core
+    over the batch table inspects the same operator composition the
+    stream executes — without starting a streaming query."""
+    return load_table(spark, sf_dir, "events")
 
 
 @register(
@@ -27,6 +36,8 @@ from .registry import register
     "file-source stream, watermark, availableNow trigger, memory sink — "
     "stream-batch equivalence makes the batch SQL the oracle",
     tags=("T1", "T4", "T8", "S8"),
+    lint_probe=lambda spark, sf_dir: windowed_rollup(
+        _batch_events(spark, sf_dir), "1 hour", "10 minutes"),
 )
 def st1_stream_tumbling(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
@@ -34,6 +45,16 @@ def st1_stream_tumbling(spark, sf_dir):
     _, name = run_available_now(rolled, output_mode="complete")
     return spark.table(name).select(
         F.col("window.start").alias("bucket"), "event_type", "n", "sum_value"
+    )
+
+
+def _st4_core(src):
+    return (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+             .alias("sum_value"))
     )
 
 
@@ -51,19 +72,22 @@ def st1_stream_tumbling(spark, sf_dir):
     description="Structured Streaming sliding 30/15min windows (T2 under a "
     "real stream): every event lands in two overlapping windows",
     tags=("T2",),
+    lint_probe=lambda spark, sf_dir: _st4_core(_batch_events(spark, sf_dir)),
 )
 def st4_stream_sliding(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "30 minutes", "15 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
-             .alias("sum_value"))
-    )
+    agg = _st4_core(stream)
     _, name = run_available_now(agg, output_mode="complete")
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "n", "sum_value"
+    )
+
+
+def _st5_core(src):
+    return (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
 
 
@@ -88,14 +112,11 @@ def st4_stream_sliding(spark, sf_dir):
     description="Structured Streaming session windows (T3 under a real "
     "stream), 30min gap, complete mode",
     tags=("T3",),
+    lint_probe=lambda spark, sf_dir: _st5_core(_batch_events(spark, sf_dir)),
 )
 def st5_stream_session(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
-    sess = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    sess = _st5_core(stream)
     _, name = run_available_now(sess, output_mode="complete")
     return spark.table(name).select(
         "user_id", F.col("session_window.start").alias("session_start"), "n_events"
@@ -108,6 +129,9 @@ def st5_stream_session(spark, sf_dir):
     description="streaming stateful dedup (T5): dropDuplicates over the "
     "stream, key projection compared against batch DISTINCT",
     tags=("T5",),
+    lint_probe=lambda spark, sf_dir: streaming_dedup(
+        _batch_events(spark, sf_dir), ["user_id", "event_type"]
+    ).select("user_id", "event_type"),
 )
 def st2_stream_dedup(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
@@ -116,6 +140,14 @@ def st2_stream_dedup(spark, sf_dir):
     )
     _, name = run_available_now(deduped, output_mode="append")
     return spark.table(name)
+
+
+def _st3_core(src, dim):
+    joined = stream_static_join(src, dim, src.user_id == dim.c_custkey)
+    # exact COUNT(DISTINCT) isn't streamable directly; keep per-(segment,user)
+    # counts as the streaming state and finish the rollup on the final table
+    return joined.groupBy("c_mktsegment", "user_id").agg(
+        F.count(F.lit(1)).alias("n"))
 
 
 @register(
@@ -129,14 +161,15 @@ def st2_stream_dedup(spark, sf_dir):
     description="stream-static enrichment join (T7): event stream joined "
     "to the broadcast customer dim, aggregated per segment",
     tags=("T7",),
+    lint_probe=lambda spark, sf_dir: _st3_core(
+        _batch_events(spark, sf_dir),
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")),
 )
 def st3_stream_static_join(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = stream_static_join(stream, dim, stream.user_id == dim.c_custkey)
-    # exact COUNT(DISTINCT) isn't streamable directly; keep per-(segment,user)
-    # counts as the streaming state and finish the rollup on the final table
-    per_key = joined.groupBy("c_mktsegment", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    per_key = _st3_core(stream, dim)
     _, name = run_available_now(per_key, output_mode="complete")
     per_user = spark.table(name)
     return per_user.groupBy("c_mktsegment").agg(
@@ -159,10 +192,10 @@ def st3_stream_static_join(spark, sf_dir):
     "join state — inner-join results emit immediately, so the bounded "
     "availableNow run equals the batch self-join oracle",
     tags=("T7", "J7"),
+    lint_probe=lambda spark, sf_dir: stream_stream_interval_join(
+        _batch_events(spark, sf_dir), "view", "click", "4 hours"),
 )
 def st6_stream_stream_join(spark, sf_dir):
-    from ..streaming.jobs import stream_stream_interval_join
-
     stream = read_events_stream(spark, sf_dir)
     joined = stream_stream_interval_join(stream, "view", "click", "4 hours")
     _, name = run_available_now(joined, output_mode="append")
@@ -205,10 +238,11 @@ def st6_stream_stream_join(spark, sf_dir):
     "must NOT appear. Scale: the watermark bounds both join-state sides; "
     "outer state is evicted-and-emitted, never retained indefinitely.",
     tags=("T7", "J2", "T4"),
+    lint_probe=lambda spark, sf_dir: stream_stream_interval_join(
+        _batch_events(spark, sf_dir), "view", "click", "4 hours",
+        how="leftOuter"),
 )
 def st11_stream_outer_join(spark, sf_dir):
-    from ..streaming.jobs import stream_stream_interval_join
-
     stream = read_events_stream(spark, sf_dir)
     joined = stream_stream_interval_join(stream, "view", "click", "4 hours",
                                          how="leftOuter")
@@ -262,6 +296,39 @@ def _chunked_events_dir(spark, sf_dir: str, n_chunks: int = 4) -> str:
 _CHUNKED_SCHEMA = "ts timestamp, user_id long, value double, chunk int"
 
 
+def _st7_final_pick(tbl):
+    """Cumulative-emission pick: each update-mode emission is cumulative,
+    so the final state per key is the row with the largest running count.
+    Shared with the lint probe (window partitioned by key — never global)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "n_events",
+            (F.col("sum_c").cast("double") / 100).alias("sum_value"),
+            "max_value",
+        )
+    )
+
+
+def _st7_probe(spark, sf_dir):
+    """Batch probe: the stateful half (applyInPandasWithState →
+    FlatMapGroupsInPandasWithState) is Arrow-batched by construction and
+    has no batch-mode equivalent; the lintable surface is the emission
+    shape + the final-pick window, exercised over the batch per-key
+    totals."""
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    totals = _batch_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_c"),
+        F.max("value").alias("max_value"),
+    )
+    return _st7_final_pick(totals)
+
+
 @register(
     "st7_stateful_totals",
     oracle="""
@@ -281,9 +348,9 @@ _CHUNKED_SCHEMA = "ts timestamp, user_id long, value double, chunk int"
     "same processor runs on the RocksDB state store with watermark-driven "
     "eviction.",
     tags=("T6", "X2"),
+    lint_probe=_st7_probe,
 )
 def st7_stateful_totals(spark, sf_dir):
-    from pyspark.sql import Window
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..session import ensure_session_conf
@@ -323,19 +390,7 @@ def st7_stateful_totals(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     _, name = run_available_now(result, output_mode="update")
-    # each emission is cumulative; the final state per key is the row with
-    # the largest running count
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        spark.table(name)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id", "n_events",
-            (F.col("sum_c").cast("double") / 100).alias("sum_value"),
-            "max_value",
-        )
-    )
+    return _st7_final_pick(spark.table(name))
 
 
 @register(
@@ -370,6 +425,27 @@ def s2_partitioned_sink(spark, sf_dir):
     )
 
 
+def _st8_rollup(back):
+    return back.groupBy(
+        F.col("date").cast("string").alias("date"),
+        F.col("hour").cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("sum_value"),
+    )
+
+
+def _st8_probe(spark, sf_dir):
+    """Batch probe: the sink's derivation (with_partition_columns) chained
+    into the read-back rollup — the same columns the stream writes and the
+    query aggregates, without executing a write."""
+    from ..streaming.sinks import with_partition_columns
+
+    ev = _batch_events(spark, sf_dir).select("ts", "value")
+    return _st8_rollup(with_partition_columns(ev, "ts"))
+
+
 @register(
     "st8_streaming_sink_roundtrip",
     oracle="""
@@ -387,6 +463,7 @@ def s2_partitioned_sink(spark, sf_dir):
     "sink parallelizes per partition; small files are the compaction "
     "pass's job (operators/compact.py).",
     tags=("S3", "T8"),
+    lint_probe=_st8_probe,
 )
 def st8_streaming_sink_roundtrip(spark, sf_dir):
     import os
@@ -401,11 +478,11 @@ def st8_streaming_sink_roundtrip(spark, sf_dir):
     q = parquet_rotating_sink(stream, out, ckpt, ts_col="ts",
                               available_now=True)
     q.awaitTermination()
-    back = spark.read.parquet(out)
-    return back.groupBy(
-        F.col("date").cast("string").alias("date"),
-        F.col("hour").cast("bigint").alias("hour"),
-    ).agg(
+    return _st8_rollup(spark.read.parquet(out))
+
+
+def _st12_rollup(back):
+    return back.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
         .alias("sum_value"),
@@ -429,6 +506,8 @@ def st8_streaming_sink_roundtrip(spark, sf_dir):
     "Redelivery idempotency itself is unit-tested by calling the writer "
     "twice with the same batch id.",
     tags=("T8", "S7", "S2"),
+    lint_probe=lambda spark, sf_dir: _st12_rollup(
+        _batch_events(spark, sf_dir).select("user_id", "value")),
 )
 def st12_foreach_batch_sink(spark, sf_dir):
     import tempfile
@@ -448,12 +527,8 @@ def st12_foreach_batch_sink(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="st12_ckpt_")
     q = foreach_batch_sink(stream, idempotent_parquet_batch_writer(base), ckpt)
     q.awaitTermination()
-    back = spark.read.parquet(base)  # batch_id partition dirs discovered
-    return back.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
-        .alias("sum_value"),
-    )
+    # batch_id partition dirs discovered by the read-back
+    return _st12_rollup(spark.read.parquet(base))
 
 
 def _watermark_chunks_dir(spark, sf_dir: str) -> str:
@@ -517,6 +592,14 @@ def _watermark_chunks_dir(spark, sf_dir: str) -> str:
     return out
 
 
+def _st10_core(src):
+    return (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "st10_watermark_drop",
     oracle="""
@@ -537,6 +620,7 @@ def _watermark_chunks_dir(spark, sf_dir: str) -> str:
     "state is bounded by open windows per key-space slice; late data "
     "cannot grow state without bound.",
     tags=("T4", "T1", "T8"),
+    lint_probe=lambda spark, sf_dir: _st10_core(_batch_events(spark, sf_dir)),
 )
 def st10_watermark_drop(spark, sf_dir):
     from ..session import ensure_session_conf
@@ -548,14 +632,24 @@ def st10_watermark_drop(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     ).drop("chunk")
-    agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", "1 hour"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    agg = _st10_core(stream)
     _, name = run_available_now(agg, output_mode="append")
     return spark.table(name).select(
         F.col("window.start").alias("bucket"), "n")
+
+
+def _st14_seen(spark, sf_dir):
+    return (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 7 == 0)
+            .select(F.col("event_id").alias("seen_id")))
+
+
+def _st14_core(src, seen):
+    fresh = src.join(seen, src.event_id == seen.seen_id, "left_anti")
+    return fresh.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("event_id").cast("bigint").alias("min_new_id"),
+    )
 
 
 @register(
@@ -575,20 +669,33 @@ def st10_watermark_drop(spark, sf_dir):
     "behaves like any dim table: at scale it broadcast- or shuffle-joins "
     "per micro-batch with no streaming state for the anti side.",
     tags=("T7", "J4"),
+    lint_probe=lambda spark, sf_dir: _st14_core(
+        _batch_events(spark, sf_dir), _st14_seen(spark, sf_dir)),
 )
 def st14_stream_antijoin_dedup(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
-    seen = (load_table(spark, sf_dir, "events")
-            .filter(F.col("event_id") % 7 == 0)
-            .select(F.col("event_id").alias("seen_id")))
-    fresh = stream.join(
-        seen, stream.event_id == seen.seen_id, "left_anti")
-    agg = fresh.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_new"),
-        F.min("event_id").cast("bigint").alias("min_new_id"),
-    )
+    agg = _st14_core(stream, _st14_seen(spark, sf_dir))
     _, name = run_available_now(agg, output_mode="complete")
     return spark.table(name)
+
+
+def _st15_core(src):
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    lvl1 = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.window_time("window"), "1 hour"),
+                     "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"),
+             F.count(F.lit(1)).alias("n_buckets"))
+    )
+    return lvl2.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type", "n", "cents", "n_buckets",
+    )
 
 
 @register(
@@ -619,27 +726,23 @@ def st14_stream_antijoin_dedup(spark, sf_dir):
     "watermark (10 min) closed; the oracle is the batch two-level rollup "
     "restricted to closed hours. Integer cents keep both levels exact.",
     tags=("T1", "T4", "T8"),
+    lint_probe=lambda spark, sf_dir: _st15_core(_batch_events(spark, sf_dir)),
 )
 def st15_stream_chained_rollup(spark, sf_dir):
-    stream = read_events_stream(spark, sf_dir)
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
-    lvl1 = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "15 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
-    )
-    lvl2 = (
-        lvl1.groupBy(F.window(F.window_time("window"), "1 hour"),
-                     "event_type")
-        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"),
-             F.count(F.lit(1)).alias("n_buckets"))
-    )
-    out = lvl2.select(
-        F.col("window.start").alias("hour_start"),
-        "event_type", "n", "cents", "n_buckets",
-    )
+    out = _st15_core(read_events_stream(spark, sf_dir))
     _, name = run_available_now(out, output_mode="append")
     return spark.table(name)
+
+
+def _st16_core(feed_a, feed_b):
+    a = feed_a.filter(F.col("event_type").isin("click", "view"))
+    b = feed_b.filter(F.col("event_type").isin("view", "purchase"))
+    unioned = a.unionByName(b).select("event_type", "value")
+    return unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
+        .alias("sum_value"),
+    )
 
 
 @register(
@@ -664,17 +767,11 @@ def st15_stream_chained_rollup(spark, sf_dir):
     "each source scans independently (per-source parallelism), the union "
     "is a no-shuffle narrow op, and state is shared downstream.",
     tags=("S8", "T1", "U1"),
+    lint_probe=lambda spark, sf_dir: _st16_core(
+        _batch_events(spark, sf_dir), _batch_events(spark, sf_dir)),
 )
 def st16_stream_union(spark, sf_dir):
-    a = read_events_stream(spark, sf_dir).filter(
-        F.col("event_type").isin("click", "view"))
-    b = read_events_stream(spark, sf_dir).filter(
-        F.col("event_type").isin("view", "purchase"))
-    unioned = a.unionByName(b).select("event_type", "value")
-    agg = unioned.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(10,2)")).cast("double")
-        .alias("sum_value"),
-    )
+    agg = _st16_core(read_events_stream(spark, sf_dir),
+                     read_events_stream(spark, sf_dir))
     _, name = run_available_now(agg, output_mode="complete")
     return spark.table(name)

@@ -785,6 +785,69 @@ def test_capture_stream_writer_abort_cleans_batch(tmp_path):
     assert (d / "_committed_0").exists()
 
 
+def test_capture_writer_append_jobs_do_not_clobber(tmp_path):
+    """Two separate append WRITE JOBS into one directory must accumulate
+    (per-job uuid names), while a retried task within one job replaces its
+    own file (same uuid + pid); overwrite commit clears other jobs' files
+    and abort drops only this job's output."""
+    from nf2pq_spark.sources.datasource import CaptureWriter
+    from nf2pq_spark.sources.ipfix import write_capture_file
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    w1 = CaptureWriter({"path": str(d)}, overwrite=False)
+    w2 = CaptureWriter({"path": str(d)}, overwrite=False)
+    assert w1.job_uuid != w2.job_uuid
+    # simulate the executor-side naming for two jobs + a task retry
+    for w, pid in ((w1, 0), (w1, 0), (w1, 1), (w2, 0)):
+        write_capture_file(
+            str(d / f"cap_w_{w.job_uuid}_{pid:05d}.bin"), [b"\x00" * 24])
+    assert len(list(d.glob("*.bin"))) == 3  # retry replaced, jobs distinct
+
+    # overwrite job: commit clears every file that isn't its own
+    w3 = CaptureWriter({"path": str(d)}, overwrite=True)
+    write_capture_file(
+        str(d / f"cap_w_{w3.job_uuid}_00000.bin"), [b"\x00" * 24])
+    w3.commit([])
+    left = sorted(f.name for f in d.glob("*.bin"))
+    assert left == [f"cap_w_{w3.job_uuid}_00000.bin"]
+
+    # abort drops only the aborting job's files
+    w4 = CaptureWriter({"path": str(d)}, overwrite=False)
+    write_capture_file(
+        str(d / f"cap_w_{w4.job_uuid}_00000.bin"), [b"\x00" * 24])
+    w4.abort([])
+    assert sorted(f.name for f in d.glob("*.bin")) == left
+
+
+def test_merge_template_rows_latest_announcement_wins():
+    """An exporter re-announcing a template with a NEW layout mid-capture
+    must win the seed cache (collector semantics: re-announcement
+    withdraws the old definition) — regardless of how often the stale
+    layout was announced or the order rows arrive in."""
+    from collections import namedtuple
+
+    from nf2pq_spark.sources.ipfix import _merge_template_rows
+
+    Row = namedtuple("Row", "exporter tid sig src seq")
+    old, new = "8:4|12:4", "8:4|12:4|2:8"
+    rows = [
+        Row("e1", 256, old, "/caps/e1/cap_001.bin", 0),
+        Row("e1", 256, old, "/caps/e1/cap_002.bin", 0),
+        Row("e1", 256, old, "/caps/e1/cap_003.bin", 0),
+        Row("e1", 256, new, "/caps/e1/cap_004.bin", 1),  # latest, minority
+    ]
+    want = [(8, 4), (12, 4), (2, 8)]
+    assert _merge_template_rows(rows)[("e1", 256)] == want
+    assert _merge_template_rows(rows[::-1])[("e1", 256)] == want
+    # within one file the larger seq is later
+    rows2 = [
+        Row("e1", 256, new, "/caps/e1/cap_001.bin", 0),
+        Row("e1", 256, old, "/caps/e1/cap_001.bin", 3),
+    ]
+    assert _merge_template_rows(rows2)[("e1", 256)] == [(8, 4), (12, 4)]
+
+
 def test_connected_components_property_vs_union_find(spark):
     """Random graphs: the distributed min-label/pointer-doubling loop must
     agree exactly with a sequential union-find (min-id representative)."""

@@ -81,6 +81,32 @@ def test_rotation_algorithm_on_synthetic_grade_sets():
     assert pc[:5] == plans.CANARIES and len(set(pc)) == 50
 
 
+def test_failed_rows_are_not_graded():
+    """A driver row only counts as graded when it PASSED: hash-green for
+    oracle-backed queries, executed-with-rows for rows-only ones. A
+    failed or errored row must rotate back into the prefix so the driver
+    re-verifies the fix (advice r3: a historically-failed non-canary
+    would otherwise never earn a passing row)."""
+    from nf2pq_spark.plans import _row_passed
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    assert _row_passed(green)
+    assert not _row_passed({**green, "hash_match": False})
+    assert not _row_passed({**green, "hash_match": None,
+                            "err": "SomeError: boom"})
+    # rows-only maximal grade: executed, no oracle
+    assert _row_passed({"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": 3,
+                        "oracle_rows": None, "err": "no_oracle"})
+    # rows-only that never executed
+    assert not _row_passed({"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None, "err": "no_oracle"})
+    # legacy bare-name list shape: assume graded
+    assert _row_passed("not-a-dict")
+
+
 def test_prefix_is_mostly_oracle_backed():
     # the sweep is only useful if the prefix rows carry hard hash checks;
     # the registry has 7 rows-only queries and the rotation sends them

@@ -49,6 +49,42 @@ def test_udp_to_spark_roundtrip(spark):
     assert flows.filter(F.col("dp") == 53).count() == 150
 
 
+def test_idle_exporter_rotates_under_sustained_traffic():
+    """An idle exporter's last capture must rotate to a visible file even
+    while ANOTHER exporter keeps the socket busy (the 0.2s recv timeout
+    never fires under sustained traffic, so rotation must not depend on
+    it). Linux delivers any 127.0.0.0/8 source address over loopback, so
+    the idle exporter binds 127.0.0.2."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="bridge_busy_")
+    bridge = UdpCaptureBridge("127.0.0.1", 0, out, rotate_seconds=0.3).start()
+    try:
+        idle = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            idle.bind(("127.0.0.2", 0))
+        except OSError:  # pragma: no cover - non-Linux loopback semantics
+            import pytest
+
+            pytest.skip("cannot bind a second loopback address")
+        busy = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        dgram = encode_netflow_v5(_flows(1))[0]
+        idle.sendto(dgram, bridge.addr)  # one datagram, then silence
+        deadline = time.time() + 1.2
+        finalized = False
+        while time.time() < deadline:
+            busy.sendto(dgram, bridge.addr)  # keep recvfrom returning
+            time.sleep(0.02)
+            d = os.path.join(out, "127.0.0.2")
+            if os.path.isdir(d) and any(
+                    not f.startswith(".") for f in os.listdir(d)):
+                finalized = True
+                break
+        assert finalized, "idle exporter's capture stayed a hidden .tmp"
+    finally:
+        bridge.stop()
+
+
 def test_bridge_rotation_produces_multiple_files(spark):
     import os
 

@@ -121,6 +121,19 @@ CASES_100 = [
 ]
 
 
+#: 100x documents tier: the documents-corpus heavy tail was 10x-only in
+#: r3 (exponents 0.81/0.84/0.48 — sub-linear, i.e. fixed overhead still
+#: dominated); this tier confirms those converge toward ~1.0 at real
+#: sizes, like the events queries did.
+CASES_100_DOCS = [
+    ("l2_minhash_bands", 1.0, "per-doc shingle+md5 folds; no pairing"),
+    ("l16_decontamination", 1.0, "eval-gram set broadcast, one train "
+     "pass"),
+    ("l24_dsir_weights", 1.0, "one (doc,bucket) count table, weights "
+     "broadcast"),
+]
+
+
 def synthesize_events_100x(spark) -> None:
     """Write the 100x events table under DST100 (events-only tier)."""
     os.makedirs(DST100, exist_ok=True)
@@ -135,6 +148,26 @@ def synthesize_events_100x(spark) -> None:
          "event_type", "value", "props")
      .repartition(32)
      .write.mode("overwrite").parquet(f"{DST100}/events.parquet"))
+
+
+def synthesize_docs_100x(spark) -> None:
+    """Write the 100x documents table under DST100 — same per-replica
+    token-suffix construction as the 10x tier (each replica keeps the
+    original near-dup structure; cross-replica shingles never collide)."""
+    os.makedirs(DST100, exist_ok=True)
+    spine = F.explode(F.sequence(F.lit(0), F.lit(K100 - 1))).alias("__k")
+    docs = load_table(spark, SRC, "documents")
+    k = F.col("__k").cast("long")
+    (docs.select("*", spine)
+     .select(
+         (F.col("doc_id") + k * F.lit(10_000_000)).alias("doc_id"),
+         F.array_join(
+             F.transform(F.split("text", " "),
+                         lambda t: F.concat(t, F.lit("_"), F.col("__k"))),
+             " ").alias("text"),
+         "lang", "source", "n_chars")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{DST100}/documents.parquet"))
 
 
 def synthesize(spark) -> None:
@@ -272,6 +305,27 @@ def main() -> None:
         flag = " **!**" if exp > expected + 0.3 else ""
         print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
               f"| {exp}{flag} | ~{expected} | {why} |")
+    if not os.path.exists(f"{DST100}/documents.parquet"):
+        print(f"synthesizing {K100}x documents at {DST100} ...",
+              file=sys.stderr)
+        synthesize_docs_100x(spark)
+    print()
+    print("## 100x amortization tier (documents-only, ~600k docs)")
+    print()
+    print("The r3 10x table left the documents heavy tail sub-linear "
+          "(fixed overhead dominating at 60k docs); this tier runs the "
+          "same 10x→100x step for the documents-corpus operators.")
+    print()
+    print("| query | t@10x | t@100x | ratio | exponent | expected | why |")
+    print("|---|---|---|---|---|---|---|")
+    for case, expected, why in CASES_100_DOCS:
+        t10 = run_case(spark, case, DST)
+        t100 = run_case(spark, case, DST100)
+        exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
+        flag = " **!**" if exp > expected + 0.3 else ""
+        print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
+              f"| {exp}{flag} | ~{expected} | {why} |")
+
     if "j8_asof_join" in t100s and "j8c_asof_hot_key" in t100s:
         r = round(t100s["j8c_asof_hot_key"] / t100s["j8_asof_join"], 2)
         print()
