@@ -1099,7 +1099,10 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_written_{tag}"
     done = os.path.join(out, "_DONE")
-    stamp = source_stamp(sf_dir, "events")
+    # |capfmt2: the batch writer now publishes via _committed_<jobid>
+    # markers that the reader filters on — a dir cached by the pre-marker
+    # code would read back EMPTY, so the format bump forces one rewrite
+    stamp = source_stamp(sf_dir, "events") + "|capfmt2"
     if not cache_current(done, stamp):
         # stale marker = first run, a PARTIAL previous run that died
         # mid-write, or a regenerated source fixture; clear leftovers so

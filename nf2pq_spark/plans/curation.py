@@ -1220,17 +1220,24 @@ def g3_triangle_count(spark, sf_dir):
     # sorted out-adjacency arrays: ~|V| rows, Θ(E) total payload. The two
     # probe joins below stay shuffle joins deliberately — adj is Θ(E)
     # data, NOT broadcastable at scale (unlike the degree table).
+    # Materialized: referenced twice (u-side and v-side probes) — the
+    # recompute pitfall again; without the cut the groupBy+sort_array
+    # shuffle over the full edge list runs once per reference.
     adj = directed.groupBy("u").agg(
-        F.sort_array(F.collect_list("v")).alias("nb"))
+        F.sort_array(F.collect_list("v")).alias("nb")
+    ).localCheckpoint(eager=True)
     adj_v = adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v"))
     # inner joins are correct: a vertex missing from adj has no
     # out-edges, so its intersection would be empty — dropping the row
     # changes nothing. Each triangle u→v, u→w, v→w is counted exactly
     # once, at its (u,v) edge (w is the unique common out-neighbor).
+    # coalesce: on a triangle-free graph the probes can drop EVERY row
+    # (e.g. a star — no oriented head has out-edges) and sum() over zero
+    # rows is NULL, where the oracle's COUNT(*) is 0.
     tri = (
         directed.join(adj, "u").join(adj_v, "v")
         .select(F.size(F.array_intersect("nb", "nb_v")).alias("c"))
-        .agg(F.sum("c").alias("n_triangles"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.join(F.broadcast(tri)).select(

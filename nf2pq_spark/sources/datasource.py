@@ -42,13 +42,31 @@ from .ipfix import FLOW_SCHEMA
 
 def _list_capture_files(path: str) -> list[str]:
     """Deterministic (sorted) capture-file listing — the rotation bridge
-    writes monotonically-named files, so sorted order == arrival order."""
+    writes monotonically-named files, so sorted order == arrival order.
+
+    Batch-writer output (``cap_w_<jobid>_<pid>.bin``) is visible only
+    once its job's ``_committed_<jobid>`` marker exists: a job whose
+    driver died between task success and commit/abort must not pollute
+    later reads with duplicate flows (its rerun draws a NEW job id, so
+    the per-job names cannot self-heal the way the stream writer's
+    deterministic (batch, pid) names do under checkpoint replay —
+    which is also why ``cap_b*`` stream files need no marker filter
+    here). Bridge rotations and hand-written captures use neither
+    prefix and are always listed."""
     if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".bin")
-        )
+        names = os.listdir(path)
+        committed = {n[len("_committed_"):]
+                     for n in names if n.startswith("_committed_")}
+        out = []
+        for f in sorted(names):
+            if not f.endswith(".bin"):
+                continue
+            if f.startswith("cap_w_"):
+                job_id = f[len("cap_w_"):-len(".bin")].rsplit("_", 1)[0]
+                if job_id not in committed:
+                    continue
+            out.append(os.path.join(path, f))
+        return out
     return [path]
 
 
@@ -224,13 +242,16 @@ class CaptureWriter(DataSourceWriter):
     speculative copies — sees the same value). A retried task therefore
     replaces its own previous file instead of duplicating flows, while
     two separate append jobs into the same directory keep distinct uuid
-    prefixes instead of silently overwriting each other. ``overwrite``
-    semantics are finished driver-side in :meth:`commit` — files from
-    earlier jobs are removed only after every task of this job has
-    succeeded, so a failed overwrite never destroys the prior data —
-    and :meth:`abort` drops this job's partial output. Exactly the
-    reverse of :class:`CaptureReader`: write → read round-trips the
-    flow table.
+    prefixes instead of silently overwriting each other. :meth:`commit`
+    publishes the job by writing a ``_committed_<jobid>`` marker —
+    :func:`_list_capture_files` skips ``cap_w_*`` files without one, so
+    a job whose driver died before commit/abort (where neither cleanup
+    hook ever runs) cannot double-count flows against its rerun — and
+    then finishes ``overwrite`` by removing earlier jobs' files and
+    markers (marker first: a crash mid-commit leaves both jobs visible,
+    never an empty directory). :meth:`abort` drops this job's partial
+    output. Exactly the reverse of :class:`CaptureReader`: write → read
+    round-trips the flow table.
     """
 
     def __init__(self, options, overwrite: bool):
@@ -241,7 +262,9 @@ class CaptureWriter(DataSourceWriter):
             raise ValueError("nfcapture: .save(<capture dir>) required")
         self.path = path
         self.overwrite = overwrite
-        self.job_uuid = uuid.uuid4().hex[:12]
+        # leading "w" keeps the job id disjoint from the stream sink's
+        # numeric batch-id markers in a shared directory
+        self.job_uuid = "w" + uuid.uuid4().hex[:11]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -261,12 +284,24 @@ class CaptureWriter(DataSourceWriter):
         return fname.startswith(f"cap_w_{self.job_uuid}_")
 
     def commit(self, messages) -> None:
-        # overwrite finishes here: clear every capture file that is NOT
-        # this job's output (older writes, and stale higher-pid files from
-        # a previous wider write) only once all tasks have succeeded
-        if self.overwrite and os.path.isdir(self.path):
+        # publish first: once the marker exists the reader sees this
+        # job's files, so a crash during the overwrite cleanup below
+        # leaves extra (old) data visible, never an empty directory
+        os.makedirs(self.path, exist_ok=True)
+        marker = os.path.join(self.path, f"_committed_{self.job_uuid}")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        if self.overwrite:
+            # overwrite finishes here: clear every capture file and
+            # marker that is NOT this job's (older writes, and stale
+            # higher-pid files from a previous wider write) only once
+            # all tasks have succeeded
+            own_marker = f"_committed_{self.job_uuid}"
             for f in os.listdir(self.path):
-                if f.endswith(".bin") and not self._own_file(f):
+                stale_bin = f.endswith(".bin") and not self._own_file(f)
+                stale_marker = (f.startswith("_committed_")
+                                and f != own_marker)
+                if stale_bin or stale_marker:
                     os.remove(os.path.join(self.path, f))
 
     def abort(self, messages) -> None:

@@ -189,6 +189,28 @@ def test_g1_iterations_never_rescan_the_fact_table(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_g3_triangle_free_graph_counts_zero(spark, tmp_path):
+    """A star co-purchase graph has edges but no triangles: every
+    adjacency-intersection probe row drops (no oriented head has
+    out-edges), and the count must coalesce to 0 — not the NULL a
+    sum-over-zero-rows yields — matching the oracle's COUNT(*)."""
+    rows = [(1, 9), (1, 1), (2, 9), (2, 2), (3, 9), (3, 3)]
+    (spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+     .write.parquet(str(tmp_path / "lineitem.parquet")))
+    out = plans.REGISTRY["g3_triangle_count"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].n_edges == 3
+    assert out[0].n_triangles == 0  # NULL here would also fail ==
+
+
+def test_g3_adjacency_built_once(spark, sf_dir):
+    """The sorted-adjacency aggregation feeds both probe sides; it must be
+    materialized (checkpointed) so the plan shows no repeated
+    groupBy+sort_array subtree — the documented recompute pitfall."""
+    p = _plan(spark, sf_dir, "g3_triangle_count")
+    assert p.count("sort_array") <= 1
+
+
 def test_ts1_correlation_matches_numpy(spark, sf_dir):
     """Independent implementation check: recompute the Pearson correlation
     for every returned user with numpy over the dense daily-count matrix

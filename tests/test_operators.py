@@ -820,6 +820,30 @@ def test_capture_writer_append_jobs_do_not_clobber(tmp_path):
     assert sorted(f.name for f in d.glob("*.bin")) == left
 
 
+def test_uncommitted_batch_writer_files_are_invisible(tmp_path):
+    """A batch write job whose driver died before commit/abort leaves
+    cap_w files but no _committed_<jobid> marker — the reader must skip
+    them (a rerun draws a new job id, so they'd double-count flows).
+    Stream-sink files (cap_b*, deterministic replay names) and bridge/
+    hand-written captures are always listed."""
+    from nf2pq_spark.sources.datasource import CaptureWriter, _list_capture_files
+    from nf2pq_spark.sources.ipfix import write_capture_file
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    w = CaptureWriter({"path": str(d)}, overwrite=False)
+    write_capture_file(str(d / f"cap_w_{w.job_uuid}_00000.bin"), [b"\x00" * 24])
+    write_capture_file(str(d / "cap_b0_p00000.bin"), [b"\x00" * 24])
+    write_capture_file(str(d / "rotated_000001.bin"), [b"\x00" * 24])
+    names = [f.rsplit("/", 1)[1] for f in _list_capture_files(str(d))]
+    assert names == ["cap_b0_p00000.bin", "rotated_000001.bin"]
+    w.commit([])  # publishes the marker
+    names = [f.rsplit("/", 1)[1] for f in _list_capture_files(str(d))]
+    assert sorted(names) == sorted(
+        [f"cap_w_{w.job_uuid}_00000.bin", "cap_b0_p00000.bin",
+         "rotated_000001.bin"])
+
+
 def test_merge_template_rows_latest_announcement_wins():
     """An exporter re-announcing a template with a NEW layout mid-capture
     must win the seed cache (collector semantics: re-announcement

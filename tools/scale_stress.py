@@ -34,6 +34,7 @@ Takes ~10 minutes end-to-end on an otherwise idle machine.
 
 from __future__ import annotations
 
+import gc
 import math
 import os
 import shutil
@@ -249,11 +250,22 @@ def run_case(spark, case: str, sf_dir: str) -> float:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # GC barrier: eager localCheckpoints from the PREVIOUS case hold JVM
+    # storage blocks until py4j releases the Python-side refs — across
+    # ~25 heavy cases that's gigabytes of dead blocks, and the resulting
+    # GC thrash both inflates timings (the r4 docs tier measured l16
+    # 6x slower inside the accumulated session than in a fresh one) and
+    # eventually OOMs the 100x tier. Collect both sides before timing.
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     once()  # warmup (JIT, listings)
     return round(min(once(), once()), 3)
 
 
 def main() -> None:
+    # 10M-row checkpoints + 100-replica broadcast residue need more than
+    # the 8g test default; the 100x documents tier OOMed under it (r4)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("nf2pq_spark-scale-stress", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
     if "--regen" in sys.argv and os.path.exists(DST):
@@ -274,9 +286,10 @@ def main() -> None:
     print()
     print("| query | t@sf0.1 | t@10x | ratio | exponent | expected | why |")
     print("|---|---|---|---|---|---|---|")
+    t10s = {}  # tier-1's 10x timings, reused by both 100x tiers
     for case, expected, why in CASES:
         t1 = run_case(spark, case, SRC)
-        t10 = run_case(spark, case, DST)
+        t10 = t10s[case] = run_case(spark, case, DST)
         exp = round(math.log10(max(t10, 1e-9) / max(t1, 1e-9)), 2)
         flag = " **!**" if exp > expected + 0.3 else ""
         print(f"| {case} | {t1}s | {t10}s | {round(t10 / t1, 2)}x "
@@ -298,7 +311,9 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|")
     t100s = {}
     for case, expected, why in CASES_100:
-        t10 = run_case(spark, case, DST)
+        if case not in t10s:
+            t10s[case] = run_case(spark, case, DST)
+        t10 = t10s[case]
         t100 = run_case(spark, case, DST100)
         t100s[case] = t100
         exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
@@ -319,7 +334,9 @@ def main() -> None:
     print("| query | t@10x | t@100x | ratio | exponent | expected | why |")
     print("|---|---|---|---|---|---|---|")
     for case, expected, why in CASES_100_DOCS:
-        t10 = run_case(spark, case, DST)
+        if case not in t10s:
+            t10s[case] = run_case(spark, case, DST)
+        t10 = t10s[case]
         t100 = run_case(spark, case, DST100)
         exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
         flag = " **!**" if exp > expected + 0.3 else ""
