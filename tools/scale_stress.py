@@ -21,20 +21,34 @@ cannot collide:
   and supplier keys untouched so g1's 625-row edge list stays fixed.
 
 Run:  python tools/scale_stress.py [--regen] > SCALE_STRESS.md
-Prints two wall-time tables (min-of-2 after warmup, same timing protocol
-as bench.py): the 10x tier over the full heavy-tail case list, and a
-100x events-only amortization tier (10M rows) that shows the sub-linear
-10x exponents converging toward true linear cost as fixed stage overhead
-washes out. Each row carries the empirical scaling exponent
-log10(t_big/t_small) and the expected exponent with the reason. Kept OUT
+Prints three wall-time tables: the 1x->10x tier over the full heavy-tail
+case list, and 100x events / documents amortization tiers that show the
+sub-linear 10x exponents converging toward true linear cost as fixed
+stage overhead washes out. Measurement protocol (both r4-hardened
+against artifacts that distorted the r3 tables):
+
+- EVERY tier — including a layout-normalized 1x copy of the fixture —
+  is written with the same part-file count, so exponents compare equal
+  scan parallelism (see synthesize's docstring for the single-file
+  artifact this removes).
+- every case is min-of-2 after a warmup in its OWN subprocess Spark
+  session: shared-session timings proved contaminated by multi-second
+  background cleanup (shuffle files, broadcast/checkpoint block
+  removal) from earlier cases, which neither a GC barrier nor min-of-2
+  dodges, and which moved 4-6x inflation between victims on identical
+  code (see run_case / run_case_isolated docstrings for the measured
+  pairs).
+
+Each row carries the empirical scaling exponent log10(t_big/t_small)
+and the expected exponent with the reason. Kept OUT
 of PLANS.md because these are measured wall-times — PLANS.md must stay
 byte-regenerable for the staleness test (tests/test_plan_staleness.py).
-Takes ~10 minutes end-to-end on an otherwise idle machine.
+Takes ~25 minutes end-to-end on an otherwise idle machine (~10s JVM
+startup per isolated case; the price of reproducible numbers).
 """
 
 from __future__ import annotations
 
-import gc
 import math
 import os
 import shutil
@@ -50,8 +64,10 @@ from nf2pq_spark.session import get_spark  # noqa: E402
 from nf2pq_spark.sources.tables import load_table  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST1 = "/tmp/nf2pq_scale1"  # layout-normalized 1x (see synthesize)
 DST = "/tmp/nf2pq_scale10"
 K = 10
+N_FILES = 32  # part-files per synthesized big table, EVERY tier
 
 #: (query, expected exponent, reason) — expected ~1.0 unless the OUTPUT
 #: itself grows superlinearly, in which case O(output) is optimal.
@@ -123,9 +139,9 @@ CASES_100 = [
 
 
 #: 100x documents tier: the documents-corpus heavy tail was 10x-only in
-#: r3 (exponents 0.81/0.84/0.48 — sub-linear, i.e. fixed overhead still
-#: dominated); this tier confirms those converge toward ~1.0 at real
-#: sizes, like the events queries did.
+#: r3; this tier runs the same 10x->100x step so the sub-linear 10x
+#: exponents can be checked against a 10x-larger corpus (both tiers on
+#: the normalized 32-file layout).
 CASES_100_DOCS = [
     ("l2_minhash_bands", 1.0, "per-doc shingle+md5 folds; no pairing"),
     ("l16_decontamination", 1.0, "eval-gram set broadcast, one train "
@@ -147,7 +163,7 @@ def synthesize_events_100x(spark) -> None:
          "ts",
          (F.col("user_id") + k * F.lit(10_000_000)).alias("user_id"),
          "event_type", "value", "props")
-     .repartition(32)
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST100}/events.parquet"))
 
 
@@ -167,12 +183,24 @@ def synthesize_docs_100x(spark) -> None:
                          lambda t: F.concat(t, F.lit("_"), F.col("__k"))),
              " ").alias("text"),
          "lang", "source", "n_chars")
-     .repartition(32)
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST100}/documents.parquet"))
 
 
 def synthesize(spark) -> None:
-    """Write the 10x tables (+ passthrough copies) under DST."""
+    """Write the 10x tables (+ passthrough copies) under DST, and the
+    layout-NORMALIZED 1x copies under DST1.
+
+    Every synthesized big table is ``repartition(N_FILES)`` before the
+    write. Without it the output inherits the source scan's partitioning
+    — the sf0.1 fixtures are single small files, so the 10x corpus came
+    out as ONE part-file / one row group, and every 10x measurement ran
+    its scan AND the per-row CPU above it (shingling, explode) on a
+    single core while the 100x tables (already repartitioned) ran on 32.
+    The r3/r4 sub-linear exponents partly measured that layout artifact
+    (l16 at 10x: 6.9s single-file vs 1.1s at 32 files, same data). The
+    1x tier exists for the same reason: exponents must compare equal
+    layouts, and the driver fixture itself is a single file."""
     os.makedirs(DST, exist_ok=True)
     spine = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("__k")
 
@@ -185,6 +213,7 @@ def synthesize(spark) -> None:
                          lambda t: F.concat(t, F.lit("_"), F.col("__k"))),
              " ").alias("text"),
          "lang", "source", "n_chars")
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST}/documents.parquet"))
 
     emb = load_table(spark, SRC, "embeddings")
@@ -197,6 +226,7 @@ def synthesize(spark) -> None:
      .select(
          (F.col("vec_id") + F.col("__k") * F.lit(10_000_000)).alias("vec_id"),
          shifted.alias("embedding"), "label")
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST}/embeddings.parquet"))
 
     ev = load_table(spark, SRC, "events")
@@ -206,6 +236,7 @@ def synthesize(spark) -> None:
          "ts",
          (F.col("user_id") + F.col("__k") * F.lit(10_000_000)).alias("user_id"),
          "event_type", "value", "props")
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST}/events.parquet"))
 
     li = load_table(spark, SRC, "lineitem")
@@ -213,6 +244,7 @@ def synthesize(spark) -> None:
      .select(
          (F.col("l_orderkey") + F.col("__k") * F.lit(100_000_000)).alias("l_orderkey"),
          *[c for c in li.columns if c != "l_orderkey"])
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST}/lineitem.parquet"))
 
     od = load_table(spark, SRC, "orders")
@@ -221,6 +253,7 @@ def synthesize(spark) -> None:
          (F.col("o_orderkey") + F.col("__k") * F.lit(100_000_000)).alias("o_orderkey"),
          (F.col("o_custkey") + F.col("__k") * F.lit(10_000_000)).alias("o_custkey"),
          *[c for c in od.columns if c not in ("o_orderkey", "o_custkey")])
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST}/orders.parquet"))
 
     cu = load_table(spark, SRC, "customer")
@@ -228,14 +261,33 @@ def synthesize(spark) -> None:
      .select(
          (F.col("c_custkey") + F.col("__k") * F.lit(10_000_000)).alias("c_custkey"),
          *[c for c in cu.columns if c != "c_custkey"])
+     .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST}/customer.parquet"))
 
     for t in ("region", "nation", "supplier", "part"):
         load_table(spark, SRC, t).write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet")
 
+    # layout-normalized 1x: same rows as the sf0.1 fixture, same file
+    # count as the synthetic tiers, so the tier-1 exponent measures data
+    # growth — not the jump from the fixture's single file to 32
+    os.makedirs(DST1, exist_ok=True)
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer"):
+        (load_table(spark, SRC, t).repartition(N_FILES)
+         .write.mode("overwrite").parquet(f"{DST1}/{t}.parquet"))
+    for t in ("region", "nation", "supplier", "part"):
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{DST1}/{t}.parquet")
+
 
 def run_case(spark, case: str, sf_dir: str) -> float:
+    """Warmup + min-of-2 inside the CURRENT session. Only meaningful in a
+    fresh per-case session (see run_case_isolated): r4 measured the same
+    query 4-6x slower inside a session that had run other heavy cases —
+    multi-second background cleanup (shuffle files, broadcast and
+    checkpoint block removal via the ContextCleaner) outlives both a
+    gc.collect()+System.gc() barrier and the min-of-2 window."""
     if case.startswith("l25@"):
         from nf2pq_spark.plans.curation import l25_semdedup_srp
         n = 9 if "9planes" in case else 6
@@ -250,29 +302,63 @@ def run_case(spark, case: str, sf_dir: str) -> float:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # GC barrier: eager localCheckpoints from the PREVIOUS case hold JVM
-    # storage blocks until py4j releases the Python-side refs — across
-    # ~25 heavy cases that's gigabytes of dead blocks, and the resulting
-    # GC thrash both inflates timings (the r4 docs tier measured l16
-    # 6x slower inside the accumulated session than in a fresh one) and
-    # eventually OOMs the 100x tier. Collect both sides before timing.
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
     once()  # warmup (JIT, listings)
     return round(min(once(), once()), 3)
 
 
+def run_case_isolated(case: str, sf_dir: str) -> float:
+    """Time one case in its OWN subprocess Spark session — the isolation
+    that makes runs reproducible (fresh-session probes: l2@10x 1.6s vs
+    6.9s shared, j8@100x 1.0s vs 3.5s shared, and the inflation moved
+    between victims on identical code)."""
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", case, sf_dir],
+        capture_output=True, text=True)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
+    if p.returncode != 0 or not lines:
+        print(p.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"isolated case failed: {case} @ {sf_dir}")
+    return float(lines[-1].split()[1])
+
+
+def _one_case_entry() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    i = sys.argv.index("--one")
+    case, sf_dir = sys.argv[i + 1], sys.argv[i + 2]
+    spark = get_spark("nf2pq_spark-scale-one", cpus="32")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"RESULT {run_case(spark, case, sf_dir)}")
+
+
 def main() -> None:
+    if "--one" in sys.argv:
+        _one_case_entry()
+        return
     # 10M-row checkpoints + 100-replica broadcast residue need more than
     # the 8g test default; the 100x documents tier OOMed under it (r4)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("nf2pq_spark-scale-stress", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
-    if "--regen" in sys.argv and os.path.exists(DST):
-        shutil.rmtree(DST)
-    if not os.path.exists(f"{DST}/events.parquet"):
+    if "--regen" in sys.argv:
+        for d in (DST1, DST, DST100):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    if not (os.path.exists(f"{DST}/events.parquet")
+            and os.path.exists(f"{DST1}/events.parquet")):
         print(f"synthesizing {K}x corpus at {DST} ...", file=sys.stderr)
         synthesize(spark)
+    if not os.path.exists(f"{DST100}/events.parquet"):
+        print(f"synthesizing {K100}x events at {DST100} ...", file=sys.stderr)
+        synthesize_events_100x(spark)
+    if not os.path.exists(f"{DST100}/documents.parquet"):
+        print(f"synthesizing {K100}x documents at {DST100} ...",
+              file=sys.stderr)
+        synthesize_docs_100x(spark)
+    # all synthesis done — release the machine (and this JVM's heap)
+    # before any timing: every case below runs in its own subprocess
+    spark.stop()
 
     print("# SCALE_STRESS — 10x synthetic scale run (dev-only)")
     print()
@@ -282,22 +368,28 @@ def main() -> None:
           "(log10(t10/t1)) is the signal. An operator whose empirical "
           "exponent exceeds its expectation by >0.3 is flagged **!**. "
           "Sub-linear exponents mean fixed overhead still dominates at "
-          "these sizes.")
+          "these sizes. Protocol (r4): every tier is written with the "
+          "SAME file count (32) so scan parallelism is equal at every "
+          "size — the r3 tables inherited the fixture's single file at "
+          "10x and serialized per-row CPU on one core, which distorted "
+          "exponents downward; t@1x is the fixture's rows in that "
+          "normalized layout. Every case is timed in its OWN Spark "
+          "session (subprocess): shared-session timings proved "
+          "contaminated by multi-second background cleanup from earlier "
+          "cases that neither a GC barrier nor min-of-2 can dodge "
+          "(same code, same data: l2@10x 6.9s shared vs 1.6s fresh).")
     print()
-    print("| query | t@sf0.1 | t@10x | ratio | exponent | expected | why |")
+    print("| query | t@1x | t@10x | ratio | exponent | expected | why |")
     print("|---|---|---|---|---|---|---|")
     t10s = {}  # tier-1's 10x timings, reused by both 100x tiers
     for case, expected, why in CASES:
-        t1 = run_case(spark, case, SRC)
-        t10 = t10s[case] = run_case(spark, case, DST)
+        t1 = run_case_isolated(case, DST1)
+        t10 = t10s[case] = run_case_isolated(case, DST)
         exp = round(math.log10(max(t10, 1e-9) / max(t1, 1e-9)), 2)
         flag = " **!**" if exp > expected + 0.3 else ""
         print(f"| {case} | {t1}s | {t10}s | {round(t10 / t1, 2)}x "
               f"| {exp}{flag} | ~{expected} | {why} |")
 
-    if not os.path.exists(f"{DST100}/events.parquet"):
-        print(f"synthesizing {K100}x events at {DST100} ...", file=sys.stderr)
-        synthesize_events_100x(spark)
     print()
     print("## 100x amortization tier (events-only, 10M rows)")
     print()
@@ -312,32 +404,29 @@ def main() -> None:
     t100s = {}
     for case, expected, why in CASES_100:
         if case not in t10s:
-            t10s[case] = run_case(spark, case, DST)
+            t10s[case] = run_case_isolated(case, DST)
         t10 = t10s[case]
-        t100 = run_case(spark, case, DST100)
+        t100 = run_case_isolated(case, DST100)
         t100s[case] = t100
         exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
         flag = " **!**" if exp > expected + 0.3 else ""
         print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
               f"| {exp}{flag} | ~{expected} | {why} |")
-    if not os.path.exists(f"{DST100}/documents.parquet"):
-        print(f"synthesizing {K100}x documents at {DST100} ...",
-              file=sys.stderr)
-        synthesize_docs_100x(spark)
     print()
     print("## 100x amortization tier (documents-only, ~600k docs)")
     print()
-    print("The r3 10x table left the documents heavy tail sub-linear "
-          "(fixed overhead dominating at 60k docs); this tier runs the "
-          "same 10x→100x step for the documents-corpus operators.")
+    print("The 10x table leaves the documents heavy tail sub-linear "
+          "(fixed overhead still visible at 50k docs); this tier runs "
+          "the same 10x→100x step for the documents-corpus operators "
+          "on the same normalized layout.")
     print()
     print("| query | t@10x | t@100x | ratio | exponent | expected | why |")
     print("|---|---|---|---|---|---|---|")
     for case, expected, why in CASES_100_DOCS:
         if case not in t10s:
-            t10s[case] = run_case(spark, case, DST)
+            t10s[case] = run_case_isolated(case, DST)
         t10 = t10s[case]
-        t100 = run_case(spark, case, DST100)
+        t100 = run_case_isolated(case, DST100)
         exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
         flag = " **!**" if exp > expected + 0.3 else ""
         print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
