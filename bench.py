@@ -7,6 +7,18 @@ JSON line:
 
 Each query executes fully (noop sink — no driver collect) after a shared
 session warm-up, so the numbers measure plan execution, not JVM startup.
+
+Known envelope: the 30-odd queries share ONE session, and background
+cleanup from earlier queries (shuffle files, broadcast/checkpoint block
+removal) can inflate a later query by seconds in a way min-of-2 cannot
+always dodge — r4 measured the same query 4-6x apart between a shared
+and a fresh session on identical code (tools/scale_stress.py, which now
+isolates each case in its own session for exactly this reason). This is
+the likely mechanism behind the 15.6-19.3s total swing and the r3
+"wrong-way movers" seen on identical plans. The protocol stays shared-
+session on purpose: round-over-round comparability of BENCH_r*.json
+beats absolute precision here; read per-query movement against the
+envelope, and trust SCALE_STRESS.md for reproducible per-query numbers.
 """
 
 from __future__ import annotations
