@@ -22,12 +22,24 @@ _OCTET_WEIGHTS = (16777216, 65536, 256, 1)
 
 
 def ipv4_to_long(ip: Column) -> Column:
-    """Dotted-quad string → unsigned 32-bit value in a LongType."""
+    """Dotted-quad string → unsigned 32-bit value in a LongType.
+
+    Malformed input ('1.2.3', '1.2.3.x', '999.1.1.1', '1.2.3.4.5') yields
+    NULL rather than a job-killing error: under Spark 4's default ANSI
+    mode a plain element_at on a short array raises
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and a plain cast raises
+    CAST_INVALID_INPUT — one truncated record (or IPv6 text in a mixed
+    column) would abort the whole flow report. try_element_at/try_cast
+    stay inside codegen; NULL then propagates through ip_prefix/in_cidr
+    (membership test → NULL → filtered), the collector-correct behavior.
+    """
     parts = F.split(ip, r"\.")
     out = F.lit(0).cast("long")
     for i, w in enumerate(_OCTET_WEIGHTS):
-        out = out + F.element_at(parts, i + 1).cast("long") * F.lit(w)
-    return out
+        octet = F.try_element_at(parts, F.lit(i + 1)).try_cast("long")
+        octet = F.when((octet >= 0) & (octet <= 255), octet)  # else NULL
+        out = out + octet * F.lit(w)
+    return F.when(F.size(parts) == 4, out)
 
 
 def long_to_ipv4(v: Column) -> Column:

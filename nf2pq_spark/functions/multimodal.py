@@ -68,6 +68,11 @@ def _decode_bytes(content: bytes, media_type: str, backend: str) -> np.ndarray:
     backend="fake": deterministic stand-in — the raw bytes ARE the samples.
     backend="pil"/"ffmpeg": real codecs, not installed in this environment.
     """
+    if content is None:
+        # a NULL content cell (the schema is nullable) must decode to an
+        # empty buffer, not TypeError the whole stage from inside the
+        # Python worker — task retries would fail identically
+        return np.frombuffer(b"", dtype=np.uint8)
     if backend == "fake":
         return np.frombuffer(content, dtype=np.uint8)
     raise NotImplementedError(
@@ -82,7 +87,7 @@ def extract_features(media: DataFrame, backend: str = "fake") -> DataFrame:
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            arrs = [_decode_bytes(bytes(c), t, backend)
+            arrs = [_decode_bytes(None if c is None else bytes(c), t, backend)
                     for c, t in zip(pdf["content"], pdf["media_type"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].astype("int64"),
@@ -108,7 +113,7 @@ def resize_media(media: DataFrame, target: int, backend: str = "fake") -> DataFr
         for pdf in batches:
             rows = []
             for mid, c, t in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
-                a = _decode_bytes(bytes(c), t, backend)
+                a = _decode_bytes(None if c is None else bytes(c), t, backend)
                 if len(a) == 0:
                     # empty buffer: linspace would emit index 0 and a[idx]
                     # raise IndexError inside the worker, failing the whole
@@ -139,8 +144,9 @@ def sample_frames(media: DataFrame, every: int = 4, backend: str = "fake") -> Da
             rows = []
             for mid, c, t, nf in zip(pdf["media_id"], pdf["content"],
                                      pdf["media_type"], pdf["n_frames"]):
-                a = _decode_bytes(bytes(c), t, backend)
-                nf = max(int(nf), 1)
+                a = _decode_bytes(None if c is None else bytes(c), t, backend)
+                # null n_frames arrives as NaN/NA through Arrow->pandas
+                nf = 1 if pd.isna(nf) else max(int(nf), 1)
                 size = max(len(a) // nf, 1)
                 for f in range(0, nf, every):
                     rows.append((int(mid), f, a[f * size:(f + 1) * size].tobytes()))

@@ -30,8 +30,16 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; components fold sequentially like DuckDB's
-    list_cosine_similarity."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    list_cosine_similarity.
+
+    Zero-norm guard: the denominator is NULLIF'd so a zero (or all-null)
+    vector yields NULL instead of killing the job under Spark 4's
+    default ANSI mode (DIVIDE_BY_ZERO) — one zero embedding anywhere in
+    a corpus would otherwise fail every top-k query. NULL sorts last
+    under the descending rank the top-k operators use, which selects
+    the same neighbors as DuckDB's -1.0 clamp for degenerate vectors
+    (fixtures contain none, so the cross-engine hash is unaffected)."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def vec_sum(a: Column) -> Column:

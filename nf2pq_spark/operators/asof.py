@@ -62,6 +62,17 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: direction must be 'backward' or "
                          f"'forward', got {direction!r}")
+    if how not in ("left", "inner"):
+        # anything else would silently behave as 'left' (the only check
+        # below is `how == "inner"`) — reject typos loudly instead
+        raise ValueError(f"asof_join: how must be 'left' or 'inner', "
+                         f"got {how!r}")
+    # NULL never matches (DuckDB ASOF JOIN / pandas merge_asof): a right
+    # row with a null key or null timestamp must never be carried —
+    # Window.partitionBy groups null keys into a real partition, so
+    # without this filter null-key left rows would "match" null-key
+    # right rows and diverge from the oracle semantics
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     clash = set(payload) & set(left.columns)
     if clash:
         # the union-tag trick nulls payload columns on left rows, so a
@@ -105,8 +116,13 @@ def asof_join(
     # struct's own null-ness is a correct unmatched marker
     right_row = F.when(
         F.col("__side") == 0, F.struct(*[F.col(c) for c in payload]))
-    filled = unioned.select(
-        "*", F.last(right_row, ignorenulls=True).over(w).alias("__asof"))
+    # the when(): a LEFT row with a null key or null ts is always
+    # unmatched (NULL never matches), regardless of what the null-key
+    # window partition happened to contain
+    asof_col = F.when(
+        F.col(on).isNotNull() & F.col("__ts").isNotNull(),
+        F.last(right_row, ignorenulls=True).over(w))
+    filled = unioned.select("*", asof_col.alias("__asof"))
     out = filled.filter(F.col("__side") == 1)
     if how == "inner":
         out = out.filter(F.col("__asof").isNotNull())
@@ -153,11 +169,16 @@ def asof_join_bucketed(
     Spark interval literal; pick it so a hot key's densest bucket fits
     one task (~100k-1M rows).
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join_bucketed: how must be 'left' or "
+                         f"'inner', got {how!r}")
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"asof_join_bucketed: payload column(s) "
                          f"{sorted(clash)} also exist on the left side; "
                          "alias them on the right input first")
+    # NULL never matches — same rule (and reason) as asof_join
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     lcols = left.columns
     ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
@@ -252,7 +273,8 @@ def asof_join_bucketed(
     out = (
         unioned.unionByName(phantom)
         .select("*",
-                F.last(right_row, ignorenulls=True).over(in_bucket)
+                F.when(F.col(on).isNotNull() & F.col("__ts").isNotNull(),
+                       F.last(right_row, ignorenulls=True).over(in_bucket))
                 .alias("__asof"))
         .filter(F.col("__side") == 1)
     )

@@ -32,18 +32,23 @@ def dataset_bytes(spark: SparkSession, path: str) -> int:
 
 def compact_parquet(spark: SparkSession, src: str, dst: str,
                     target_mb: int = 512,
-                    partition_col: str | None = None) -> DataFrame:
+                    partition_col: str | list[str] | None = None) -> DataFrame:
     """Rewrite the parquet dataset at ``src`` into ``dst`` with ~target_mb
-    files. With ``partition_col``, the hive layout is preserved and each
-    partition directory compacts to one file (the rollup-table case);
-    otherwise the file count is ``ceil(total_bytes / target)``.
+    files. With ``partition_col`` (one column or a list, e.g.
+    ``["date", "hour"]`` for the streaming sink's layout), the hive
+    layout is preserved and each partition directory compacts to one
+    file (the rollup-table case) — partitions rewrite in PARALLEL, one
+    task per hash bucket, never a single funnel task; otherwise the file
+    count is ``ceil(total_bytes / target)``.
 
     Returns the compacted DataFrame (re-read from ``dst``).
     """
     df = spark.read.parquet(src)
     if partition_col is not None:
-        (df.repartition(partition_col)
-           .write.mode("overwrite").partitionBy(partition_col).parquet(dst))
+        cols = ([partition_col] if isinstance(partition_col, str)
+                else list(partition_col))
+        (df.repartition(*cols)
+           .write.mode("overwrite").partitionBy(*cols).parquet(dst))
     else:
         n_files = max(1, math.ceil(dataset_bytes(spark, src) / (target_mb << 20)))
         df.repartition(n_files).write.mode("overwrite").parquet(dst)

@@ -58,9 +58,14 @@ def zorder_write(df: DataFrame, cols: list[str], dst: str,
     file covers a compact hyper-rectangle of the key space and parquet
     min/max footer stats prune on every interleaved column.
     """
+    # ranges are collected on the SAME long cast the executor-side
+    # quantization applies, so timestamp keys (zorder on address+time is
+    # the classic layout) reach the driver as ints — min(raw column)
+    # would hand int() a datetime.datetime and TypeError
     ranges = df.agg(*[f for c in cols
-                      for f in (F.min(c).alias(f"lo_{c}"),
-                                F.max(c).alias(f"hi_{c}"))]).first()
+                      for f in (F.min(F.col(c).cast("long")).alias(f"lo_{c}"),
+                                F.max(F.col(c).cast("long")).alias(f"hi_{c}"))
+                      ]).first()
     if ranges is None or any(ranges[f"lo_{c}"] is None for c in cols):
         # empty input (or an all-null key column): nothing to lay out —
         # write the frame as-is instead of crashing on int(None)
@@ -79,8 +84,9 @@ def zorder_write(df: DataFrame, cols: list[str], dst: str,
         span = max(int(hi) - int(lo), 1)
         # divide BEFORE multiplying (double intermediate): the long
         # product (col - lo) * scale overflows for ranges wider than
-        # 2^63/scale (epoch-nanos, random 64-bit ids) and wraps negative
-        # with no error under non-ANSI defaults
+        # 2^63/scale (epoch-nanos, random 64-bit ids) — an ANSI
+        # ARITHMETIC_OVERFLOW abort under the session default, a silent
+        # negative wrap if a caller disables ANSI; either way wrong
         quantized.append(
             ((F.col(c).cast("long") - int(lo)).cast("double")
              / span * scale).cast("long"))

@@ -68,12 +68,25 @@ def hyperplanes(dim: int, bits: int) -> list[list[float]]:
 
 
 def srp_bucket(vec_col, planes: list[list[float]]):
-    """Sign-random-projection bucket id (long) for a vector column."""
+    """Sign-random-projection bucket id (long) for a vector column.
+
+    A NULL projection (vector length != plane dimension — zip_with pads
+    the shorter array with nulls and the dot fold propagates) must NOT
+    silently fall into the negative-side branch: every vector would land
+    in bucket 0 and the "approximate" path would quietly degrade to a
+    full cross join. A wholly NULL vector buckets to NULL (the row drops
+    from the bucket join — consistent with cosine's null-degradation);
+    a dimension mismatch on real vectors raises."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = dot(vec_col, F.array(*[F.lit(x) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).when(
+            proj <= 0, F.lit(0))  # NULL proj -> NULL bit -> NULL bucket
+    return F.when(vec_col.isNull(), F.lit(None).cast("long")).when(
+        bucket.isNotNull(), bucket).otherwise(
+        F.raise_error(F.lit(
+            "srp_bucket: vector length does not match the hyperplane "
+            "dimension (check the dim= argument / embedding width)")))
 
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,

@@ -20,8 +20,18 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(df: DataFrame, buckets: int):
-    """Deterministic per-row salt (stable across task retries — no rand())."""
-    return F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
+    """Deterministic per-row salt (stable across task retries — no rand()).
+
+    Salted on the row's POSITION (monotonically_increasing_id: partition
+    id << 33 | row index, deterministic for a given scan), not a content
+    hash: hashing the columns gave every full-duplicate row of a hot key
+    the SAME salt, so exactly the duplicate-heavy skew this module exists
+    for (retransmit storms — identical 5-tuples and counters) stayed in
+    one bucket and the straggler task survived salting. Position also
+    works on frames with Map columns, which xxhash64 rejects. Consecutive
+    rows cycle through buckets, so the split is near-uniform per input
+    partition."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
 
 
 def replicate(df: DataFrame, buckets: int, col: str = "__salt") -> DataFrame:

@@ -886,11 +886,15 @@ def l10_vec_quantize(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # nullif: a zero vector must quantize to NULLs, not kill the job with
+    # ANSI DIVIDE_BY_ZERO (DuckDB's x/0.0 is NULL, so the oracle already
+    # degrades this way; fixtures contain no zero vectors)
+    safe_norm = F.nullif(norm, F.lit(0.0))
     return e.select(
         "vec_id",
         norm.alias("l2_norm"),
         F.array_join(
-            F.transform(v, lambda x: F.floor(x / norm * 127 + F.lit(0.5))
+            F.transform(v, lambda x: F.floor(x / safe_norm * 127 + F.lit(0.5))
                         .cast("bigint")), ",").alias("q8"),
         F.size(v).cast("bigint").alias("n_dims"),
     )

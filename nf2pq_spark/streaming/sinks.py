@@ -52,15 +52,21 @@ def parquet_rotating_sink(stream: DataFrame, path: str, checkpoint: str,
 
 
 def compact_partitions(spark, path: str, target_partitions: int = 1) -> None:
-    """Rewrite a partitioned parquet dataset with coalesced files.
+    """Rewrite the streaming sink's (date, hour) dataset with one file per
+    partition directory, into ``path + "_compacted"``.
 
-    Periodic maintenance pass for the streaming sink's small files; at scale
-    run per-partition (date,hour) so the rewrite is incremental.
+    Thin wrapper over :func:`nf2pq_spark.operators.compact.compact_parquet`
+    (one compaction implementation to maintain). ``target_partitions`` is
+    accepted for API compatibility but ignored: the old
+    ``repartition(1, date, hour)`` funneled the WHOLE dataset through a
+    single task — at the sink's design scale that is a one-core rewrite of
+    every partition — whereas the hash repartition on (date, hour) gives
+    one file per directory with partitions rewriting in parallel.
     """
-    df = spark.read.parquet(path)
-    (df.repartition(target_partitions, "date", "hour")
-       .write.mode("overwrite").partitionBy("date", "hour")
-       .parquet(path + "_compacted"))
+    from ..operators.compact import compact_parquet
+
+    compact_parquet(spark, path, path + "_compacted",
+                    partition_col=["date", "hour"])
 
 
 #: Spark SQL type → ClickHouse type (flow-schema subset)

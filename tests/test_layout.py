@@ -53,6 +53,17 @@ def _file_spans(path: str, col: str) -> list[tuple[int, int]]:
     return spans
 
 
+def test_zorder_write_on_timestamp_key(spark, sf_dir, tmp_path):
+    """The classic layout key is (entity, time); the range collection must
+    cast timestamps to long BEFORE collecting — min(raw col) hands int()
+    a datetime.datetime on the driver and TypeErrors."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dst = str(tmp_path / "zts")
+    zorder_write(ev, ["user_id", "ts"], dst, n_files=8)
+    out = spark.read.parquet(dst)
+    assert out.count() == ev.count()
+
+
 def test_zorder_write_shrinks_minmax_on_both_columns(spark, sf_dir, tmp_path):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity")

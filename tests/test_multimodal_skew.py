@@ -69,6 +69,40 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
            {(r.s_name, r.q) for r in salted.collect()}
 
 
+def test_salt_splits_full_duplicate_rows(spark):
+    """The salt must distribute even FULL-duplicate rows of a hot key
+    (retransmit storms: identical tuples) — a content hash mapped every
+    copy to one bucket and the straggler survived salting."""
+    from nf2pq_spark.operators.skew import _row_salt
+
+    dup = spark.range(1).select(F.lit(7).alias("k"), F.lit("x").alias("v"))
+    hot = dup.unionAll(dup)
+    for _ in range(7):
+        hot = hot.unionAll(hot)  # 256 identical rows
+    hot = hot.repartition(4)
+    n_buckets = (hot.withColumn("__s", _row_salt(hot, 8))
+                 .select("__s").distinct().count())
+    assert n_buckets == 8
+
+
+def test_null_media_rows_do_not_fail_the_stage(spark):
+    """A NULL content / n_frames cell must degrade (empty buffer, 1
+    frame), not TypeError inside the Python worker."""
+    from nf2pq_spark.functions.multimodal import (MEDIA_SCHEMA,
+                                                  extract_features,
+                                                  resize_media, sample_frames)
+
+    rows = [(1, "image", b"\x01\x02\x03\x04", 64, 48, 4, 16000),
+            (2, "image", None, 64, 48, None, 16000)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[2].n_bytes == 0 and feats[2].sum_bytes == 0
+    resized = {r.media_id: r for r in resize_media(media, target=8).collect()}
+    assert resized[2].content == b"\x00" * 8
+    frames = sample_frames(media, every=1).collect()
+    assert {r.media_id for r in frames} == {1, 2}
+
+
 def test_two_phase_agg_matches_plain(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = {(r.user_id, r.n, r.mx) for r in

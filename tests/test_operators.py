@@ -130,6 +130,92 @@ def test_asof_inner_drops_unmatched(spark):
     assert [r.id for r in out] == [2]
 
 
+def test_asof_null_keys_never_match(spark):
+    """DuckDB ASOF / pandas merge_asof semantics: a NULL key (or NULL ts)
+    matches nothing — without the guard, Window.partitionBy groups NULL
+    keys into one real partition and they match each other."""
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, 7, 10), (3, 7, None)],
+        "id int, k int, ts int")
+    right = spark.createDataFrame(
+        [(None, 5, "nullkey"), (7, 5, "real"), (7, None, "nullts")],
+        "k int, ts int, tag string")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["tag"])
+    by_id = {r.id: r.tag for r in out.collect()}
+    assert by_id == {1: None, 2: "real", 3: None}
+    inner = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                      payload=["tag"], how="inner").collect()
+    assert [r.id for r in inner] == [2]
+    # bucketed variant: identical semantics
+    from nf2pq_spark.operators.asof import asof_join_bucketed
+
+    outb = asof_join_bucketed(left, right, on="k", left_ts="ts",
+                              right_ts="ts", payload=["tag"], bucket=100)
+    assert {r.id: r.tag for r in outb.collect()} == {1: None, 2: "real",
+                                                     3: None}
+
+
+def test_asof_rejects_unknown_how(spark):
+    """A typo'd how= must raise, not silently behave as 'left'."""
+    import pytest
+
+    from nf2pq_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame([(1, 1)], "k int, ts int")
+    right = spark.createDataFrame([(1, 1, "x")], "k int, ts int, tag string")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  payload=["tag"], how="innre")
+    with pytest.raises(ValueError, match="how"):
+        asof_join_bucketed(left, right, on="k", left_ts="ts", right_ts="ts",
+                           payload=["tag"], how="right", bucket=10)
+
+
+def test_zero_norm_vector_does_not_kill_topk(spark):
+    """One zero embedding in the corpus must not DIVIDE_BY_ZERO the whole
+    job under ANSI mode; its NULL cosine ranks last and never enters the
+    top-k."""
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], ["q_id", "qv"])
+    cs = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        ["c_id", "cv"])
+    out = brute_force_topk(qs, cs, k=2).collect()
+    assert [r.c_id for r in sorted(out, key=lambda r: r.rn)] == [3, 1]
+
+
+def test_ipv4_malformed_yields_null(spark):
+    """Malformed addresses decode to NULL, not an ANSI job abort."""
+    from nf2pq_spark.functions.flownet import ipv4_to_long
+
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("1.2.3",), ("1.2.3.x",), ("999.1.1.1",),
+         ("1.2.3.4.5",), (None,)], ["ip"])
+    vals = [r.v for r in df.select(ipv4_to_long(F.col("ip")).alias("v"))
+            .collect()]
+    assert vals == [16909060, None, None, None, None, None]
+
+
+def test_srp_dim_mismatch_raises_not_bucket0(spark):
+    """A wrong dim= must fail loudly — the silent alternative put every
+    vector in bucket 0 and degraded LSH to a full cross join. A NULL
+    vector buckets to NULL (drops) instead of raising."""
+    import pytest
+
+    from nf2pq_spark.operators.similarity import hyperplanes, srp_bucket
+
+    planes = hyperplanes(4, 2)
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], ["id", "v"])  # 2-d vs 4
+    with pytest.raises(Exception, match="srp_bucket"):
+        bad.select(srp_bucket(F.col("v"), planes).alias("b")).collect()
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None)],
+        "id int, v array<double>")
+    rows = ok.select("id", srp_bucket(F.col("v"), planes).alias("b")).collect()
+    got = {r.id: r.b for r in rows}
+    assert got[1] is not None and got[2] is None
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "Hello World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
