@@ -144,6 +144,14 @@ CASES_100 = [
 #: the normalized 32-file layout).
 CASES_100_DOCS = [
     ("l2_minhash_bands", 1.0, "per-doc shingle+md5 folds; no pairing"),
+    ("l2d_neardup_components", 1.3, "pair graph grows exactly linearly "
+     "(measured: 213,949 pairs at 10x -> 2,139,121 at 100x), but this "
+     "step CROSSES connected_components' 1M-edge gate: 10x solves on "
+     "the driver (one Arrow collect + union-find), 100x runs the "
+     "distributed pointer-doubling loop (~11 rounds x per-round job "
+     "overhead on local[32]) — a path crossover, not superlinear "
+     "scaling; at cluster scale the distributed path IS the design and "
+     "its cost is O(pairs x log diameter)"),
     ("l16_decontamination", 1.0, "eval-gram set broadcast, one train "
      "pass"),
     ("l24_dsir_weights", 1.0, "one (doc,bucket) count table, weights "
