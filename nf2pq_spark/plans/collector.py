@@ -408,7 +408,10 @@ def m1_map_functions(spark, sf_dir):
     mp = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.element_at(mp, "k").cast("long").alias("k_val"),
+        # try_: a props object without a "k" entry is legal JSON; plain
+        # element_at aborts the job under ANSI (MAP_KEY_DOES_NOT_EXIST)
+        # where the oracle's json_extract degrades to NULL
+        F.try_element_at(mp, F.lit("k")).cast("long").alias("k_val"),
         F.size(F.map_keys(mp)).cast("long").alias("n_keys"),
     )
 

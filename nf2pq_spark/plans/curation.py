@@ -271,7 +271,16 @@ def l25_semdedup_srp(spark, sf_dir, n_planes=_SRP_PLANES,
             F.zip_with(F.col("v"), signs, lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x,
         )
-        bits.append(F.when(dot_p >= 0, "1").otherwise("0"))
+        # when/when, no otherwise: a NULL dot (NULL vector, or a
+        # dimension-mismatched one — zip_with null-pads) must yield a
+        # NULL bucket, NOT silently collide every malformed vector into
+        # the all-zeros bucket (the srp_bucket bug class). NULL buckets
+        # never equi-join, so such vectors skip pairing and stay
+        # "kept" in the accounting. (On degenerate vectors the oracle's
+        # per-dim join computes a partial-sum sign instead — cross-engine
+        # parity holds only for well-formed corpora, which the fixtures
+        # and the n_dims gate guarantee.)
+        bits.append(F.when(dot_p >= 0, "1").when(dot_p < 0, "0"))
     # materialize the signature table: it feeds the bucket counts, the
     # self-join (both sides) AND the final keep/drop accounting —
     # unmaterialized, the embeddings scan + signature folds ran three

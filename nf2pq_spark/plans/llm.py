@@ -1265,15 +1265,20 @@ def l17_repetition_filter(spark, sf_dir):
         | ((F.col("n_2") - F.col("u_2")) / F.greatest("n_2", F.lit(1)) > 0.20)
         | ((F.col("n_3") - F.col("u_3")) / F.greatest("n_3", F.lit(1)) > 0.15)
     )
+    # nullif on the group denominators: a lang whose docs are all shorter
+    # than 2 (resp. 3) tokens sums n_2/n_3 to 0 — an ANSI DIVIDE_BY_ZERO
+    # abort unguarded; NULL matches the oracle (DuckDB x/0 is NULL). The
+    # per-doc ratios above use greatest(n,1) instead because they feed a
+    # boolean flag where NULL would silently unflag.
     return m.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(flagged).alias("n_flagged"),
         (F.sum(F.col("n_w") - F.col("u_w")).cast("double")
-         / F.sum("n_w")).alias("dup_word_ratio"),
+         / F.nullif(F.sum("n_w"), F.lit(0))).alias("dup_word_ratio"),
         (F.sum(F.col("n_2") - F.col("u_2")).cast("double")
-         / F.sum("n_2")).alias("dup_2gram_ratio"),
+         / F.nullif(F.sum("n_2"), F.lit(0))).alias("dup_2gram_ratio"),
         (F.sum(F.col("n_3") - F.col("u_3")).cast("double")
-         / F.sum("n_3")).alias("dup_3gram_ratio"),
+         / F.nullif(F.sum("n_3"), F.lit(0))).alias("dup_3gram_ratio"),
     )
 
 
@@ -1471,11 +1476,16 @@ def l21_substring_dup_spans(spark, sf_dir):
     from ..functions.text import shingles
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # materialized: referenced twice (the dup aggregate and the join back)
+    # — the recompute pitfall; countDistinct's (h, doc_id) partial-agg
+    # exchange defeats ReuseExchange, so without the cut the 9-token
+    # shingle + per-span md5 explode over the whole corpus ran twice
+    # (the l29/l24 pattern)
     spans = d.select(
         "doc_id",
         F.explode(F.transform(shingles(F.col("text"), 9),
                               lambda s: F.md5(s))).alias("h"),
-    )
+    ).localCheckpoint(eager=True)
     dup = (spans.groupBy("h")
            .agg(F.countDistinct("doc_id").alias("nd"))
            .filter(F.col("nd") > 1)

@@ -1210,8 +1210,15 @@ def a13b_transpose(spark, sf_dir):
     # transpose: index column = event_type; remaining numeric columns
     # become rows keyed by their former column name
     t = metrics.transpose(F.col("event_type"))
+    # the transposed schema is DATA-dependent (one column per observed
+    # event_type): a slice with zero rows of some type would make a
+    # hard-coded F.col raise UNRESOLVED_COLUMN at plan time, where the
+    # oracle's FILTER form still emits the column — fill absent types
+    # with NULL instead (a13's pivot gets this from explicit values())
+    present = set(t.columns)
     return t.withColumnRenamed("key", "k").select(
-        "k", *[F.col(c).cast("bigint").alias(c)
+        "k", *[(F.col(c).cast("bigint") if c in present
+                else F.lit(None).cast("bigint")).alias(c)
                for c in ("click", "error", "purchase", "signup", "view")])
 
 

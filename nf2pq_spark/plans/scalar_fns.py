@@ -182,7 +182,9 @@ def f4_arrays(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("head"),
+        # try_: an empty array is a legal cell; ANSI element_at raises
+        # INVALID_ARRAY_INDEX where the oracle's list[1] is NULL
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("head"),
         F.array_max("embedding").cast("double").alias("vmax"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vsum"),
@@ -234,8 +236,11 @@ def f6_json(spark, sf_dir):
     return ev.select(
         "event_id",
         k_str.alias("k_str"),
-        k_str.cast("long").alias("k"),
-        (k_str.cast("long") % 10).alias("k_mod"),
+        # try_cast: a non-numeric "k" value is legal JSON; a plain cast
+        # aborts under ANSI (CAST_INVALID_INPUT) where the oracle
+        # degrades to NULL
+        k_str.try_cast("long").alias("k"),
+        (k_str.try_cast("long") % 10).alias("k_mod"),
     )
 
 
@@ -323,7 +328,8 @@ def f7_flownet(spark, sf_dir):
     return (
         t.withColumn("ip_int", ip_int)
         .groupBy(
-            F.concat_ws(".", F.element_at(parts, 1), F.element_at(parts, 2)).alias("net16")
+            F.concat_ws(".", F.try_element_at(parts, F.lit(1)),
+                        F.try_element_at(parts, F.lit(2))).alias("net16")
         )
         .agg(
             F.count(F.lit(1)).alias("n_flows"),
