@@ -92,8 +92,11 @@ def _decode_capture_file(fname: str):
     for dgram in iter_datagrams(buf):
         try:
             for tid, fields in _iter_template_sets(dgram):
-                templates[(exporter, tid)] = fields
-        except (struct.error, IndexError):
+                if fields:
+                    templates[(exporter, tid)] = fields
+                else:
+                    templates.pop((exporter, tid), None)  # withdrawal
+        except (struct.error, IndexError, ValueError, KeyError):
             continue
 
     # pass 2: decode — same per-version dispatch as make_decoder
@@ -111,7 +114,7 @@ def _decode_capture_file(fname: str):
             elif version in (9, 10):
                 frames.extend(_decode_templated_vec(
                     dgram, exporter, templates, acc))
-        except (struct.error, IndexError):
+        except (struct.error, IndexError, ValueError, KeyError):
             continue  # drop the datagram, never the partition
 
     frames.extend(acc.frames())
@@ -263,8 +266,14 @@ class CaptureWriter(DataSourceWriter):
         self.path = path
         self.overwrite = overwrite
         # leading "w" keeps the job id disjoint from the stream sink's
-        # numeric batch-id markers in a shared directory
-        self.job_uuid = "w" + uuid.uuid4().hex[:11]
+        # numeric batch-id markers in a shared directory; the epoch-ms
+        # prefix makes SUCCESSIVE jobs' names sort in commit order, so a
+        # CaptureStreamReader tailing the directory never sees a
+        # later-committed job's files prefix-insert before consumed ones
+        # (random ids violated the reader's monotonic-arrival contract)
+        import time
+
+        self.job_uuid = f"w{int(time.time() * 1000):013d}{uuid.uuid4().hex[:6]}"
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -345,7 +354,12 @@ class CaptureStreamWriter(DataSourceStreamWriter):
         flows = [row.asDict() for row in iterator]
         if flows:
             os.makedirs(self.path, exist_ok=True)
-            fname = f"cap_b{batch_id}_p{ctx.partitionId():05d}.bin"
+            # zero-padded batch id: the readers' lexicographic==arrival
+            # invariant (and the template merge's (src, seq) ordering)
+            # breaks at batch 10 with unpadded names — cap_b10 sorts
+            # before cap_b2, which bricks a CaptureStreamReader tailing
+            # this directory with a permanent non-monotonic-arrival error
+            fname = f"cap_b{int(batch_id):010d}_p{ctx.partitionId():05d}.bin"
             write_capture_file(os.path.join(self.path, fname),
                                encode_netflow_v5(flows))
         return WriterCommitMessage()
@@ -362,7 +376,7 @@ class CaptureStreamWriter(DataSourceStreamWriter):
         if not os.path.isdir(self.path):
             return
         for f in os.listdir(self.path):
-            if f.startswith(f"cap_b{batchId}_"):
+            if f.startswith(f"cap_b{int(batchId):010d}_"):
                 os.remove(os.path.join(self.path, f))
 
 

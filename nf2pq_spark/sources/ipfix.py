@@ -319,6 +319,11 @@ def _decode_ipfix(buf: bytes, exporter: str,
     off = 16
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
+        if set_len < 4:
+            # zero/short set header (zero padding parsed as a set) — the
+            # v9 scalar and every vectorized loop guard this; without it
+            # off never advances and the task spins forever
+            break
         set_end = off + set_len
         p = off + 4
         if set_id == 2:  # template set
@@ -330,14 +335,22 @@ def _decode_ipfix(buf: bytes, exporter: str,
                     ie, ln = struct.unpack_from(">HH", buf, p)
                     p += 4
                     fields.append((ie, ln))
-                templates[(exporter, tid)] = fields
+                if fields:
+                    templates[(exporter, tid)] = fields
+                else:
+                    # RFC 7011 8.1: field count 0 withdraws the template
+                    templates.pop((exporter, tid), None)
         elif set_id >= 256:  # data set, decoded via the template cache
             fields = templates.get((exporter, set_id))
-            if fields is None:
-                # template not yet seen — real collectors buffer/drop; we drop
+            if fields is None or not fields:
+                # template not yet seen (or withdrawn) — drop the set
                 p = set_end
             else:
                 rec_len = sum(ln for _, ln in fields)
+                if rec_len == 0:
+                    off = set_end
+                    continue  # degenerate cached layout: a 0-byte record
+                              # would loop forever below
                 while p + rec_len <= set_end:
                     vals = {}
                     for ie, ln in fields:
@@ -381,10 +394,13 @@ def _np_dtype_for(fields: list[tuple[int, int]]):
     key = tuple(fields)
     if key not in _DTYPE_CACHE:
         parts = []
-        for i, (_ie, ln) in enumerate(fields):
+        for i, (ie, ln) in enumerate(fields):
             if ln in (1, 2, 4, 8):
                 parts.append((f"p{i}", f">u{ln}"))
-            elif ln == 16:
+            elif ln == 16 and ie in _IPV6_IES:
+                # 16 bytes is renderable only as a v6 address; any other
+                # 16-byte IE goes to the scalar path (big-endian int
+                # there) instead of crashing frames()' int64 cast
                 parts.append((f"p{i}", "V16"))
             else:
                 _DTYPE_CACHE[key] = None
@@ -431,20 +447,28 @@ class _VecAccumulator:
                     return np.zeros(n, dtype="int64")
                 return a[f"p{i}"].astype("int64")
 
-            if 27 in first_pos:
+            def v6_pos(ie: int):
+                i = first_pos.get(ie)
+                return i if i is not None and fields[i][1] == 16 else None
+
+            i27, i28 = v6_pos(27), v6_pos(28)
+            if i27 is not None:
                 sa = np.array([_ipv6_str(bytes(x))
-                               for x in a[f"p{first_pos[27]}"]], dtype=object)
+                               for x in a[f"p{i27}"]], dtype=object)
             else:
                 sa = _ip_strs(col(8).astype("uint32"))
-            if 28 in first_pos:
+            if i28 is not None:
                 da = np.array([_ipv6_str(bytes(x))
-                               for x in a[f"p{first_pos[28]}"]], dtype=object)
+                               for x in a[f"p{i28}"]], dtype=object)
             else:
                 da = _ip_strs(col(12).astype("uint32"))
-            if is_v9:  # sysUptime-relative FIRST/LAST_SWITCHED per message
+            if is_v9:  # sysUptime-relative FIRST/LAST_SWITCHED per message,
+                       # unless the template exports the absolute ms IEs
+                       # (152/153) — the scalar reference prefers those
                 boot = np.repeat(
                     np.array([c[2] for c in chunks], dtype="int64"), reps)
-                ts, te = boot + col(22), boot + col(21)
+                ts = col(152) if 152 in first_pos else boot + col(22)
+                te = col(153) if 153 in first_pos else boot + col(21)
             else:      # IPFIX absolute ms IEs
                 ts, te = col(152), col(153)
             out.append(pd.DataFrame({
@@ -460,7 +484,13 @@ class _VecAccumulator:
 
 
 def _parse_template_records(buf: bytes, p: int, set_end: int, exporter: str,
-                            templates: dict) -> None:
+                            templates: dict) -> bool:
+    """Parse one template set into ``templates``; returns True when a tid
+    is announced more than once in the SAME dict with different layouts
+    (used by the pre-scan to detect an in-message layout change, which
+    the order-insensitive vectorized path cannot honor). A field count of
+    0 is stored as [] (RFC 7011 8.1 withdrawal — the caller pops it)."""
+    conflict = False
     while p + 4 <= set_end:
         tid, n_fields = struct.unpack_from(">HH", buf, p)
         p += 4
@@ -469,7 +499,11 @@ def _parse_template_records(buf: bytes, p: int, set_end: int, exporter: str,
             ie, ln = struct.unpack_from(">HH", buf, p)
             p += 4
             fields.append((ie, ln))
-        templates[(exporter, tid)] = fields
+        key = (exporter, tid)
+        if key in templates and templates[key] != fields:
+            conflict = True
+        templates[key] = fields
+    return conflict
 
 
 def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
@@ -497,15 +531,32 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
     # those sets decoded twice (silent duplication of byte/packet
     # counters on mixed-template messages).
     scan = off
+    msg_templates: dict = {}  # this message's announcements only
+    conflict = False
     while scan + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, scan)
         if set_len < 4:
             break
         set_end = min(scan + set_len, length)
         if set_id == tmpl_id:
-            _parse_template_records(buf, scan + 4, set_end, exporter,
-                                    templates)
+            conflict |= _parse_template_records(buf, scan + 4, set_end,
+                                                exporter, msg_templates)
         scan = set_end
+    if conflict:
+        # a tid re-announced WITHIN this message with a new layout: the
+        # pre-scan model (templates first, then data) would apply the
+        # LAST layout retroactively to data sets encoded under the first
+        # — only the in-order scalar walk is correct here. It starts
+        # from the pre-message cache (msg_templates was never merged)
+        # and leaves the cache in the same end state.
+        scalar = (_decode_ipfix if version == 10 else _decode_v9)
+        return [pd.DataFrame(scalar(buf, exporter, templates),
+                             columns=cols)]
+    for key, fields in msg_templates.items():
+        if fields:
+            templates[key] = fields
+        else:
+            templates.pop(key, None)  # withdrawal
     scan = off
     while scan + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, scan)
@@ -528,7 +579,9 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
         p = off + 4
         if set_id >= 256:
             fields = templates.get((exporter, set_id))
-            if fields is not None:
+            if fields:  # empty = withdrawn template: drop the set (a
+                        # 0-itemsize dtype would ZeroDivisionError below,
+                        # which is outside the packet-drop catch)
                 dt = _np_dtype_for(fields)
                 n = (set_end - p) // dt.itemsize
                 if n:
@@ -686,7 +739,8 @@ def _decode_ipfix_options(buf: bytes, exporter: str,
             break
         set_end = min(off + set_len, length)
         fields = cache.get((exporter, set_id)) if set_id >= 256 else None
-        if fields is not None:
+        if fields:  # empty = withdrawal; min_len would be 0 and the
+                    # record loop below would never advance p
             min_len = sum(1 if ln == _VARLEN else ln for _, ln in fields)
             p = off + 4
             while p + min_len <= set_end:
@@ -785,13 +839,20 @@ def _decode_v9(buf: bytes, exporter: str,
                     ie, ln = struct.unpack_from(">HH", buf, p)
                     p += 4
                     fields.append((ie, ln))
-                templates[(exporter, tid)] = fields
+                if fields:
+                    templates[(exporter, tid)] = fields
+                else:
+                    # field count 0 = template withdrawal (as in IPFIX)
+                    templates.pop((exporter, tid), None)
         elif set_id >= 256:
             fields = templates.get((exporter, set_id))
-            if fields is None:
-                p = set_end  # template not yet seen — drop, like a collector
+            if not fields:
+                p = set_end  # template not seen / withdrawn — drop the set
             else:
                 rec_len = sum(ln for _, ln in fields)
+                if rec_len == 0:
+                    off = set_end
+                    continue  # degenerate cached layout — never 0-byte-step
                 while p + rec_len <= set_end:
                     vals = {}
                     for ie, ln in fields:
@@ -869,7 +930,15 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
             exporter = _exporter_of(path)
             seq = 0
             for dgram in iter_datagrams(bytes(content)):
-                for tid, fields in _iter_template_sets(dgram):
+                try:
+                    announced = list(_iter_template_sets(dgram))
+                except (struct.error, IndexError, ValueError, KeyError):
+                    # drop the PACKET, never the pipeline — the same
+                    # catch breadth as the decode side; a truncated or
+                    # garbled v9/v10 header here otherwise fails the
+                    # whole harvest job
+                    continue
+                for tid, fields in announced:
                     sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
                     rows.append((exporter, tid, sig, path, seq))
                     seq += 1

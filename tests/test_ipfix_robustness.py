@@ -1,0 +1,170 @@
+"""Adversarial wire-format inputs: crafted datagrams that previously hung
+an executor forever (0-field templates, 0-length set headers), crashed the
+task outside the packet-drop catch (0-itemsize dtype, 16-byte non-v6 IEs),
+or silently mis-decoded (mid-message template layout changes, absolute v9
+timestamps). Collector invariant under test: drop the PACKET, never the
+pipeline — and when the vectorized path can't honor in-order semantics,
+fall back to the scalar reference rather than guess.
+
+All crafted at the byte level against the RFC 7011 / RFC 3954 layouts, no
+Spark session needed except where noted.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+
+from nf2pq_spark.sources.ipfix import (FLOW_SCHEMA, _decode_ipfix,
+                                       _decode_templated_vec, _decode_v9,
+                                       _iter_template_sets, _VecAccumulator)
+
+_COLS = [f.name for f in FLOW_SCHEMA.fields]
+
+
+def _ipfix_msg(*sets: bytes) -> bytes:
+    body = b"".join(sets)
+    return struct.pack(">HHIII", 10, 16 + len(body), 0, 0, 1) + body
+
+
+def _tset(tid: int, fields: list[tuple[int, int]]) -> bytes:
+    rec = struct.pack(">HH", tid, len(fields)) + b"".join(
+        struct.pack(">HH", ie, ln) for ie, ln in fields)
+    return struct.pack(">HH", 2, 4 + len(rec)) + rec
+
+
+def _dset(tid: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", tid, 4 + len(payload)) + payload
+
+
+def _vec_rows(msg: bytes, templates: dict | None = None) -> pd.DataFrame:
+    templates = {} if templates is None else templates
+    acc = _VecAccumulator()
+    frames = _decode_templated_vec(msg, "e1", templates, acc)
+    frames.extend(acc.frames())
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame(columns=_COLS)
+    return pd.concat(frames, ignore_index=True)
+
+
+_AB = [(8, 4), (12, 4)]  # src/dst v4 as u32
+
+
+def test_zero_field_template_is_withdrawal_not_hang():
+    """RFC 7011 §8.1: field count 0 withdraws the template. Previously an
+    empty template yielded a 0-itemsize dtype (ZeroDivisionError outside
+    the packet-drop catch) on the vectorized path and an infinite
+    0-byte-step record loop on the scalar paths."""
+    announce = _ipfix_msg(_tset(256, _AB),
+                          _dset(256, struct.pack(">II", 1, 2)))
+    withdraw = _ipfix_msg(_tset(256, []),
+                          _dset(256, struct.pack(">II", 3, 4)))
+    # scalar
+    tmpl: dict = {}
+    assert len(_decode_ipfix(announce, "e1", tmpl)) == 1
+    assert _decode_ipfix(withdraw, "e1", tmpl) == []
+    assert ("e1", 256) not in tmpl
+    # vectorized
+    tmpl2: dict = {}
+    assert len(_vec_rows(announce, tmpl2)) == 1
+    assert len(_vec_rows(withdraw, tmpl2)) == 0
+    assert ("e1", 256) not in tmpl2
+
+
+def test_zero_length_set_header_terminates_scalar():
+    """A set header with set_len=0 (zero padding parsed as a set) must
+    stop the walk, not spin forever — the v9 scalar and every vectorized
+    loop had this guard; the IPFIX scalar (the exotic-width fallback
+    target) did not."""
+    msg = _ipfix_msg(struct.pack(">HH", 2, 0))
+    assert _decode_ipfix(msg, "e1", {}) == []
+
+
+def test_mid_message_template_change_decodes_in_order():
+    """[tmpl A][data-per-A][tmpl B][data-per-B]: the vectorized pre-scan
+    harvests templates first, which would apply layout B retroactively to
+    the A-encoded set (mis-framed records). Detected as an in-message
+    conflict -> whole-message scalar fallback, which walks in order."""
+    layout_b = [(8, 4)]
+    msg = _ipfix_msg(
+        _tset(256, _AB), _dset(256, struct.pack(">IIII", 1, 2, 3, 4)),
+        _tset(256, layout_b), _dset(256, struct.pack(">II", 9, 10)),
+    )
+    scalar = _decode_ipfix(msg, "e1", {})
+    assert len(scalar) == 4  # 2 A-records + 2 B-records
+    vec = _vec_rows(msg)
+    assert len(vec) == 4
+    assert sorted(vec["sa"]) == sorted(r[2] for r in scalar)
+    # and the cache ends on layout B either way
+    t: dict = {}
+    _decode_ipfix(msg, "e1", t)
+    assert t[("e1", 256)] == layout_b
+
+
+def test_truncated_datagram_never_fails_template_harvest():
+    """The phase-1 harvest must drop garbled packets like the decode side
+    does (previously only v5-looking garbage was survivable)."""
+    for bad in (b"\x00\x0a\x00", b"\x00\x09" + b"\xff" * 6, b"\x00"):
+        try:
+            list(_iter_template_sets(bad))
+        except (struct.error, IndexError, ValueError, KeyError):
+            pass  # acceptable: the harvest wraps per-datagram
+        # the wrapped harvest path itself:
+    from nf2pq_spark.sources.ipfix import _extract_templates_pandas
+
+    pdf = pd.DataFrame({
+        "path": ["/caps/e1/a.bin", "/caps/e1/b.bin"],
+        "content": [b"\x00\x0a\x00",
+                    _ipfix_msg(_tset(256, _AB))],
+    })
+    out = pd.concat(list(_extract_templates_pandas(iter([pdf]))))
+    assert list(out["tid"]) == [256]  # garbage dropped, good one harvested
+
+
+def test_sixteen_byte_non_v6_ie_routes_to_scalar():
+    """A 16-byte field for a non-address IE can't be rendered by the
+    vectorized column pass (V16 -> int64 cast crashes in frames(), which
+    runs OUTSIDE the packet-drop catch) — the dtype builder must send the
+    template to the scalar path, which decodes it as a big-endian int."""
+    from nf2pq_spark.sources.ipfix import _np_dtype_for
+
+    assert _np_dtype_for([(1, 16), (8, 4)]) is None  # 16-byte octet count
+    assert _np_dtype_for([(27, 16), (28, 16)]) is not None  # v6 addresses
+    weird = _ipfix_msg(_tset(256, [(1, 16), (8, 4)]),
+                       _dset(256, b"\x00" * 15 + b"\x2a" + struct.pack(">I", 7)))
+    rows = _vec_rows(weird)
+    assert len(rows) == 1 and rows["ibyt"][0] == 42  # scalar fallback value
+
+
+def test_short_v6_ie_does_not_crash_frames():
+    """IE 27 declared at a non-16 width is a plain numeric, not a v6
+    address — bytes(np.uint32) + IPv6Address() crashed the whole batch
+    before the width guard."""
+    msg = _ipfix_msg(_tset(256, [(27, 4), (8, 4)]),
+                     _dset(256, struct.pack(">II", 5, (1 << 24) + 2)))
+    rows = _vec_rows(msg)
+    assert len(rows) == 1
+    assert rows["sa"][0] == "1.0.0.2"  # falls back to the v4 IE
+
+
+def test_v9_absolute_timestamp_ies_preferred():
+    """Exporters may export flowStart/EndMilliseconds (152/153) instead of
+    sysUptime-relative 22/21; the scalar reference prefers the absolute
+    IEs and the vectorized path must agree (it silently used boot_ms+0
+    before)."""
+    fields = [(152, 8), (153, 8), (8, 4), (12, 4)]
+    tset = struct.pack(">HH", 0, 4 + 4 + 4 * len(fields)) + \
+        struct.pack(">HH", 256, len(fields)) + \
+        b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
+    data = struct.pack(">QQII", 1_700_000_000_123, 1_700_000_001_456, 1, 2)
+    dset = struct.pack(">HH", 256, 4 + len(data)) + data
+    hdr = struct.pack(">HHIIII", 9, 2, 50_000, 1_800_000_000, 0, 0)
+    msg = hdr + tset + dset
+    scalar = _decode_v9(msg, "e1", {})
+    assert scalar[0][0] == 1_700_000_000_123
+    vec = _vec_rows(msg)
+    assert len(vec) == 1
+    assert int(vec["ts_ms"][0]) == 1_700_000_000_123
+    assert int(vec["te_ms"][0]) == 1_700_000_001_456

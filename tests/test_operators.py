@@ -860,13 +860,13 @@ def test_capture_stream_writer_abort_cleans_batch(tmp_path):
 
     d = tmp_path / "caps"
     d.mkdir()
-    (d / "cap_b0_p00000.bin").write_bytes(b"x")
-    (d / "cap_b1_p00000.bin").write_bytes(b"x")
-    (d / "cap_b1_p00001.bin").write_bytes(b"x")
+    (d / "cap_b0000000000_p00000.bin").write_bytes(b"x")
+    (d / "cap_b0000000001_p00000.bin").write_bytes(b"x")
+    (d / "cap_b0000000001_p00001.bin").write_bytes(b"x")
     w = CaptureStreamWriter({"path": str(d)})
     w.abort([], 1)
     left = sorted(f.name for f in d.iterdir())
-    assert left == ["cap_b0_p00000.bin"]
+    assert left == ["cap_b0000000000_p00000.bin"]
     w.commit([], 0)
     assert (d / "_committed_0").exists()
 

@@ -60,7 +60,10 @@ def main() -> int:
              .appName("driver-sim").config("spark.ui.enabled", "false")
              .getOrCreate())
     import __spark_entry__ as entrymod
-    assert len(entrymod.entry(spark).collect()) > 0, "entry() smoke failed"
+    # plain statement, NOT assert: python -O would strip the assert and
+    # its entry() call with it — the one thing the real driver checks
+    if len(entrymod.entry(spark).collect()) == 0:
+        raise RuntimeError("entry() smoke failed")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     if "--all" in args:
