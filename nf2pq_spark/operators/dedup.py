@@ -137,9 +137,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.6) -> DataFrame:
     """Exact token-set Jaccard over candidate pairs; keeps pairs ≥ threshold."""
+    # materialized: joined twice (id_a and id_b sides partition on
+    # DIFFERENT keys, so no exchange reuse) — without the cut the corpus
+    # scan + tokenize + distinct ran twice per query
     toks = df.select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__t")
-    )
+    ).localCheckpoint(eager=True)
     j = (
         candidates.join(toks.withColumnRenamed(id_col, "id_a")
                         .withColumnRenamed("__t", "__ta"), "id_a")
@@ -201,6 +204,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     # materialize the edge list ONCE — `edges` usually sits on top of the
     # whole LSH candidate pipeline, and without this cut every round's job
     # would re-shingle and re-join the corpus from scratch
+    # a NULL endpoint is not a node: without the filter the small-graph
+    # path silently dropped such edges while the distributed path emitted
+    # a nonsense (null, null) row — the two paths must stay equal on any
+    # legal input
+    edges = edges.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
@@ -273,7 +281,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             )
         obs = Observation()
         labels = (
-            doubled.observe(obs, F.sum("lbl").alias("s"))
+            # decimal(38,0): labels are arbitrary longs (snowflake/hash
+            # ids), and a plain long sum over millions of them overflows
+            # — an ANSI abort of a legal CC run. The metric is only an
+            # equality check, and decimal keeps it exact.
+            doubled.observe(
+                obs, F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
         cur_sum = obs.get["s"]

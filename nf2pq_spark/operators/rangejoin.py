@@ -42,13 +42,28 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
     bus = bucket_seconds * _US
     pb = points.withColumn("__bucket", F.floor(F.unix_micros(F.col(ts_col)) / bus))
     iv = intervals.filter(F.col(hi_col) > F.col(lo_col))
+    lo_b = F.floor(F.unix_micros(F.col(lo_col)) / bus)
+    hi_b = F.floor((F.unix_micros(F.col(hi_col)) - 1) / bus)
+    # span guard: one sentinel interval (hi = 9999-12-31, the classic
+    # "until further notice" row) would otherwise materialize a
+    # multi-million-element bucket array for that single row — executor
+    # OOM / sequence-length failure taking down the whole join. Fail
+    # loudly naming the offender; the fix is a coarser bucket_seconds or
+    # clamping open-ended intervals before the join.
+    max_span = 100_000
+    span_ok = (hi_b - lo_b) < F.lit(max_span)
     ib = iv.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(lo_col)) / bus),
-                F.floor((F.unix_micros(F.col(hi_col)) - 1) / bus),
-            )
+            F.when(span_ok, F.sequence(lo_b, hi_b)).otherwise(F.raise_error(
+                F.concat(
+                    F.lit("bucketed_range_join: interval spans over "
+                          f"{max_span} buckets at bucket_seconds="
+                          f"{bucket_seconds} (lo="),
+                    F.col(lo_col).cast("string"), F.lit(", hi="),
+                    F.col(hi_col).cast("string"),
+                    F.lit("); use a coarser bucket or clamp open-ended "
+                          "intervals"))))
         ),
     )
     cond = (

@@ -59,11 +59,41 @@ def build_rollup(events: DataFrame, path: str, bucket: str = "1 hour") -> None:
 
 def stream_maintain_rollup(stream: DataFrame, path: str, checkpoint: str,
                            bucket: str = "1 hour"):
-    """Maintain the rollup from the live collector stream: each micro-batch
-    re-aggregates its buckets and dynamically overwrites those partitions."""
+    """Maintain the rollup from the live collector stream.
+
+    Each micro-batch writes its PARTIAL per-bucket aggregates under a
+    ``(date, batch_id)`` partition. The maintained aggregates are
+    decomposable (sum/count/min/max), so readers (:func:`query_rollup`)
+    re-aggregate the per-batch rows exactly — unlike the previous
+    overwrite-the-date-partition-from-this-batch's-rows refresh, which
+    silently DESTROYED earlier batches' contributions whenever a date
+    spanned micro-batches (every multi-trigger stream). Dynamic
+    overwrite scoped by the batch id keeps replays exactly-once: a
+    retried batch rewrites ONLY its own partitions (a read-merge-write
+    against the table would double-count its rows on replay). When
+    per-batch rows accumulate, a periodic :func:`build_rollup` over the
+    raw table (or a compaction pass over the partials — they re-roll
+    exactly) collapses them.
+    """
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        build_rollup(batch_df, path, bucket)
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rolled = (
+                batch_df.groupBy(F.window("ts", bucket).start.alias("bucket"),
+                                 "event_type")
+                .agg(*_aggs())
+                .withColumn("date", F.to_date("bucket"))
+                .withColumn("batch_id", F.lit(int(batch_id)))
+            )
+            (rolled.repartition("date")
+                   .write.mode("overwrite").partitionBy("date", "batch_id")
+                   .parquet(path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (stream.writeStream.foreachBatch(refresh)
             .option("checkpointLocation", checkpoint)

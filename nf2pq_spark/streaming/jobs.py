@@ -16,7 +16,9 @@ SQL oracle.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -24,6 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_session_conf
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-process scratch dir, removed atexit.
+
+    Every streaming query needs a symlink dir + checkpoint dir; plain
+    mkdtemp leaked both on every call (hundreds of /tmp dirs per grading
+    sweep, nothing ever removing them). One nf2pq_-prefixed root per
+    process keeps them together, cleans up on exit, and lets the cold
+    verify drive's /tmp/nf2pq_* sweep reclaim anything a crashed process
+    left behind."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="nf2pq_stream_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
@@ -40,7 +60,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     # abspath: a RELATIVE sf_dir would make the symlink target resolve
     # against the temp dir (broken link, empty stream)
     path = os.path.abspath(f"{sf_dir}/events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    stream_dir = _scratch_dir("events_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
@@ -58,7 +78,7 @@ def run_available_now(result: DataFrame, output_mode: str = "complete",
     Returns (spark, table_name); read results with ``spark.table(name)``.
     """
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = _scratch_dir(f"ckpt_{name}_")
     q = (
         result.writeStream.format("memory")
         .queryName(name)
@@ -112,8 +132,22 @@ def windowed_rollup(stream: DataFrame, window: str = "1 hour",
 
 def streaming_dedup(stream: DataFrame, keys: list[str],
                     watermark: str = "1 hour") -> DataFrame:
-    """Stateful exact dedup on a key set (T5)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+    """Stateful dedup on a key set (T5), state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(keys)``
+    only evicts state when the event-time column is IN the key subset —
+    with a pure key subset the watermark line was dead code and the seen
+    set grew forever (OOM on any unbounded stream). The within-watermark
+    form evicts keys once they age past the delay; a duplicate arriving
+    later than the watermark re-emits — the honest bounded-memory
+    contract (exact unbounded dedup needs the anti-join against a
+    persisted seen set instead: st14's pattern). Batch frames (the
+    stream-batch equivalence probes) take the plain distinct, which the
+    bounded form equals on bounded input."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
 
 
 def stream_static_join(stream: DataFrame, dim: DataFrame, cond, how: str = "inner"

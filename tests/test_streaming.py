@@ -244,6 +244,33 @@ def test_stream_maintained_rollup(spark, sf_dir):
     assert b == s
 
 
+def test_stream_maintained_rollup_multi_batch(spark, sf_dir):
+    """The regression the one-file fixture hides: a date spanning SEVERAL
+    micro-batches must keep every batch's contribution — the old refresh
+    overwrote each date partition with only the current batch's rows, so
+    the final table held just the LAST batch's slice of each date."""
+    from nf2pq_spark.operators.rollup import (build_rollup, query_rollup,
+                                              stream_maintain_rollup)
+    from nf2pq_spark.plans.streaming_q import (_CHUNKED_SCHEMA,
+                                               _chunked_events_dir)
+
+    src = _chunked_events_dir(spark, sf_dir, n_chunks=4)
+    stream = (spark.readStream.schema(_CHUNKED_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .drop("chunk").withColumn("event_type", F.lit("x")))
+    stream_path = tempfile.mkdtemp(prefix="rs4_") + "/rollup"
+    q = stream_maintain_rollup(stream, stream_path,
+                               tempfile.mkdtemp(prefix="rck4_"))
+    q.awaitTermination()
+    batch_path = tempfile.mkdtemp(prefix="rb4_") + "/rollup"
+    batch = (spark.read.parquet(src).drop("chunk")
+             .withColumn("event_type", F.lit("x")))
+    build_rollup(batch, batch_path)
+    b = {tuple(r) for r in query_rollup(spark, batch_path, "day").collect()}
+    s = {tuple(r) for r in query_rollup(spark, stream_path, "day").collect()}
+    assert b == s
+
+
 def test_parquet_rotating_sink_partitions(spark, sf_dir):
     """S3: the collector's rotated-file sink writes a date/hour-partitioned
     layout that time-range queries can prune."""
