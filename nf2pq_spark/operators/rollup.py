@@ -32,10 +32,33 @@ def _aggs():
     ]
 
 
+def _is_stream_layout(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` already holds a stream-maintained rollup (its
+    partition tree carries the per-batch ``batch_id`` level)."""
+    try:
+        return "batch_id" in spark.read.parquet(path).schema.names
+    except Exception:  # path absent / not yet a table
+        return False
+
+
 def build_rollup(events: DataFrame, path: str, bucket: str = "1 hour") -> None:
     """(Re)materialize the per-bucket rollup table, overwriting only the
-    date partitions present in the input."""
+    date partitions present in the input.
+
+    Refuses a stream-maintained target: this writer's partitions are
+    ``date=``-deep while :func:`stream_maintain_rollup` writes
+    ``(date, batch_id)`` — a date-level dynamic overwrite that does not
+    cover every date leaves a mixed-depth tree and the next
+    ``spark.read.parquet(path)`` fails with "Conflicting directory
+    structures" (the maintenance path would brick the table). Collapse
+    stream partials with :func:`compact_rollup` instead."""
     spark = events.sparkSession
+    if _is_stream_layout(spark, path):
+        raise ValueError(
+            f"build_rollup: {path} is stream-maintained ((date, batch_id) "
+            "partitions); a date-level overwrite would leave a mixed-depth "
+            "partition tree. Use compact_rollup(spark, path) to collapse "
+            "the per-batch partials.")
     # save/restore the overwrite mode: leaking 'dynamic' onto the shared
     # session silently changes every later partitioned overwrite in the
     # same session (stale partitions would survive a full rewrite)
@@ -71,9 +94,10 @@ def stream_maintain_rollup(stream: DataFrame, path: str, checkpoint: str,
     overwrite scoped by the batch id keeps replays exactly-once: a
     retried batch rewrites ONLY its own partitions (a read-merge-write
     against the table would double-count its rows on replay). When
-    per-batch rows accumulate, a periodic :func:`build_rollup` over the
-    raw table (or a compaction pass over the partials — they re-roll
-    exactly) collapses them.
+    per-batch rows accumulate, a periodic :func:`compact_rollup` (with
+    the stream stopped) collapses them in place; :func:`build_rollup`
+    refuses this path — its date-deep partitions would leave a
+    mixed-depth tree next to the (date, batch_id) partials.
     """
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
@@ -98,6 +122,47 @@ def stream_maintain_rollup(stream: DataFrame, path: str, checkpoint: str,
     return (stream.writeStream.foreachBatch(refresh)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def compact_rollup(spark: SparkSession, path: str) -> None:
+    """Collapse a stream-maintained rollup's per-batch partials into one
+    row per (bucket, event_type), kept under a constant ``batch_id=-1``
+    partition so the stream can keep appending fresh batch partitions to
+    the same tree afterwards.
+
+    The rewrite is WHOLE-TABLE static overwrite on purpose: a dynamic
+    (per-partition) overwrite writing only ``batch_id=-1`` rows would
+    leave the superseded ``(date, batch_id=N)`` partials in place and
+    every later read would double-count them. The rollup is tiny by
+    design (aggregates, not raw data), so a full rewrite is cheap; the
+    eager ``localCheckpoint`` materializes the collapsed rows before the
+    overwrite deletes their source files. Run only while the maintaining
+    stream is stopped at a committed checkpoint — compacting mid-stream
+    races the sink, and a replayed batch re-adds rows the compaction
+    already folded in."""
+    r = spark.read.parquet(path)
+    collapsed = (
+        r.groupBy("bucket", "event_type", "date")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value_dec").cast("decimal(10,2)")
+             .alias("sum_value_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .select("bucket", "event_type", "n", "sum_value_dec",
+                "min_value", "max_value", "date", "batch_id")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        (collapsed.repartition("date")
+                  .write.mode("overwrite").partitionBy("date", "batch_id")
+                  .parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def query_rollup(spark: SparkSession, path: str, grain: str = "day") -> DataFrame:

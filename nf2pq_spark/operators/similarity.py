@@ -74,15 +74,19 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     the shorter array with nulls and the dot fold propagates) must NOT
     silently fall into the negative-side branch: every vector would land
     in bucket 0 and the "approximate" path would quietly degrade to a
-    full cross join. A wholly NULL vector buckets to NULL (the row drops
-    from the bucket join — consistent with cosine's null-degradation);
-    a dimension mismatch on real vectors raises."""
+    full cross join. A wholly NULL vector — or a vector CONTAINING a
+    NULL element, whose dot fold propagates NULL exactly like a length
+    mismatch — buckets to NULL (the row drops from the bucket join,
+    consistent with cosine's null-degradation; one bad record must not
+    kill the job). Only a dimension mismatch on clean vectors raises."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = dot(vec_col, F.array(*[F.lit(x) for x in p]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).when(
             proj <= 0, F.lit(0))  # NULL proj -> NULL bit -> NULL bucket
-    return F.when(vec_col.isNull(), F.lit(None).cast("long")).when(
+    has_null_elem = F.exists(vec_col, lambda x: x.isNull())
+    return F.when(vec_col.isNull() | has_null_elem,
+                  F.lit(None).cast("long")).when(
         bucket.isNotNull(), bucket).otherwise(
         F.raise_error(F.lit(
             "srp_bucket: vector length does not match the hyperplane "

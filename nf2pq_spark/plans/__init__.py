@@ -84,11 +84,14 @@ def _row_passed(row) -> bool:
     return err == "no_oracle" and row.get("spark_rows") is not None
 
 
-def _graded_names() -> frozenset[str]:
+def _graded_names(min_round: int = 0) -> frozenset[str]:
     """Names with a PASSING driver correctness row in any committed
-    round file (see _row_passed for what counts as passing)."""
+    round file (see _row_passed for what counts as passing). With
+    ``min_round``, only rounds >= it count — used to decide whether a
+    stale row has been refreshed yet (see _REGRADE_TAIL)."""
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -99,6 +102,10 @@ def _graded_names() -> frozenset[str]:
         return frozenset()
     for fn in entries:
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            if min_round:
+                m = re.match(r"CORRECTNESS_r(\d+)\.json$", fn)
+                if not m or int(m.group(1)) < min_round:
+                    continue
             try:
                 with open(os.path.join(root, fn)) as f:
                     data = json.load(f)
@@ -115,13 +122,28 @@ def _graded_names() -> frozenset[str]:
     return frozenset(names)
 
 
+#: Evidence-refresh tail (r4 verdict item 5): these rows-only queries
+#: earned their maximal ``no_oracle`` rows in ROUND 1, before the
+#: string-serialization and session hardening — re-grade them once on
+#: current code. They occupy the LAST prefix slots (cheap, the
+#: never-graded wave keeps the head) and self-deactivate as soon as a
+#: round >= _REGRADE_MIN_ROUND grades them again.
+_REGRADE_TAIL: tuple[str, ...] = ("a4_approx_distinct", "a4b_hll_sketch",
+                                  "p7_sample")
+_REGRADE_MIN_ROUND = 5
+
+
 def compute_prefix(graded: frozenset[str] | set[str],
-                   size: int = 50) -> tuple[str, ...]:
+                   size: int = 50,
+                   regrade: tuple[str, ...] = ()) -> tuple[str, ...]:
     """Canaries + (size-5) rotation slots filled with never-graded
     queries: priority seed first, then remaining oracle-backed in
     registry order, rows-only last; graded queries cycle back in
-    registry order once the never-graded pool runs dry."""
-    seen = set(CANARIES)
+    registry order once the never-graded pool runs dry. ``regrade``
+    names (already graded, evidence stale) are pinned to the tail."""
+    regrade = tuple(n for n in regrade
+                    if n in REGISTRY and n not in CANARIES)
+    seen = set(CANARIES) | set(regrade)
 
     def take(names):
         out = []
@@ -136,10 +158,17 @@ def compute_prefix(graded: frozenset[str] | set[str],
     pool += take([n for n in ungraded if REGISTRY[n].oracle])
     pool += take(ungraded)                       # rows-only stragglers
     pool += take(list(REGISTRY))                 # everything graded: cycle
-    return tuple((*CANARIES, *pool))[:size]
+    body = pool[:max(0, size - len(CANARIES) - len(regrade))]
+    return tuple((*CANARIES, *body, *regrade))[:size]
 
 
-CURATED_PREFIX: tuple[str, ...] = compute_prefix(_graded_names())
+#: Regrade names still awaiting a fresh row (empty once r>=5 grades land).
+REGRADE_TAIL_ACTIVE: tuple[str, ...] = tuple(
+    n for n in _REGRADE_TAIL
+    if n not in _graded_names(min_round=_REGRADE_MIN_ROUND))
+
+CURATED_PREFIX: tuple[str, ...] = compute_prefix(
+    _graded_names(), regrade=REGRADE_TAIL_ACTIVE)
 
 
 def _reorder_registry() -> None:
@@ -154,4 +183,5 @@ def _reorder_registry() -> None:
 _reorder_registry()
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql",
-           "CURATED_PREFIX", "CANARIES", "compute_prefix"]
+           "CURATED_PREFIX", "CANARIES", "compute_prefix",
+           "REGRADE_TAIL_ACTIVE"]

@@ -135,7 +135,13 @@ def st5_stream_session(spark, sf_dir):
 )
 def st2_stream_dedup(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
-    deduped = streaming_dedup(stream, ["user_id", "event_type"]).select(
+    # watermark wider than the fixture's whole event-time span (~30
+    # days): dropDuplicatesWithinWatermark re-emits a duplicate whose
+    # key aged out before it arrived, so equality with batch DISTINCT
+    # is otherwise only incidental to single-batch input (r4 advice) —
+    # at 45 days no key can age out mid-run under ANY trigger chunking
+    deduped = streaming_dedup(stream, ["user_id", "event_type"],
+                              watermark="45 days").select(
         "user_id", "event_type"
     )
     _, name = run_available_now(deduped, output_mode="append")

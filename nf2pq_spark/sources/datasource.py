@@ -323,6 +323,26 @@ class CaptureWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, f))
 
 
+def _cap_name_re(batch_id, partition_id=None):
+    """Regex matching a stream-sink capture file for ``batch_id`` (and
+    optionally one partition) under EITHER naming scheme — the current
+    zero-padded ``cap_b0000000007_p00003.bin`` or the legacy unpadded
+    ``cap_b7_p3.bin``: ``0*`` absorbs any padding width, and the
+    trailing anchor (``_`` / ``.bin``) keeps batch 1 from matching
+    batch 10."""
+    import re
+
+    if partition_id is None:
+        return re.compile(rf"^cap_b0*{int(batch_id)}_")
+    return re.compile(rf"^cap_b0*{int(batch_id)}_p0*{int(partition_id)}\.bin$")
+
+
+def _remove_matching(dirpath: str, pattern, keep: str | None = None) -> None:
+    for f in os.listdir(dirpath):
+        if f != keep and pattern.match(f):
+            os.remove(os.path.join(dirpath, f))
+
+
 class CaptureStreamWriter(DataSourceStreamWriter):
     """``writeStream.format("nfcapture")`` — the collector's rotated
     capture output as a streaming sink: each micro-batch packs its
@@ -360,6 +380,14 @@ class CaptureStreamWriter(DataSourceStreamWriter):
             # before cap_b2, which bricks a CaptureStreamReader tailing
             # this directory with a permanent non-monotonic-arrival error
             fname = f"cap_b{int(batch_id):010d}_p{ctx.partitionId():05d}.bin"
+            # replay self-healing must also cover files this (batch,
+            # partition) wrote under the pre-padding naming scheme: a
+            # checkpointed stream resumed across the upgrade would
+            # otherwise leave cap_bN_* next to cap_b000000000N_* and
+            # double-count the batch on read (r4 advice)
+            _remove_matching(self.path,
+                             _cap_name_re(batch_id, ctx.partitionId()),
+                             keep=fname)
             write_capture_file(os.path.join(self.path, fname),
                                encode_netflow_v5(flows))
         return WriterCommitMessage()
@@ -372,12 +400,13 @@ class CaptureStreamWriter(DataSourceStreamWriter):
     def abort(self, messages, batchId: int) -> None:
         # drop the aborted batch's files so a retry starts clean; the dir
         # may not exist yet if the batch failed before any write — a
-        # FileNotFoundError here would mask the original failure
+        # FileNotFoundError here would mask the original failure. The
+        # pattern covers BOTH the padded and the legacy unpadded batch-id
+        # naming, so an abort after a resume-across-upgrade replay still
+        # clears the whole batch (r4 advice).
         if not os.path.isdir(self.path):
             return
-        for f in os.listdir(self.path):
-            if f.startswith(f"cap_b{int(batchId):010d}_"):
-                os.remove(os.path.join(self.path, f))
+        _remove_matching(self.path, _cap_name_re(batchId))
 
 
 def register_capture_source(spark) -> None:

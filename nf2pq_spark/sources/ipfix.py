@@ -365,9 +365,14 @@ def _decode_ipfix(buf: bytes, exporter: str,
                             vals[ie] = int.from_bytes(buf[p:p + ln], "big")
                         p += ln
                     # dual-stack: v6 address IEs (27/28) take precedence over
-                    # the v4 ones (8/12) when the template carries them
-                    sa = vals.get(27) or _ip_str(vals.get(8, 0))
-                    da = vals.get(28) or _ip_str(vals.get(12, 0))
+                    # the v4 ones (8/12) when the template carries them at
+                    # the 16-byte width (then they decoded to a str above);
+                    # a non-16-width IE 27/28 decoded to a plain int and
+                    # must fall back to the v4 IEs exactly like the
+                    # vectorized path, not leak an int into a str column
+                    sa, da = vals.get(27), vals.get(28)
+                    sa = sa if isinstance(sa, str) else _ip_str(vals.get(8, 0))
+                    da = da if isinstance(da, str) else _ip_str(vals.get(12, 0))
                     rows.append((
                         vals.get(152, 0), vals.get(153, 0), sa, da,
                         vals.get(7, 0), vals.get(11, 0), vals.get(4, 0),
@@ -856,7 +861,9 @@ def _decode_v9(buf: bytes, exporter: str,
                 while p + rec_len <= set_end:
                     vals = {}
                     for ie, ln in fields:
-                        if ln in _IE_UNPACK:
+                        if ln == 16 and ie in _IPV6_IES:
+                            vals[ie] = _ipv6_str(buf[p:p + 16])
+                        elif ln in _IE_UNPACK:
                             (vals[ie],) = struct.unpack_from(
                                 _IE_UNPACK[ln], buf, p)
                         else:
@@ -864,8 +871,18 @@ def _decode_v9(buf: bytes, exporter: str,
                         p += ln
                     ts = vals.get(152, boot_ms + vals.get(22, 0))
                     te = vals.get(153, boot_ms + vals.get(21, 0))
+                    # dual-stack: v6 address IEs (27/28) take precedence,
+                    # mirroring _decode_ipfix and the vectorized path — a
+                    # v9 IPv6 template that falls back to this scalar
+                    # decoder must not render sa/da as '0.0.0.0'; only a
+                    # 16-byte IE decoded to a str counts (a non-16-width
+                    # 27/28 is a plain int -> v4 fallback, like the
+                    # vectorized path)
+                    sa, da = vals.get(27), vals.get(28)
+                    sa = sa if isinstance(sa, str) else _ip_str(vals.get(8, 0))
+                    da = da if isinstance(da, str) else _ip_str(vals.get(12, 0))
                     rows.append((
-                        ts, te, _ip_str(vals.get(8, 0)), _ip_str(vals.get(12, 0)),
+                        ts, te, sa, da,
                         vals.get(7, 0), vals.get(11, 0), vals.get(4, 0),
                         vals.get(6, 0), vals.get(2, 0), vals.get(1, 0),
                         vals.get(16, 0), vals.get(17, 0), exporter,

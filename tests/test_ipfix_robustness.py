@@ -138,6 +138,29 @@ def test_sixteen_byte_non_v6_ie_routes_to_scalar():
     assert len(rows) == 1 and rows["ibyt"][0] == 42  # scalar fallback value
 
 
+def test_v9_scalar_decodes_ipv6_address_ies():
+    """The v9 scalar fallback must render IPv6 IEs 27/28 exactly like
+    _decode_ipfix and the vectorized path — a v9 IPv6 template that hits
+    the scalar decoder (in-message conflict, exotic widths) previously
+    emitted '0.0.0.0' for sa/da (path-dependent output, r4 advice)."""
+    fields = [(27, 16), (28, 16), (2, 4)]
+    tset = struct.pack(">HH", 0, 4 + 4 + 4 * len(fields)) + \
+        struct.pack(">HH", 256, len(fields)) + \
+        b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
+    sa6 = bytes.fromhex("20010db8000000000000000000000001")
+    da6 = bytes.fromhex("20010db8000000000000000000000002")
+    data = sa6 + da6 + struct.pack(">I", 7)
+    dset = struct.pack(">HH", 256, 4 + len(data)) + data
+    hdr = struct.pack(">HHIIII", 9, 2, 50_000, 1_800_000_000, 0, 0)
+    msg = hdr + tset + dset
+    scalar = _decode_v9(msg, "e1", {})
+    assert len(scalar) == 1
+    assert scalar[0][2] == "2001:db8::1" and scalar[0][3] == "2001:db8::2"
+    vec = _vec_rows(msg)
+    assert len(vec) == 1
+    assert (vec["sa"][0], vec["da"][0]) == (scalar[0][2], scalar[0][3])
+
+
 def test_short_v6_ie_does_not_crash_frames():
     """IE 27 declared at a non-16 width is a plain numeric, not a v6
     address — bytes(np.uint32) + IPv6Address() crashed the whole batch
@@ -147,6 +170,11 @@ def test_short_v6_ie_does_not_crash_frames():
     rows = _vec_rows(msg)
     assert len(rows) == 1
     assert rows["sa"][0] == "1.0.0.2"  # falls back to the v4 IE
+    # the scalar reference must agree — `vals.get(27) or ...` leaked the
+    # raw int 5 into the sa string column here before the isinstance
+    # guard (path-dependent schema corruption, caught in r5 self-review)
+    scalar = _decode_ipfix(msg, "e1", {})
+    assert len(scalar) == 1 and scalar[0][2] == "1.0.0.2"
 
 
 def test_v9_absolute_timestamp_ies_preferred():

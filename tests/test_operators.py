@@ -214,6 +214,16 @@ def test_srp_dim_mismatch_raises_not_bucket0(spark):
     rows = ok.select("id", srp_bucket(F.col("v"), planes).alias("b")).collect()
     got = {r.id: r.b for r in rows}
     assert got[1] is not None and got[2] is None
+    # a vector CONTAINING a NULL element degrades like a wholly-NULL
+    # vector (bucket NULL, row drops) — it must NOT abort the job with
+    # the dim-mismatch error (r4 advice: one bad record killed the job)
+    mixed = spark.createDataFrame(
+        [(1, [1.0, None, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "id int, v array<double>")
+    got = {r.id: r.b for r in
+           mixed.select("id", srp_bucket(F.col("v"), planes).alias("b"))
+                .collect()}
+    assert got[1] is None and got[2] is not None
 
 
 def test_exact_dedup(spark):
@@ -869,6 +879,31 @@ def test_capture_stream_writer_abort_cleans_batch(tmp_path):
     assert left == ["cap_b0000000000_p00000.bin"]
     w.commit([], 0)
     assert (d / "_committed_0").exists()
+
+
+def test_capture_stream_writer_heals_legacy_unpadded_names(tmp_path):
+    """r4 advice: a checkpointed stream resumed across the padding
+    upgrade replays batch N as cap_b000000000N_* alongside surviving
+    legacy cap_bN_* files — abort (and the write-side replacement
+    regex) must match BOTH schemes or the batch double-counts on read;
+    batch 1's pattern must not swallow batch 10."""
+    from nf2pq_spark.sources.datasource import (CaptureStreamWriter,
+                                                _cap_name_re)
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    (d / "cap_b1_p0.bin").write_bytes(b"x")              # legacy scheme
+    (d / "cap_b0000000001_p00000.bin").write_bytes(b"x")  # padded replay
+    (d / "cap_b10_p0.bin").write_bytes(b"x")             # different batch
+    w = CaptureStreamWriter({"path": str(d)})
+    w.abort([], 1)
+    assert sorted(f.name for f in d.iterdir()) == ["cap_b10_p0.bin"]
+    # the per-(batch, partition) replacement regex the write path uses
+    pat = _cap_name_re(1, 0)
+    assert pat.match("cap_b1_p0.bin") and \
+        pat.match("cap_b0000000001_p00000.bin")
+    assert not pat.match("cap_b10_p0.bin") and \
+        not pat.match("cap_b1_p00001.bin")
 
 
 def test_capture_writer_append_jobs_do_not_clobber(tmp_path):

@@ -47,10 +47,27 @@ def test_prefix_rotates_to_never_graded_queries():
         return  # bare checkout without grade files
     ungraded_total = sum(1 for n in plans.REGISTRY if n not in graded)
     first_time = [n for n in plans.CURATED_PREFIX if n not in graded]
-    assert len(first_time) >= min(45, ungraded_total), (
+    slots = 45 - len(plans.REGRADE_TAIL_ACTIVE)
+    assert len(first_time) >= min(slots, ungraded_total), (
         f"only {len(first_time)} first-time names in the prefix "
         f"({ungraded_total} never-graded queries remain)"
     )
+
+
+def test_regrade_tail_occupies_the_last_slots_while_active():
+    """r4 verdict item 5: the three r1 rows-only names re-enter the
+    prefix TAIL until a round >= 5 refreshes their rows, then drop out
+    automatically (the computed-from-files property the rotation has
+    always had)."""
+    active = plans.REGRADE_TAIL_ACTIVE
+    if active:
+        tail = plans.CURATED_PREFIX[-len(active):]
+        assert tail == active
+    # the compute_prefix regrade arg pins names to the tail and never
+    # duplicates or displaces canaries
+    p = plans.compute_prefix(frozenset(), regrade=plans._REGRADE_TAIL)
+    assert p[:5] == plans.CANARIES and len(set(p)) == 50
+    assert p[-len(plans._REGRADE_TAIL):] == plans._REGRADE_TAIL
 
 
 def test_rotation_algorithm_on_synthetic_grade_sets():

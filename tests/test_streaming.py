@@ -271,6 +271,52 @@ def test_stream_maintained_rollup_multi_batch(spark, sf_dir):
     assert b == s
 
 
+def test_compact_rollup_preserves_results_and_guards_layout(spark, sf_dir):
+    """r4 advice: build_rollup targeting a stream-maintained path would
+    leave a mixed-depth partition tree (date= vs date=/batch_id=) that
+    bricks the next read — it must refuse and point at compact_rollup,
+    and compact_rollup must collapse the per-batch partials to a single
+    batch_id=-1 set without changing any query_rollup answer."""
+    import pytest
+
+    from nf2pq_spark.operators.rollup import (build_rollup, compact_rollup,
+                                              query_rollup,
+                                              stream_maintain_rollup)
+    from nf2pq_spark.plans.streaming_q import (_CHUNKED_SCHEMA,
+                                               _chunked_events_dir)
+
+    src = _chunked_events_dir(spark, sf_dir, n_chunks=3)
+    stream = (spark.readStream.schema(_CHUNKED_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .drop("chunk").withColumn("event_type", F.lit("x")))
+    path = tempfile.mkdtemp(prefix="rc_") + "/rollup"
+    q = stream_maintain_rollup(stream, path, tempfile.mkdtemp(prefix="rcc_"))
+    q.awaitTermination()
+
+    before = {tuple(r) for r in query_rollup(spark, path, "day").collect()}
+    batches_before = set(
+        spark.read.parquet(path).select("batch_id").distinct()
+        .toPandas()["batch_id"])
+    assert len(batches_before) > 1  # the partials really span batches
+
+    batch = (spark.read.parquet(src).drop("chunk")
+             .withColumn("event_type", F.lit("x")))
+    with pytest.raises(ValueError, match="compact_rollup"):
+        build_rollup(batch, path)
+
+    compact_rollup(spark, path)
+    after = {tuple(r) for r in query_rollup(spark, path, "day").collect()}
+    assert after == before
+    batches_after = set(
+        spark.read.parquet(path).select("batch_id").distinct()
+        .toPandas()["batch_id"])
+    assert batches_after == {-1}  # superseded partials actually removed
+    # compaction is idempotent and the layout still accepts a re-read
+    compact_rollup(spark, path)
+    assert {tuple(r) for r in
+            query_rollup(spark, path, "day").collect()} == before
+
+
 def test_parquet_rotating_sink_partitions(spark, sf_dir):
     """S3: the collector's rotated-file sink writes a date/hour-partitioned
     layout that time-range queries can prune."""
@@ -403,6 +449,31 @@ def test_drop_duplicates_within_watermark(spark):
     _, name = run_available_now(deduped.select("k"), output_mode="append")
     ks = sorted(r.k for r in spark.table(name).collect())
     assert ks == [1, 2]  # the re-delivered k=1 inside the window deduped
+
+
+def test_st2_dedup_equals_batch_distinct_under_chunked_triggers(spark, sf_dir):
+    """r4 advice: st2's equality with batch DISTINCT must be STRUCTURAL,
+    not an artifact of single-batch input — with the watermark wider
+    than the fixture's event-time span, no key can age out mid-run, so
+    the same equality holds when the source is force-chunked into one
+    file per micro-batch."""
+    from nf2pq_spark.plans.streaming_q import (_CHUNKED_SCHEMA,
+                                               _chunked_events_dir,
+                                               run_available_now)
+    from nf2pq_spark.streaming.jobs import streaming_dedup
+
+    src = _chunked_events_dir(spark, sf_dir, n_chunks=4)
+    stream = (spark.readStream.schema(_CHUNKED_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src).drop("chunk"))
+    deduped = streaming_dedup(stream, ["user_id"],
+                              watermark="45 days").select("user_id")
+    _, name = run_available_now(deduped, output_mode="append")
+    got = sorted(r.user_id for r in spark.table(name).collect())
+    want = sorted(r.user_id for r in
+                  spark.read.parquet(src).select("user_id")
+                  .distinct().collect())
+    assert got == want  # user_ids repeat across ts-range chunks, so this
+    # genuinely exercises cross-batch state, not within-batch dedup
 
 
 def test_kafka_flow_stream_builder(spark):

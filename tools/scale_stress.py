@@ -21,10 +21,11 @@ cannot collide:
   and supplier keys untouched so g1's 625-row edge list stays fixed.
 
 Run:  python tools/scale_stress.py [--regen] > SCALE_STRESS.md
-Prints three wall-time tables: the 1x->10x tier over the full heavy-tail
-case list, and 100x events / documents amortization tiers that show the
+Prints four wall-time tables: the 1x->10x tier over the full heavy-tail
+case list, 100x events / documents amortization tiers that show the
 sub-linear 10x exponents converging toward true linear cost as fixed
-stage overhead washes out. Measurement protocol (both r4-hardened
+stage overhead washes out, and a 100x graph/embedding tier (g3 + l25,
+with the hot-bucket guard's measured exclusion fractions). Measurement protocol (both r4-hardened
 against artifacts that distorted the r3 tables):
 
 - EVERY tier — including a layout-normalized 1x copy of the fixture —
@@ -159,6 +160,33 @@ CASES_100_DOCS = [
 ]
 
 
+#: 100x graph/embedding tier (r4 verdict item 4): g3 and l25 were
+#: 10x-only (exponents 0.31 / 0.36 — fixed overhead still dominated);
+#: this tier runs their 10x→100x step so the claims are tested where
+#: data dominates: g3's triangle phase is O(aggregated E) — the replica
+#: construction repeats the SAME part co-purchases under shifted order
+#: keys, so the aggregated pair graph stays constant while the fact
+#: scan and per-order pair expansion scale 100x (cost should go linear,
+#: like the fact-agg claim says); l25's shipped config measures the
+#: hot-bucket guard at saturated loads, and the @12planes row shows the
+#: documented mitigation (planes ~ log2(N/target_bucket)) restoring
+#: realistic bucket loads at 200k vectors.
+CASES_100_MISC = [
+    ("g3_triangle_count", 1.0, "same aggregated part-pair graph at "
+     "every tier by construction; the 100x cost is the fact scan + "
+     "per-order pair expansion, both linear — the triangle "
+     "intersection itself is constant"),
+    ("l25_semdedup_srp", 1.0, "shipped config (6 planes, cap 200) at "
+     "200k vectors: essentially every bucket exceeds the cap, so this "
+     "measures signatures + bucket counting (linear) with pairing "
+     "guarded off — see the exclusion-fraction lines below the table"),
+    ("l25@12planes", 1.3, "planes scaled with log2(n): 4096 buckets "
+     "at 200k vectors -> ~50 members/bucket, under the cap — pairing "
+     "actually runs; within-bucket pair growth adds the residual "
+     "superlinearity"),
+]
+
+
 def synthesize_events_100x(spark) -> None:
     """Write the 100x events table under DST100 (events-only tier)."""
     os.makedirs(DST100, exist_ok=True)
@@ -193,6 +221,67 @@ def synthesize_docs_100x(spark) -> None:
          "lang", "source", "n_chars")
      .repartition(N_FILES)
      .write.mode("overwrite").parquet(f"{DST100}/documents.parquet"))
+
+
+def synthesize_misc_100x(spark) -> None:
+    """100x lineitem (g3's co-purchase graph source) and embeddings
+    (l25's corpus) under DST100, same replica constructions as the other
+    tiers: order keys shift per replica while part keys stay — the same
+    part sets recur in every replica, so the AGGREGATED part-pair graph
+    is constant while scan + pair expansion scale 100x (exactly the
+    O(aggregated E) claim the g3 row tests); embeddings rotate per
+    replica (k % dims) like the 10x tier — with 100 replicas over 64
+    dims, each original contributes ~36 identical replica pairs, real
+    near-dup mass for the bucket join."""
+    os.makedirs(DST100, exist_ok=True)
+    spine = F.explode(F.sequence(F.lit(0), F.lit(K100 - 1))).alias("__k")
+    k = F.col("__k").cast("long")
+
+    li = load_table(spark, SRC, "lineitem")
+    (li.select("*", spine)
+     .select(
+         (F.col("l_orderkey") + k * F.lit(100_000_000)).alias("l_orderkey"),
+         *[c for c in li.columns if c != "l_orderkey"])
+     .repartition(N_FILES)
+     .write.mode("overwrite").parquet(f"{DST100}/lineitem.parquet"))
+
+    emb = load_table(spark, SRC, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    shifted = F.concat(
+        F.slice(F.col("embedding"), (F.col("__k") % dims) + 1, dims),
+        F.slice(F.col("embedding"), 1, F.col("__k") % dims))
+    (emb.select("*", spine)
+     .select(
+         (F.col("vec_id") + k * F.lit(10_000_000)).alias("vec_id"),
+         shifted.alias("embedding"), "label")
+     .repartition(N_FILES)
+     .write.mode("overwrite").parquet(f"{DST100}/embeddings.parquet"))
+
+
+def l25_exclusion_fraction(spark, sf_dir: str, n_planes: int,
+                           cap: int) -> float:
+    """Fraction of vectors the hot-bucket guard excludes from pairing —
+    same md5-derived ±1 hyperplane signatures as l25 itself (reuses its
+    module internals, so this can't drift from the measured query)."""
+    from nf2pq_spark.plans.curation import _SRP_DIMS, _srp_sign
+    from nf2pq_spark.functions.vectors import as_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        as_double_array("embedding").alias("v"))
+    bits = []
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(_srp_sign(p, i)) for i in range(_SRP_DIMS)])
+        dot_p = F.aggregate(
+            F.zip_with(F.col("v"), signs, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot_p >= 0, "1").when(dot_p < 0, "0"))
+    per = (e.select(F.concat(*bits).alias("bucket"))
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    row = per.agg(
+        F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(F.lit(0)))
+        .alias("exc"),
+        F.sum("n").alias("tot")).first()
+    return float(row.exc) / float(row.tot)
 
 
 def synthesize(spark) -> None:
@@ -297,8 +386,11 @@ def run_case(spark, case: str, sf_dir: str) -> float:
     checkpoint block removal via the ContextCleaner) outlives both a
     gc.collect()+System.gc() barrier and the min-of-2 window."""
     if case.startswith("l25@"):
+        import re
+
         from nf2pq_spark.plans.curation import l25_semdedup_srp
-        n = 9 if "9planes" in case else 6
+        m = re.search(r"(\d+)planes", case)
+        n = int(m.group(1)) if m else 6
         cap = 10**9 if "uncapped" in case else None
         fn = (lambda s, d: l25_semdedup_srp(  # noqa: E731
             s, d, n_planes=n, max_bucket=cap or 200))
@@ -364,6 +456,18 @@ def main() -> None:
         print(f"synthesizing {K100}x documents at {DST100} ...",
               file=sys.stderr)
         synthesize_docs_100x(spark)
+    if not (os.path.exists(f"{DST100}/lineitem.parquet")
+            and os.path.exists(f"{DST100}/embeddings.parquet")):
+        print(f"synthesizing {K100}x lineitem+embeddings at {DST100} ...",
+              file=sys.stderr)
+        synthesize_misc_100x(spark)
+    # guard diagnostics for the misc tier (not timing-sensitive — the
+    # shared synth session is fine here; only wall-times need isolation)
+    excl = {
+        ("10x", 6): l25_exclusion_fraction(spark, DST, 6, 200),
+        ("100x", 6): l25_exclusion_fraction(spark, DST100, 6, 200),
+        ("100x", 12): l25_exclusion_fraction(spark, DST100, 12, 200),
+    }
     # all synthesis done — release the machine (and this JVM's heap)
     # before any timing: every case below runs in its own subprocess
     spark.stop()
@@ -439,6 +543,41 @@ def main() -> None:
         flag = " **!**" if exp > expected + 0.3 else ""
         print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
               f"| {exp}{flag} | ~{expected} | {why} |")
+
+    print()
+    print("## 100x graph/embedding tier (g3 + l25, r4 verdict item 4)")
+    print()
+    print("g3's 10x exponent (0.31) said fixed overhead still dominated; "
+          "here the fact side is 60M rows. The replica construction "
+          "repeats the same part co-purchases under shifted order keys, "
+          "so the AGGREGATED pair graph is constant across tiers — a "
+          "~1.0 exponent means cost tracks the linear fact work and the "
+          "triangle intersection really is O(aggregated E), independent "
+          "of corpus size. l25's rows measure the hot-bucket guard at "
+          "saturated loads (shipped 6 planes) vs log2(n)-scaled planes "
+          "(12) that restore realistic bucket loads.")
+    print()
+    print("| query | t@10x | t@100x | ratio | exponent | expected | why |")
+    print("|---|---|---|---|---|---|---|")
+    for case, expected, why in CASES_100_MISC:
+        if case not in t10s:
+            t10s[case] = run_case_isolated(case, DST)
+        t10 = t10s[case]
+        t100 = run_case_isolated(case, DST100)
+        exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
+        flag = " **!**" if exp > expected + 0.3 else ""
+        print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
+              f"| {exp}{flag} | ~{expected} | {why} |")
+    print()
+    print("l25 guard exclusion fraction (vectors in buckets over the "
+          "cap, cap=200): "
+          f"**{excl[('10x', 6)]:.0%}** at 10x/6 planes, "
+          f"**{excl[('100x', 6)]:.0%}** at 100x/6 planes, "
+          f"**{excl[('100x', 12)]:.0%}** at 100x/12 planes — the shipped "
+          "plane count saturates at 200k vectors (the guard keeps the "
+          "job bounded but recall goes to zero), and scaling planes "
+          "with log2(N/target_bucket) — the documented operating rule — "
+          "restores sub-cap buckets so pairing actually runs.")
 
     if "j8_asof_join" in t100s and "j8c_asof_hot_key" in t100s:
         r = round(t100s["j8c_asof_hot_key"] / t100s["j8_asof_join"], 2)
