@@ -80,15 +80,19 @@ def main() -> None:
     # contamination stays visible instead of silently absorbed.
     slow = [n for n in bench_names if timings[n] > 1.0]
     firstpass_slow = {n: timings[n] for n in slow}
-    if slow:
+    # barrier before EACH re-time, lightest query first: one barrier at
+    # the head only moves the contamination inside the settle pass (the
+    # first r5 sanity runs measured exactly that — l2d's own settle runs
+    # re-inflated the query after it), and ascending order puts the
+    # heaviest cleanup producers last where nothing follows them
+    for name in sorted(slow, key=lambda n: timings[n]):
         time.sleep(2.0)  # let async shuffle/broadcast cleanup drain
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        for name in slow:
-            t1, t2 = run_query(spark, name, sf_dir), run_query(spark, name, sf_dir)
-            timings[name] = round(min(timings[name], t1, t2), 3)
+        t1, t2 = run_query(spark, name, sf_dir), run_query(spark, name, sf_dir)
+        timings[name] = round(min(timings[name], t1, t2), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
