@@ -747,6 +747,13 @@ def _decode_ipfix_options(buf: bytes, exporter: str,
         if fields:  # empty = withdrawal; min_len would be 0 and the
                     # record loop below would never advance p
             min_len = sum(1 if ln == _VARLEN else ln for _, ln in fields)
+            if min_len == 0:
+                # degenerate cached layout: every field zero-width and
+                # none varlen — a 0-byte record would loop forever below
+                # (the options-path twin of the flow decoders' rec_len==0
+                # guard; same crafted-datagram executor-hang class)
+                off = set_end
+                continue
             p = off + 4
             while p + min_len <= set_end:
                 vals: dict[int, object] = {}

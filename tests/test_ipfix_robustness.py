@@ -196,3 +196,93 @@ def test_v9_absolute_timestamp_ies_preferred():
     assert len(vec) == 1
     assert int(vec["ts_ms"][0]) == 1_700_000_000_123
     assert int(vec["te_ms"][0]) == 1_700_000_001_456
+
+
+def test_zero_width_options_template_does_not_hang():
+    """Options-path twin of the zero-stride flow-template hang: a crafted
+    options template whose every field is zero-width (and none varlen)
+    caches a layout with min_len == 0, and the record loop in
+    _decode_ipfix_options never advanced p — one datagram hung the
+    executor forever while appending rows (found by extending the r4
+    hostile-input lens to the options surface)."""
+    from nf2pq_spark.sources.ipfix import (_decode_ipfix_options,
+                                           _parse_options_templates)
+
+    tid = 500
+    fields = [(149, 0), (34, 0)]
+    body = struct.pack(">HHH", tid, len(fields), 1) + b"".join(
+        struct.pack(">HH", ie, ln) for ie, ln in fields)
+    tmpl_set = struct.pack(">HH", 3, 4 + len(body)) + body
+    dset = struct.pack(">HH", tid, 4 + 8) + b"\x00" * 8
+    payload = tmpl_set + dset
+    msg = struct.pack(">HHIII", 10, 16 + len(payload), 0, 0, 1) + payload
+
+    cache: dict = {}
+    _parse_options_templates(msg, "e1", cache)
+    assert cache[("e1", tid)] == fields  # layout harvested verbatim
+    assert _decode_ipfix_options(msg, "e1", cache) == []  # returns, no rows
+
+
+def test_decode_surface_survives_fuzzed_bytes():
+    """Property generalization of every crafted case in this file: for
+    ANY byte content — raw garbage, capture-framed garbage, or byte-level
+    mutations (bit flips, truncation, splices) of VALID v5/v9/IPFIX flow
+    and options traffic — the template harvest, the flow decode body, and
+    the options decode body must RETURN, yielding schema-correct frames.
+    A datagram may be dropped; the pipeline never raises or hangs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.sources import ipfix as ix
+
+    flows = [dict(sa_int=0x0A000001 + i, da_int=0x0A000002, sp=1000 + i,
+                  dp=53, pr=17, flg=0x10, ipkt=3 + i, ibyt=300 + i,
+                  ts_ms=1_700_000_000_000 + i, te_ms=1_700_000_000_500 + i,
+                  sas=64500, das=64501,
+                  sa6=bytes(range(16)), da6=bytes(range(15, -1, -1)))
+             for i in range(4)]
+    opts = [{1: 7, 149: 7, 34: 1000, 35: 1, 84: "smp"}]
+    valid = (ix.encode_netflow_v5(flows, per_packet=2)
+             + ix.encode_ipfix(flows, per_packet=2, template_every=1)
+             + ix.encode_netflow_v9(flows, per_packet=2, template_every=1)
+             + ix.encode_ipfix(flows, per_packet=4,
+                               template_fields=[(27, 16), (28, 16), (1, 4)])
+             + [ix.encode_ipfix_options(opts),
+                ix.encode_netflow_v9_options(opts)])
+    flow_cols = [f.name for f in ix.FLOW_SCHEMA.fields]
+    opt_cols = [f.name for f in ix.OPTIONS_SCHEMA.fields]
+
+    def mutate(base: bytes, flips, cut: int) -> bytes:
+        ba = bytearray(base)
+        for pos, val in flips:
+            ba[pos % len(ba)] ^= val
+        return bytes(ba[: (cut % (len(ba) + 1)) or len(ba)])
+
+    mutated = st.builds(
+        mutate, st.sampled_from(valid),
+        st.lists(st.tuples(st.integers(0, 1 << 16), st.integers(1, 255)),
+                 max_size=8),
+        st.integers(0, 1 << 16))
+    pieces = st.lists(st.one_of(mutated, st.binary(max_size=120)),
+                      min_size=1, max_size=3)
+    content = st.one_of(
+        st.binary(max_size=200),                       # raw garbage
+        mutated,                                       # one mutated datagram
+        pieces.map(lambda ds: ix._CAPTURE_MAGIC + b"".join(
+            struct.pack(">I", len(d)) + d for d in ds)),  # capture-framed
+        pieces.map(b"".join))                          # spliced datagrams
+
+    @given(content=content)
+    @settings(max_examples=200, deadline=None)
+    def run(content: bytes) -> None:
+        pdf = pd.DataFrame({"path": ["fz/10.0.0.9_0.bin"],
+                            "content": [content]})
+        for tf in ix._extract_templates_pandas(iter([pdf.copy()])):
+            assert list(tf.columns) == [f.name for f in
+                                        ix._TEMPLATE_SCHEMA.fields]
+        for ff in ix.make_decoder()(iter([pdf.copy()])):
+            assert list(ff.columns) == flow_cols
+        for of in ix._options_pandas(iter([pdf.copy()])):
+            assert list(of.columns) == opt_cols
+
+    run()
