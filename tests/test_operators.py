@@ -1116,3 +1116,63 @@ def test_cache_marker_invalidates_on_source_change(tmp_path):
     # legacy pre-stamp 'ok' markers read as stale, forcing one rebuild
     write_cache_marker(marker, "ok")
     assert not cache_current(marker, source_stamp(str(sf), "events"))
+
+
+def test_flownet_garbage_strings_never_abort(spark):
+    """Hostile-string sweep over the v4/v6 text parsers (the fuzz lens
+    that caught the options-decoder hang, applied to the string side):
+    for ANY input — garbage, lookalikes, unicode — ipv4_to_long /
+    ip_prefix / in_cidr / ipv6_normalize / in_cidr6 must EXECUTE (no
+    ANSI abort) and ipv4_to_long must be NULL or the exact stdlib value
+    whenever the stdlib accepts the string. Spark is deliberately more
+    liberal than ``ipaddress`` (try_cast trims whitespace, admits
+    leading zeros / '+'), so only stdlib-VALID inputs pin exact values;
+    everything else just must not kill the job."""
+    import ipaddress
+    import random
+
+    rng = random.Random(4242)
+    curated = [
+        "", ".", "...", "1.2.3", "1.2.3.4.5", "1.2.3.4.", ".1.2.3.4",
+        "256.1.1.1", "-1.2.3.4", "1.2.3.x", "0x1.2.3.4", "1..2.3",
+        "999999999999.1.1.1", "1.2.3.4/8", " 1.2.3.4", "1.2.3.4 ",
+        "01.2.3.4", "+1.2.3.4", "1,2,3,4", "∞.2.3.4", "１.2.3.4",
+        "::", ":::", "::1", "1::2::3", "g::1", "1:2:3:4:5:6:7:8:9",
+        "fe80::1%eth0", "::ffff:1.2.3.4", "café", "\x00\x01", "🌐.2.3.4",
+    ]
+    alphabet = "0123456789abcdefg.:x +-"
+    fuzz = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 24)))
+            for _ in range(250)]
+    strings = curated + fuzz + ["10.0.0.1", "255.255.255.255", "0.0.0.0",
+                                "2001:db8::1", "a:b:c:d:e:f:1:2"]
+
+    df = spark.createDataFrame([(s,) for s in strings], ["ip"])
+    rows = df.select(
+        "ip",
+        flownet.ipv4_to_long(F.col("ip")).alias("v4"),
+        flownet.ip_prefix(F.col("ip"), 24).alias("p24"),
+        flownet.in_cidr(F.col("ip"), "10.0.0.0/8").alias("c4"),
+        flownet.ipv6_normalize(F.col("ip")).alias("v6"),
+        flownet.in_cidr6(F.col("ip"), "2001:db8::/32").alias("c6"),
+    ).collect()  # executing at all proves no ANSI abort
+    got = {r.ip: r for r in rows}
+    assert len(got) == len(set(strings))
+    for s in set(strings):
+        r = got[s]
+        assert r.v4 is None or 0 <= r.v4 < (1 << 32), (s, r.v4)
+        try:
+            expected = int(ipaddress.IPv4Address(s))
+        except ValueError:
+            expected = None
+        if expected is not None:
+            assert r.v4 == expected, (s, r.v4, expected)
+            assert r.p24 == expected & 0xFFFFFF00
+            assert r.c4 == ((expected >> 24) == 10)
+        # v6 canonicalization pins stdlib equality only on pure-hex forms
+        try:
+            a6 = ipaddress.IPv6Address(s)
+            if "." not in s and "%" not in s:
+                assert r.v6 == format(int(a6), "032x"), (s, r.v6)
+                assert r.c6 == (a6 in ipaddress.IPv6Network("2001:db8::/32"))
+        except ValueError:
+            pass
