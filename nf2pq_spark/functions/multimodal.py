@@ -38,6 +38,11 @@ MEDIA_SCHEMA = StructType([
     StructField("sample_rate", IntegerType()),
 ])
 
+#: frame-count rail for sample_frames: far above any real container's
+#: frame count, small enough that one corrupt metadata row cannot fan a
+#: worker out into billions of empty frames
+MAX_FRAMES = 1 << 20
+
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("n_bytes", LongType()),
@@ -145,8 +150,14 @@ def sample_frames(media: DataFrame, every: int = 4, backend: str = "fake") -> Da
             for mid, c, t, nf in zip(pdf["media_id"], pdf["content"],
                                      pdf["media_type"], pdf["n_frames"]):
                 a = _decode_bytes(None if c is None else bytes(c), t, backend)
-                # null n_frames arrives as NaN/NA through Arrow->pandas
-                nf = 1 if pd.isna(nf) else max(int(nf), 1)
+                # null n_frames arrives as NaN/NA through Arrow->pandas.
+                # The MAX_FRAMES rail (mirrored in the mm2 oracle) bounds
+                # corrupt metadata: one hostile row claiming n_frames=2^31
+                # would otherwise loop this worker billions of times
+                # emitting empty tail frames (the one-bad-record
+                # job-killer class, metadata edition). Short buffers keep
+                # their documented empty-tail-frame semantics below it.
+                nf = 1 if pd.isna(nf) else min(max(int(nf), 1), MAX_FRAMES)
                 size = max(len(a) // nf, 1)
                 for f in range(0, nf, every):
                     rows.append((int(mid), f, a[f * size:(f + 1) * size].tobytes()))

@@ -753,8 +753,10 @@ def j14_salted_skew_join(spark, sf_dir):
     "mm2_frame_sample",
     oracle="""
     WITH m AS (
+        -- LEAST mirrors sample_frames' MAX_FRAMES corrupt-metadata rail
+        -- (a no-op at the fixture's nf <= 24, kept for formal parity)
         SELECT doc_id AS media_id,
-               CAST(doc_id % 24 + 1 AS INT) AS nf
+               CAST(LEAST(doc_id % 24 + 1, 1048576) AS INT) AS nf
         FROM documents
     ),
     sized AS (

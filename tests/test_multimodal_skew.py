@@ -187,3 +187,24 @@ def test_two_phase_agg_property_vs_plain(spark):
         assert two == plain
 
     run()
+
+
+def test_corrupt_frame_count_is_railed_not_a_dos(spark):
+    """One hostile metadata row claiming n_frames=2^31-1 must not loop
+    the worker billions of times emitting empty frames: sample_frames
+    clamps to MAX_FRAMES (mirrored by the mm2 oracle's LEAST), so the
+    fan-out from a corrupt record is bounded while short buffers keep
+    their documented empty-tail-frame semantics below the rail."""
+    from nf2pq_spark.functions.multimodal import (MAX_FRAMES, MEDIA_SCHEMA,
+                                                  sample_frames)
+
+    rows = [(1, "video", b"\x01\x02\x03\x04", 64, 48, 2**31 - 1, 16000),
+            (2, "video", b"\x01\x02\x03\x04", 64, 48, 6, 16000)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    every = 100_000
+    frames = sample_frames(media, every=every).collect()
+    per = {mid: [r for r in frames if r.media_id == mid] for mid in (1, 2)}
+    # corrupt row: ceil(MAX_FRAMES / every) frames, not ~21k of them
+    assert len(per[1]) == (MAX_FRAMES + every - 1) // every
+    # honest row (below the rail): unchanged ceil(nf / every) semantics
+    assert len(per[2]) == 1 and per[2][0].frame_no == 0
