@@ -108,7 +108,7 @@ def main() -> None:
     # skew resilience: the 80/20 hot-key as-of (bucketed operator) vs the
     # uniform-key as-of. The segmented scan's STRUCTURAL cost is ~2x the
     # uniform baseline (one extra column-pruned pass for the bucket
-    # summary/spine — measured 2.26 at 10M events, SCALE_STRESS.md 100x
+    # summary/spine — measured 1.94 at 10M events, SCALE_STRESS.md 100x
     # tier); that is the price of not serializing the hot key into one
     # task, which at cluster scale never finishes. NOISE ENVELOPE,
     # measured r3: at sf0.1 (100k events) 2-3 extra SMALL sequential

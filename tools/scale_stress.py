@@ -74,6 +74,14 @@ N_FILES = 32  # part-files per synthesized big table, EVERY tier
 #: itself grows superlinearly, in which case O(output) is optimal.
 CASES = [
     ("q1_pricing_summary", 1.0, "single scan+agg; linear baseline"),
+    ("s6_netflow_v5_decode", 1.0, "wire decode, fixed-layout vectorized "
+     "path: one np.frombuffer per datagram, flows from the tier's events "
+     "(1 flow/event; capture synthesis is cached by the warmup run — "
+     "timed runs decode+aggregate only, 8 capture files every tier so "
+     "decode parallelism is equal across sizes)"),
+    ("s6b_ipfix_decode", 1.0, "wire decode, template-driven vectorized "
+     "path: per-announced-layout np dtype over the accumulated data "
+     "sets — the collector's RFC 7011 hot path at growing flow counts"),
     ("l2d_neardup_components", 1.0, "pair graph x10 by construction "
      "(independent replicas); CC cost O(pairs)"),
     ("l25_semdedup_srp", 1.0, "the SHIPPED config (6 planes, "
@@ -126,6 +134,11 @@ CASES = [
 K100 = 100
 DST100 = "/tmp/nf2pq_scale100"
 CASES_100 = [
+    ("s6_netflow_v5_decode", 1.0, "10M flows through the fixed-layout "
+     "vectorized decoder — the collector throughput claim measured "
+     "where data dominates"),
+    ("s6b_ipfix_decode", 1.0, "10M flows through the template-driven "
+     "vectorized decoder (np dtype per announced layout)"),
     ("j8_asof_join", 1.0, "one shuffle + per-user windows"),
     ("j8c_asof_hot_key", 1.0, "hot key = 8M of 10M events, split into "
      "~30 day-buckets; at data-dominated sizes the segmented scan costs "
@@ -410,7 +423,17 @@ def run_case_isolated(case: str, sf_dir: str) -> float:
     """Time one case in its OWN subprocess Spark session — the isolation
     that makes runs reproducible (fresh-session probes: l2@10x 1.6s vs
     6.9s shared, j8@100x 1.0s vs 3.5s shared, and the inflation moved
-    between victims on identical code)."""
+    between victims on identical code) — and take the MIN over two
+    separate subprocess invocations: this host is a VM whose neighbors
+    can inflate a whole multi-second window, so single-invocation rows
+    bounced up to 2x between full runs on identical code+data (r5:
+    g3@10x 6.8s vs 12.3s) in a way no in-process barrier or in-session
+    min-of-2 can dodge; the cross-invocation min is the stable
+    statistic for the exponent signal."""
+    return min(_one_subprocess(case, sf_dir), _one_subprocess(case, sf_dir))
+
+
+def _one_subprocess(case: str, sf_dir: str) -> float:
     import subprocess
 
     p = subprocess.run(
@@ -468,9 +491,25 @@ def main() -> None:
         ("100x", 6): l25_exclusion_fraction(spark, DST100, 6, 200),
         ("100x", 12): l25_exclusion_fraction(spark, DST100, 12, 200),
     }
-    # all synthesis done — release the machine (and this JVM's heap)
-    # before any timing: every case below runs in its own subprocess
+    # all synthesis done — release the machine before any timing: every
+    # case below runs in its own subprocess. Three barriers, each a
+    # measured contamination source (r5): (1) spark.stop() alone leaves
+    # the py4j gateway JVM alive holding this driver's multi-GB
+    # synthesis heap until python exits — shut it down outright;
+    # (2) freshly-written corpora (1.6 GB) drain via kernel writeback
+    # DURING the first timed cases (a run timed right after synthesis
+    # showed 2-4x outliers on its early rows; the same cases on
+    # 35-minute-old corpora were clean) — sync() forces the flush now;
+    # (3) a short settle lets the flush and JVM teardown finish.
     spark.stop()
+    try:
+        from pyspark import SparkContext
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+    except Exception:
+        pass
+    os.sync()
+    time.sleep(10.0)
 
     print("# SCALE_STRESS — 10x synthetic scale run (dev-only)")
     print()
@@ -489,7 +528,12 @@ def main() -> None:
           "session (subprocess): shared-session timings proved "
           "contaminated by multi-second background cleanup from earlier "
           "cases that neither a GC barrier nor min-of-2 can dodge "
-          "(same code, same data: l2@10x 6.9s shared vs 1.6s fresh).")
+          "(same code, same data: l2@10x 6.9s shared vs 1.6s fresh). "
+          "Each row is additionally the MIN over two separate subprocess "
+          "invocations (r5): the host VM's neighbors can inflate a whole "
+          "invocation window — single-invocation rows moved up to 2x "
+          "between runs of identical code+data — and the "
+          "cross-invocation min is the stable statistic.")
     print()
     print("| query | t@1x | t@10x | ratio | exponent | expected | why |")
     print("|---|---|---|---|---|---|---|")
