@@ -132,12 +132,54 @@ def okhash(col: str) -> str:
     return f"(({col} % 2147483648) * {KNUTH_MULT})"
 
 
+#: code-identity component of every cache stamp, computed once per process
+_CODE_STAMP: str | None = None
+
+
+def _code_stamp(pkg_root: str | None = None) -> str:
+    """Identity of the package SOURCE backing a /tmp cache: file count,
+    total size, and newest mtime over every ``nf2pq_spark/**/*.py``.
+    Any code change therefore invalidates all stamped caches — the third
+    staleness mode (after fixture regeneration and tree swaps): a cache
+    whose WRITER changed layout or content between rounds otherwise
+    reads as current forever on a long-lived machine, and the one manual
+    guard against it (a hand-bumped version suffix like collector.py's
+    ``|capfmt2``) only works when someone remembers to bump it. Rebuild
+    cost is seconds at the graded scale factors; over-invalidation is
+    the safe direction. ``pkg_root`` overrides the scanned tree (tests);
+    only the default scan is cached."""
+    global _CODE_STAMP
+    if pkg_root is None and _CODE_STAMP is not None:
+        return _CODE_STAMP
+    import os
+
+    root = pkg_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    n, total, newest = 0, 0, 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".py"):
+                try:
+                    st = os.stat(os.path.join(dirpath, f))
+                except OSError:
+                    continue
+                n += 1
+                total += st.st_size
+                newest = max(newest, st.st_mtime_ns)
+    stamp = f"code|{n}|{total}|{newest}"
+    if pkg_root is None:
+        _CODE_STAMP = stamp
+    return stamp
+
+
 def source_stamp(sf_dir: str, *tables: str) -> str:
     """Identity stamp of the fixture files backing a /tmp cache: absolute
-    path + mtime_ns + size per table. A marker carrying this stamp
-    self-invalidates when the fixture is regenerated, or when a
-    same-named leaf dir from a DIFFERENT tree is pointed at — the two
-    staleness modes a basename-keyed cache cannot see (r3 review)."""
+    path + mtime_ns + size per table, plus the package code identity
+    (:func:`_code_stamp`). A marker carrying this stamp self-invalidates
+    when the fixture is regenerated, when a same-named leaf dir from a
+    DIFFERENT tree is pointed at (the two modes a basename-keyed cache
+    cannot see — r3 review), or when any package source file changes
+    (the writer-upgrade mode — r5 review)."""
     import os
 
     parts = []
@@ -148,6 +190,7 @@ def source_stamp(sf_dir: str, *tables: str) -> str:
             parts.append(f"{p}|{st.st_mtime_ns}|{st.st_size}")
         except OSError:
             parts.append(f"{p}|missing")
+    parts.append(_code_stamp())
     return ";".join(parts)
 
 

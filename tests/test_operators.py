@@ -1118,6 +1118,53 @@ def test_cache_marker_invalidates_on_source_change(tmp_path):
     assert not cache_current(marker, source_stamp(str(sf), "events"))
 
 
+def test_source_stamp_tracks_code_identity(tmp_path):
+    """The writer-upgrade staleness mode (r5): a /tmp cache whose WRITER
+    code changed between rounds must self-invalidate — the fixture-only
+    stamp read such caches as current forever on a long-lived machine.
+    The stamp therefore carries a code-identity component over every
+    package source file; changing any of them yields a different stamp."""
+    import os
+    import shutil
+
+    import nf2pq_spark.plans.helpers as H
+
+    sf = tmp_path / "sf"
+    os.makedirs(sf)
+    shutil.copy("/root/testdata/sf0.001/nation.parquet",
+                sf / "events.parquet")
+
+    s1 = H.source_stamp(str(sf), "events")
+    assert ";code|" in s1                      # component present
+    assert s1 == H.source_stamp(str(sf), "events")  # stable in-process
+
+    # a legacy marker carrying a fixture-only stamp reads as stale
+    legacy = s1.rsplit(";code|", 1)[0]
+    marker = str(tmp_path / "_BUILT")
+    H.write_cache_marker(marker, legacy)
+    assert not H.cache_current(marker, s1)
+
+    # the component itself flips on any source change — verified on a
+    # copied tree (touching the real package from a test would churn
+    # its mtimes): edit one file's content, then only its mtime
+    pkg_copy = str(tmp_path / "pkg")
+    shutil.copytree(os.path.dirname(os.path.abspath(H.__file__)), pkg_copy)
+    c0 = H._code_stamp(pkg_copy)
+    assert c0 == H._code_stamp(pkg_copy)       # deterministic, uncached
+    target = os.path.join(pkg_copy, "helpers.py")
+    with open(target, "a") as fh:
+        fh.write("# changed\n")
+    c1 = H._code_stamp(pkg_copy)
+    assert c1 != c0                            # size + mtime moved
+    os.utime(target, ns=(os.stat(target).st_mtime_ns + 10**12,) * 2)
+    c2 = H._code_stamp(pkg_copy)
+    assert c2 != c1                            # mtime alone moves it
+    # non-.py files are invisible to the stamp
+    with open(os.path.join(pkg_copy, "notes.txt"), "w") as fh:
+        fh.write("x")
+    assert H._code_stamp(pkg_copy) == c2
+
+
 def test_flownet_garbage_strings_never_abort(spark):
     """Hostile-string sweep over the v4/v6 text parsers (the fuzz lens
     that caught the options-decoder hang, applied to the string side):
