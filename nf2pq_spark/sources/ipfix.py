@@ -277,6 +277,27 @@ def _ip_strs(u4: np.ndarray) -> np.ndarray:
             + _OCTET_DOT[(u4 >> 8) & 255] + _OCTET[u4 & 255])
 
 
+def _i64(v: int) -> int:
+    """Fold an arbitrary int into int64 two's complement — exactly what
+    numpy's ``.astype("int64")`` yields for the same low bits, and the
+    widest value an Arrow long column accepts. The scalar decoders fold
+    every numeric output through this (and :func:`_i32` for int columns):
+    a template is free to declare an output IE at any width, and an
+    unfolded 8/16-byte value with the top bit set either diverged from
+    the vectorized decode (Python int stays unsigned where numpy wraps)
+    or overflowed the Arrow conversion and killed the task on one
+    crafted record."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _i32(v: int) -> int:
+    """int32 twin of :func:`_i64` (the vectorized path's final
+    ``.astype("int32")`` for port/proto/flag/AS columns)."""
+    v &= (1 << 32) - 1
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
 def _v5_frame(arrs: list[np.ndarray], exporters: list[str]) -> pd.DataFrame:
     a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
     exp = np.repeat(np.array(exporters, dtype=object),
@@ -355,14 +376,19 @@ def _decode_ipfix(buf: bytes, exporter: str,
                     vals = {}
                     for ie, ln in fields:
                         if ln == 16 and ie in _IPV6_IES:
-                            vals[ie] = _ipv6_str(buf[p:p + 16])
+                            v = _ipv6_str(buf[p:p + 16])
                         elif ln in _IE_UNPACK:
-                            (vals[ie],) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
+                            (v,) = struct.unpack_from(_IE_UNPACK[ln], buf, p)
                         else:
                             # exotic widths (3/6-byte MACs, 16-byte non-v6):
                             # big-endian int — the widths this scalar path
                             # exists for must not KeyError the task
-                            vals[ie] = int.from_bytes(buf[p:p + ln], "big")
+                            v = int.from_bytes(buf[p:p + ln], "big")
+                        # FIRST occurrence of a duplicated IE wins, matching
+                        # the vectorized frames() (first_pos.setdefault) —
+                        # plain assignment was last-wins and made the same
+                        # record decode differently per path
+                        vals.setdefault(ie, v)
                         p += ln
                     # dual-stack: v6 address IEs (27/28) take precedence over
                     # the v4 ones (8/12) when the template carries them at
@@ -374,10 +400,11 @@ def _decode_ipfix(buf: bytes, exporter: str,
                     sa = sa if isinstance(sa, str) else _ip_str(vals.get(8, 0))
                     da = da if isinstance(da, str) else _ip_str(vals.get(12, 0))
                     rows.append((
-                        vals.get(152, 0), vals.get(153, 0), sa, da,
-                        vals.get(7, 0), vals.get(11, 0), vals.get(4, 0),
-                        vals.get(6, 0), vals.get(2, 0), vals.get(1, 0),
-                        vals.get(16, 0), vals.get(17, 0), exporter,
+                        _i64(vals.get(152, 0)), _i64(vals.get(153, 0)), sa, da,
+                        _i32(vals.get(7, 0)), _i32(vals.get(11, 0)),
+                        _i32(vals.get(4, 0)), _i32(vals.get(6, 0)),
+                        _i64(vals.get(2, 0)), _i64(vals.get(1, 0)),
+                        _i32(vals.get(16, 0)), _i32(vals.get(17, 0)), exporter,
                     ))
         off = set_end
     return rows
@@ -538,6 +565,7 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
     scan = off
     msg_templates: dict = {}  # this message's announcements only
     conflict = False
+    data_views: list = []  # (key, layout in effect AT the data set)
     while scan + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, scan)
         if set_len < 4:
@@ -546,14 +574,38 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
         if set_id == tmpl_id:
             conflict |= _parse_template_records(buf, scan + 4, set_end,
                                                 exporter, msg_templates)
+        elif set_id >= 256:
+            # the template view at THIS position: announcements so far in
+            # this message overlay the pre-message cache ([] withdrawal
+            # and absent both mean "no template" for decoding purposes)
+            key = (exporter, set_id)
+            at_pos = (msg_templates[key] if key in msg_templates
+                      else templates.get(key)) or None
+            data_views.append((key, at_pos))
         scan = set_end
+    if not conflict:
+        # in-order/end-state equivalence: the decode walk below applies
+        # the END-of-message template view to every data set, which is
+        # only correct when that view matches what was in effect at each
+        # data set's position — a data set PRECEDING its announcement
+        # (RFC 7011 §8 violation: scalar rightly drops it, the end-state
+        # view would decode it retroactively) or FOLLOWED by a
+        # withdrawal (scalar decodes it, the end-state view would drop
+        # it) must take the in-order scalar walk instead
+        for key, at_pos in data_views:
+            final = (msg_templates[key] if key in msg_templates
+                     else templates.get(key)) or None
+            if final != at_pos:
+                conflict = True
+                break
     if conflict:
-        # a tid re-announced WITHIN this message with a new layout: the
-        # pre-scan model (templates first, then data) would apply the
-        # LAST layout retroactively to data sets encoded under the first
-        # — only the in-order scalar walk is correct here. It starts
-        # from the pre-message cache (msg_templates was never merged)
-        # and leaves the cache in the same end state.
+        # a tid re-announced WITHIN this message with a new layout, or a
+        # data set whose in-position template view differs from the
+        # end-state view: the pre-scan model (templates first, then
+        # data) would apply the wrong layout — only the in-order scalar
+        # walk is correct here. It starts from the pre-message cache
+        # (msg_templates was never merged) and leaves the cache in the
+        # same end state.
         scalar = (_decode_ipfix if version == 10 else _decode_v9)
         return [pd.DataFrame(scalar(buf, exporter, templates),
                              columns=cols)]
@@ -725,6 +777,16 @@ def _parse_options_templates(buf: bytes, exporter: str, cache: dict) -> None:
         off = set_end
 
 
+def _opt_num(vals: dict, ie: int, default: int, fold=_i64) -> int:
+    """Numeric option value with the decoder's safety rails: a numeric IE
+    declared VARLEN decodes to a str — int('abc') on one crafted record
+    killed the whole read (probed live) — so non-int values take the
+    column default; the fold bounds oversized widths into the schema's
+    long/int range (see :func:`_i64`)."""
+    v = vals.get(ie, default)
+    return fold(v) if isinstance(v, int) else fold(default)
+
+
 def _decode_ipfix_options(buf: bytes, exporter: str,
                           cache: dict) -> list[tuple]:
     """Decode options data records of one IPFIX or NetFlow v9 message
@@ -774,9 +836,9 @@ def _decode_ipfix_options(buf: bytes, exporter: str,
                         p += ln
                 rows.append((
                     exporter,
-                    int(vals.get(_IE_OBS_DOMAIN, 0)),
-                    int(vals.get(_IE_SAMPLING_INTERVAL, 1)),
-                    int(vals.get(_IE_SAMPLING_ALGO, 0)),
+                    _opt_num(vals, _IE_OBS_DOMAIN, 0),
+                    _opt_num(vals, _IE_SAMPLING_INTERVAL, 1),
+                    _opt_num(vals, _IE_SAMPLING_ALGO, 0, _i32),
                     str(vals.get(_IE_SAMPLER_NAME, "")),
                 ))
         off = set_end
@@ -869,15 +931,21 @@ def _decode_v9(buf: bytes, exporter: str,
                     vals = {}
                     for ie, ln in fields:
                         if ln == 16 and ie in _IPV6_IES:
-                            vals[ie] = _ipv6_str(buf[p:p + 16])
+                            v = _ipv6_str(buf[p:p + 16])
                         elif ln in _IE_UNPACK:
-                            (vals[ie],) = struct.unpack_from(
+                            (v,) = struct.unpack_from(
                                 _IE_UNPACK[ln], buf, p)
                         else:
-                            vals[ie] = int.from_bytes(buf[p:p + ln], "big")
+                            v = int.from_bytes(buf[p:p + ln], "big")
+                        # first occurrence of a duplicated IE wins — see
+                        # _decode_ipfix (matches frames()' first_pos)
+                        vals.setdefault(ie, v)
                         p += ln
-                    ts = vals.get(152, boot_ms + vals.get(22, 0))
-                    te = vals.get(153, boot_ms + vals.get(21, 0))
+                    # _i64 folds both the absolute-ms IEs and the
+                    # boot+uptime sum exactly like the vectorized path's
+                    # int64 arithmetic (numpy wraps silently on overflow)
+                    ts = _i64(vals.get(152, boot_ms + vals.get(22, 0)))
+                    te = _i64(vals.get(153, boot_ms + vals.get(21, 0)))
                     # dual-stack: v6 address IEs (27/28) take precedence,
                     # mirroring _decode_ipfix and the vectorized path — a
                     # v9 IPv6 template that falls back to this scalar
@@ -890,9 +958,10 @@ def _decode_v9(buf: bytes, exporter: str,
                     da = da if isinstance(da, str) else _ip_str(vals.get(12, 0))
                     rows.append((
                         ts, te, sa, da,
-                        vals.get(7, 0), vals.get(11, 0), vals.get(4, 0),
-                        vals.get(6, 0), vals.get(2, 0), vals.get(1, 0),
-                        vals.get(16, 0), vals.get(17, 0), exporter,
+                        _i32(vals.get(7, 0)), _i32(vals.get(11, 0)),
+                        _i32(vals.get(4, 0)), _i32(vals.get(6, 0)),
+                        _i64(vals.get(2, 0)), _i64(vals.get(1, 0)),
+                        _i32(vals.get(16, 0)), _i32(vals.get(17, 0)), exporter,
                     ))
         off = set_end
     return rows

@@ -286,3 +286,150 @@ def test_decode_surface_survives_fuzzed_bytes():
             assert list(of.columns) == opt_cols
 
     run()
+
+
+# -- scalar/vectorized differential (r5): the paths must agree on EVERY
+# -- message, not just well-formed fixture traffic -----------------------
+
+
+def _v9_msg(*sets: bytes) -> bytes:
+    return struct.pack(">HHIIII", 9, 0, 100_000, 100, 0, 1) + b"".join(sets)
+
+
+def _v9_tset(tid: int, fields: list[tuple[int, int]]) -> bytes:
+    rec = struct.pack(">HH", tid, len(fields)) + b"".join(
+        struct.pack(">HH", ie, ln) for ie, ln in fields)
+    return struct.pack(">HH", 0, 4 + len(rec)) + rec
+
+
+def _both(msg: bytes, pre: dict | None = None):
+    """(sorted scalar rows, sorted vectorized rows, caches-equal) for one
+    message decoded by both paths from the same starting cache."""
+    version = struct.unpack_from(">H", msg, 0)[0]
+    scalar_fn = _decode_v9 if version == 9 else _decode_ipfix
+    t1, t2 = dict(pre or {}), dict(pre or {})
+    rows = sorted(tuple(r) for r in scalar_fn(msg, "e1", t1))
+    got = sorted(tuple(r) for r in
+                 _vec_rows(msg, t2).itertuples(index=False))
+    return rows, got, t1 == t2
+
+
+def test_duplicate_ie_first_occurrence_wins_on_both_paths():
+    """A template may carry the same IE twice (RFC 7011 allows repeats);
+    the scalar decoders were last-occurrence-wins while the vectorized
+    frames() is first-wins — the same record decoded differently per
+    path. Both are first-wins now."""
+    payload = struct.pack(">HH", 111, 222)
+    m10 = _ipfix_msg(_tset(300, [(7, 2), (7, 2)]), _dset(300, payload))
+    rows, got, teq = _both(m10)
+    assert rows == got and teq
+    assert rows[0][4] == 111  # sp = FIRST occurrence
+    m9 = _v9_msg(_v9_tset(300, [(7, 2), (7, 2)]),
+                 struct.pack(">HH", 300, 4 + len(payload)) + payload)
+    rows, got, teq = _both(m9)
+    assert rows == got and teq
+    assert rows[0][4] == 111
+
+
+def test_oversized_widths_fold_into_schema_range():
+    """Values wider than the output column must WRAP exactly like the
+    vectorized astype chain (int64/int32 two's complement) — the scalar
+    kept unbounded Python ints, so an 8-byte counter with the top bit
+    set diverged from the vectorized decode, and a 16-byte IE mapped to
+    an output column (e.g. IE 152 declared at width 16) produced a
+    2^128-scale int that overflows the Arrow long conversion and killed
+    the task on one crafted record."""
+    import pyarrow as pa
+
+    cases = [
+        ([(1, 8)], struct.pack(">Q", 0xFFFFFFFFFFFFFFF0), 9, -16),
+        ([(152, 16)], b"\xff" * 16, 0, -1),
+        ([(7, 4)], struct.pack(">I", 0x80000001), 4, -2147483647),
+    ]
+    for fields, payload, pos, expect in cases:
+        m = _ipfix_msg(_tset(300, fields), _dset(300, payload))
+        rows, got, teq = _both(m)
+        assert rows == got and teq
+        assert rows[0][pos] == expect
+        # the scalar-fallback frame must survive the Arrow conversion the
+        # mapInPandas sink performs against FLOW_SCHEMA
+        df = pd.DataFrame(rows, columns=_COLS)
+        pa.Table.from_pandas(df, schema=pa.schema([
+            ("ts_ms", pa.int64()), ("te_ms", pa.int64()),
+            ("sa", pa.string()), ("da", pa.string()),
+            ("sp", pa.int32()), ("dp", pa.int32()),
+            ("pr", pa.int32()), ("flg", pa.int32()),
+            ("ipkt", pa.int64()), ("ibyt", pa.int64()),
+            ("sas", pa.int32()), ("das", pa.int32()),
+            ("exporter", pa.string()),
+        ]), preserve_index=False)
+
+
+def test_varlen_numeric_option_takes_default_not_valueerror():
+    """A numeric option IE declared VARLEN decodes to a string;
+    int('abc') on one crafted record previously killed the whole options
+    read. Unusable values take the column default."""
+    from nf2pq_spark.sources.ipfix import (_decode_ipfix_options,
+                                           _IE_SAMPLING_INTERVAL, _VARLEN)
+
+    cache = {("e1", 400): [(_IE_SAMPLING_INTERVAL, _VARLEN)]}
+    rec = bytes([3]) + b"abc"
+    m = _ipfix_msg(struct.pack(">HH", 400, 4 + len(rec)) + rec)
+    assert _decode_ipfix_options(m, "e1", cache) == [("e1", 0, 1, 0, "")]
+
+
+def test_data_set_template_view_is_position_sensitive():
+    """The vectorized pre-scan applies the END-of-message template view;
+    when that differs from the view at a data set's position it must
+    take the in-order scalar walk: a data set BEFORE its announcement
+    (RFC 7011 §8 violation — the scalar rightly drops it) was decoded
+    retroactively, and a data set BEFORE a withdrawal was dropped
+    retroactively."""
+    pre = {("e1", 300): [(7, 2), (11, 2)]}
+    rec = struct.pack(">HH", 7, 8)
+    # data before announcement, cold cache: both drop
+    m = _ipfix_msg(_dset(300, rec), _tset(300, [(7, 2), (11, 2)]))
+    rows, got, teq = _both(m)
+    assert rows == got == [] and teq
+    # data then withdrawal, warm cache: both decode the record
+    m = _ipfix_msg(_dset(300, rec), _tset(300, []))
+    rows, got, teq = _both(m, pre)
+    assert rows == got and len(rows) == 1 and teq
+    # withdrawal then data, warm cache: both drop
+    m = _ipfix_msg(_tset(300, []), _dset(300, rec))
+    rows, got, teq = _both(m, pre)
+    assert rows == got == [] and teq
+
+
+def test_scalar_vectorized_differential_property():
+    """Hypothesis differential: for ANY single-template message — random
+    IEs (output-mapped, v6 addresses, unknowns), random widths (the
+    dtype-expressible 1/2/4/8/16 and the exotic 3/6 that force the
+    scalar fallback), duplicate IEs, random record payloads, IPFIX and
+    v9 — the scalar reference and the vectorized path produce identical
+    rows and identical template caches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ies = st.sampled_from([1, 2, 4, 6, 7, 8, 11, 12, 16, 17,
+                           21, 22, 27, 28, 152, 153, 5, 9, 100])
+    widths = st.sampled_from([1, 2, 3, 4, 6, 8, 16])
+    fields_s = st.lists(st.tuples(ies, widths), min_size=1, max_size=6)
+
+    @given(fields=fields_s, n_recs=st.integers(0, 4), v9=st.booleans(),
+           data=st.data())
+    @settings(max_examples=300, deadline=None)
+    def run(fields, n_recs, v9, data):
+        rec_len = sum(ln for _, ln in fields)
+        payload = data.draw(st.binary(min_size=rec_len * n_recs,
+                                      max_size=rec_len * n_recs))
+        dset_bytes = struct.pack(">HH", 300, 4 + len(payload)) + payload
+        if v9:
+            m = _v9_msg(_v9_tset(300, fields), dset_bytes)
+        else:
+            m = _ipfix_msg(_tset(300, fields), dset_bytes)
+        rows, got, teq = _both(m)
+        assert teq
+        assert rows == got
+
+    run()
