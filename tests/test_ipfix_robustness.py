@@ -433,3 +433,53 @@ def test_scalar_vectorized_differential_property():
         assert rows == got
 
     run()
+
+
+def test_scalar_vectorized_differential_multiset_property():
+    """Differential over random SET SEQUENCES: announcements,
+    re-announcements, withdrawals, and data sets for two tids interleave
+    in any order (with or without a warm cache). Pins the general
+    in-order/end-state equivalence argument behind the position-view
+    fallback: whenever the vectorized path does NOT fall back, its
+    end-of-message template view must have matched the in-order view at
+    every data set — any miss shows up here as a row or cache diff."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    layouts = [[(7, 2), (11, 2)], [(8, 4), (12, 4)], [(1, 8)]]
+    tids = st.sampled_from([300, 301])
+    action = st.one_of(
+        st.tuples(st.just("t"), tids, st.sampled_from(layouts)),  # announce
+        st.tuples(st.just("t"), tids, st.just([])),               # withdraw
+        st.tuples(st.just("d"), tids, st.integers(0, 3)),         # data
+    )
+
+    @given(actions=st.lists(action, min_size=1, max_size=6),
+           warm=st.booleans(), v9=st.booleans(), data=st.data())
+    @settings(max_examples=300, deadline=None)
+    def run(actions, warm, v9, data):
+        pre = ({("e1", 300): [(7, 2), (11, 2)],
+                ("e1", 301): [(1, 8)]} if warm else {})
+        live = dict(pre)  # reference view to size data payloads
+        sets = []
+        for kind, tid, arg in actions:
+            if kind == "t":
+                if arg:
+                    live[("e1", tid)] = arg
+                else:
+                    live.pop(("e1", tid), None)
+                sets.append(_v9_tset(tid, arg) if v9 else _tset(tid, arg))
+            else:
+                # records sized to the CURRENT view (unknown tid -> raw
+                # bytes that stress the drop paths)
+                rec_len = sum(ln for _, ln in live.get(("e1", tid), [(0, 2)]))
+                payload = data.draw(st.binary(min_size=rec_len * arg,
+                                              max_size=rec_len * arg))
+                sets.append(struct.pack(">HH", tid, 4 + len(payload))
+                            + payload)
+        m = _v9_msg(*sets) if v9 else _ipfix_msg(*sets)
+        rows, got, teq = _both(m, pre)
+        assert teq
+        assert rows == got
+
+    run()
