@@ -1223,3 +1223,47 @@ def test_flownet_garbage_strings_never_abort(spark):
                 assert r.c6 == (a6 in ipaddress.IPv6Network("2001:db8::/32"))
         except ValueError:
             pass
+
+
+def test_text_primitives_property_vs_naive_reference(spark):
+    """Property: the zip_with shingle construction (O(n), built for
+    codegen) and the rolling Karp-Rabin fingerprint fold equal their
+    naive Python references on random token streams — including empty
+    tokens from repeated/trailing separators, the edge a fixed example
+    can't sweep. ASCII alphabet: ascii()/\\w semantics are
+    engine-uniform there."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(alphabet="ab1_. ", min_size=0, max_size=4).map(
+        lambda s: s.replace(" ", ""))  # no embedded separators
+    texts = st.lists(
+        st.lists(token, min_size=0, max_size=8).map(" ".join),
+        min_size=1, max_size=8)
+
+    def naive_shingles(t: str, k: int) -> list[str]:
+        toks = t.split(" ")
+        if len(toks) < k:
+            return []
+        return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+    def naive_fp(t: str, mod: int = 1_000_000_007) -> int:
+        h = 0
+        for w in t.split(" "):
+            v = len(w) * 256 + (ord(w[0]) if w else 0)
+            h = (h * 131 + v) % mod
+        return h
+
+    @given(ts=texts, k=st.integers(2, 4))
+    @settings(max_examples=25, deadline=None)
+    def check(ts, k):
+        df = spark.createDataFrame([(t,) for t in ts], ["text"])
+        got = df.select(
+            text.shingles(F.col("text"), k).alias("s"),
+            text.rolling_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+        for t, r in zip(ts, got):
+            assert r.s == naive_shingles(t, k), (t, k)
+            assert r.fp == naive_fp(t), t
+
+    check()
