@@ -1267,3 +1267,63 @@ def test_text_primitives_property_vs_naive_reference(spark):
             assert r.fp == naive_fp(t), t
 
     check()
+
+
+def test_vector_folds_bit_exact_vs_sequential_reference(spark):
+    """Property: dot/l2_norm/cosine are LEFT-TO-RIGHT folds — the module's
+    cross-engine contract is that results are bit-identical to any
+    engine folding the same doubles in the same order. Random doubles
+    (large magnitudes included: inf via overflow must match too) checked
+    bitwise against Python's sequential IEEE fold; a length mismatch
+    must yield NULL (zip_with pad), never a partial fold."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.floats(allow_nan=False, allow_infinity=False, width=64,
+                     min_value=-1e300, max_value=1e300)
+    vec = st.lists(vals, min_size=1, max_size=6)
+
+    def ref_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def ref_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    @given(a=vec, b=vec)
+    @settings(max_examples=25, deadline=None)
+    def check(a, b):
+        n = min(len(a), len(b))
+        a, b = a[:n], b[:n]
+        df = spark.createDataFrame(
+            [(a, b)], "a array<double>, b array<double>")
+        r = df.select(
+            vectors.dot(F.col("a"), F.col("b")).alias("d"),
+            vectors.l2_norm(F.col("a")).alias("na"),
+            vectors.cosine(F.col("a"), F.col("b")).alias("c"),
+        ).collect()[0]
+        eq = lambda x, y: (x is None and y is None) or (
+            math.isnan(x) and math.isnan(y)) or x == y
+        assert eq(r.d, ref_dot(a, b))
+        assert eq(r.na, ref_norm(a))
+        denom = ref_norm(a) * ref_norm(b)
+        # NULLIF guards only exact 0.0; a NaN denominator folds through
+        # to a NaN cosine on both sides
+        ref_cos = None if denom == 0.0 else ref_dot(a, b) / denom
+        assert eq(r.c, ref_cos)
+        # length mismatch -> NULL, never a partial fold
+        if len(a) >= 2:
+            df2 = spark.createDataFrame(
+                [(a, b[:-1])], "a array<double>, b array<double>")
+            assert df2.select(
+                vectors.dot(F.col("a"), F.col("b")).alias("d")
+            ).collect()[0].d is None
+
+    check()
