@@ -1327,3 +1327,59 @@ def test_vector_folds_bit_exact_vs_sequential_reference(spark):
             ).collect()[0].d is None
 
     check()
+
+
+def test_lsh_banding_and_jaccard_property_vs_reference(spark):
+    """Property: on random small corpora, (a) uncapped LSH candidate
+    pairs are EXACTLY the pairs sharing at least one band's min md5
+    slice (the banding definition, computed independently in Python),
+    and (b) jaccard_pairs returns exactly the candidate pairs whose
+    distinct-token Jaccard clears the threshold, with the exact score."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "c", "dd", "e1"])
+    texts = st.lists(
+        st.lists(token, min_size=0, max_size=8).map(" ".join),
+        min_size=2, max_size=8)
+
+    def ref_bands(t: str, k: int = 3, n_bands: int = 4):
+        toks = t.split(" ")
+        sh = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if not sh:
+            return None
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        return tuple(min(h[8 * b:8 * b + 8] for h in hs)
+                     for b in range(n_bands))
+
+    @given(ts=texts)
+    @settings(max_examples=15, deadline=None)
+    def check(ts):
+        docs = [(i, t) for i, t in enumerate(ts)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        bands = {i: ref_bands(t) for i, t in docs}
+        want_pairs = {
+            (i, j)
+            for i in bands for j in bands if i < j
+            if bands[i] is not None and bands[j] is not None
+            and any(x == y for x, y in zip(bands[i], bands[j]))
+        }
+        cands = lsh_candidate_pairs(df, max_bucket=None)
+        got_pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+        assert got_pairs == want_pairs, ts
+
+        def jac(i, j):
+            a = set(ts[i].split(" ")); b = set(ts[j].split(" "))
+            return round(len(a & b) / len(a | b), 6)
+
+        thr = 0.6
+        want_j = {(i, j): jac(i, j) for (i, j) in want_pairs
+                  if jac(i, j) >= thr}
+        got_j = {(r.id_a, r.id_b): r.jaccard
+                 for r in jaccard_pairs(df, cands, threshold=thr).collect()}
+        assert got_j == want_j, ts
+
+    check()
