@@ -18,6 +18,7 @@ restatement:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,8 +38,12 @@ def _is_stream_layout(spark: SparkSession, path: str) -> bool:
     partition tree carries the per-batch ``batch_id`` level)."""
     try:
         return "batch_id" in spark.read.parquet(path).schema.names
-    except Exception:  # path absent / not yet a table
+    except AnalysisException:  # path absent / not yet a table
         return False
+    # anything else (permissions, corrupt footer) propagates: a transiently
+    # unreadable stream-maintained table must fail build_rollup loudly, not
+    # be mistaken for "not a stream layout" and get the mixed-depth tree
+    # this guard exists to prevent
 
 
 def build_rollup(events: DataFrame, path: str, bucket: str = "1 hour") -> None:
@@ -145,7 +150,13 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
         r.groupBy("bucket", "event_type", "date")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sum_value_dec").cast("decimal(10,2)")
+            # decimal(20,2), NOT (10,2): the stream partials store
+            # sum-of-decimal(10,2) = decimal(20,2) on disk (_aggs()), and a
+            # narrower compacted file next to later stream partials makes
+            # every read fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+            # (INT64 vs FIXED_LEN_BYTE_ARRAY); the narrowing cast also
+            # aborts under ANSI once the folded total exceeds 1e8-1.
+            F.sum("sum_value_dec").cast("decimal(20,2)")
              .alias("sum_value_dec"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),

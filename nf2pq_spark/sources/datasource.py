@@ -337,10 +337,22 @@ def _cap_name_re(batch_id, partition_id=None):
     return re.compile(rf"^cap_b0*{int(batch_id)}_p0*{int(partition_id)}\.bin$")
 
 
-def _remove_matching(dirpath: str, pattern, keep: str | None = None) -> None:
+def _remove_matching(dirpath: str, pattern, keep=()) -> None:
+    if isinstance(keep, str):
+        keep = (keep,)
+    keep = set(keep)
     for f in os.listdir(dirpath):
-        if f != keep and pattern.match(f):
+        if f not in keep and pattern.match(f):
             os.remove(os.path.join(dirpath, f))
+
+
+class _CapCommitMessage(WriterCommitMessage):
+    """Carries the task's written filename back to the driver so
+    ``commit`` can sweep the batch's stale files (legacy unpadded names,
+    or padded files from a wider earlier attempt) without guessing."""
+
+    def __init__(self, fname: str | None = None):
+        self.fname = fname
 
 
 class CaptureStreamWriter(DataSourceStreamWriter):
@@ -390,10 +402,23 @@ class CaptureStreamWriter(DataSourceStreamWriter):
                              keep=fname)
             write_capture_file(os.path.join(self.path, fname),
                                encode_netflow_v5(flows))
-        return WriterCommitMessage()
+            return _CapCommitMessage(fname)
+        return _CapCommitMessage()
 
     def commit(self, messages, batchId: int) -> None:
         os.makedirs(self.path, exist_ok=True)
+        # batch-wide replay sweep (r5 advice): the per-task healing in
+        # write() only covers the task's OWN (batch, partition) slot, so a
+        # checkpointed batch replayed with FEWER partitions than the
+        # original run (e.g. across the padding upgrade, or after a
+        # repartition) would leave the higher-numbered stale files in
+        # place and double-count the batch on read. The tasks report what
+        # they wrote; everything else matching this batch's pattern —
+        # legacy unpadded or padded — is superseded and removed here,
+        # after all tasks succeeded and before the marker lands.
+        written = {m.fname for m in messages
+                   if getattr(m, "fname", None)}
+        _remove_matching(self.path, _cap_name_re(batchId), keep=written)
         with open(os.path.join(self.path, f"_committed_{batchId}"), "w") as fh:
             fh.write("ok")
 

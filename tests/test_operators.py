@@ -877,8 +877,49 @@ def test_capture_stream_writer_abort_cleans_batch(tmp_path):
     w.abort([], 1)
     left = sorted(f.name for f in d.iterdir())
     assert left == ["cap_b0000000000_p00000.bin"]
-    w.commit([], 0)
+    # commit's batch-wide sweep keeps exactly what the tasks reported:
+    # re-committing batch 0 with a message naming the surviving file
+    # leaves it; other batches are never touched
+    from nf2pq_spark.sources.datasource import _CapCommitMessage
+    w.commit([_CapCommitMessage("cap_b0000000000_p00000.bin")], 0)
     assert (d / "_committed_0").exists()
+    assert (d / "cap_b0000000000_p00000.bin").exists()
+
+
+def test_capture_stream_writer_commit_sweeps_shrunk_replay(tmp_path):
+    """r5 advice: a checkpointed batch replayed across the padding upgrade
+    with FEWER partitions than the original run leaves higher-numbered
+    legacy files that no current task's (batch, partition)-scoped healing
+    covers — commit must sweep the whole batch pattern, keeping only the
+    files the current run's tasks reported."""
+    from nf2pq_spark.sources.datasource import (CaptureStreamWriter,
+                                                _CapCommitMessage)
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    # original (pre-upgrade, 3-partition) run of batch 7
+    (d / "cap_b7_p0.bin").write_bytes(b"x")
+    (d / "cap_b7_p1.bin").write_bytes(b"x")
+    (d / "cap_b7_p2.bin").write_bytes(b"x")
+    # a stale PADDED file from a wider earlier padded attempt too
+    (d / "cap_b0000000007_p00009.bin").write_bytes(b"x")
+    # neighbor batches must survive (b70 especially: prefix collision)
+    (d / "cap_b70_p0.bin").write_bytes(b"x")
+    (d / "cap_b0000000006_p00000.bin").write_bytes(b"x")
+    # replay of batch 7 with only 2 partitions writes padded names; the
+    # per-task healing replaced p0/p1's legacy files, p2's survives
+    (d / "cap_b0000000007_p00000.bin").write_bytes(b"y")
+    (d / "cap_b0000000007_p00001.bin").write_bytes(b"y")
+    w = CaptureStreamWriter({"path": str(d)})
+    w.commit([_CapCommitMessage("cap_b0000000007_p00000.bin"),
+              _CapCommitMessage("cap_b0000000007_p00001.bin"),
+              _CapCommitMessage(None)], 7)  # an empty partition's message
+    left = sorted(f.name for f in d.iterdir())
+    assert left == ["_committed_7",
+                    "cap_b0000000006_p00000.bin",
+                    "cap_b0000000007_p00000.bin",
+                    "cap_b0000000007_p00001.bin",
+                    "cap_b70_p0.bin"]
 
 
 def test_capture_stream_writer_heals_legacy_unpadded_names(tmp_path):

@@ -316,6 +316,33 @@ def test_compact_rollup_preserves_results_and_guards_layout(spark, sf_dir):
     assert {tuple(r) for r in
             query_rollup(spark, path, "day").collect()} == before
 
+    # r5 advice (high): the documented compact-then-RESUME workflow. The
+    # resumed stream appends fresh (date, batch_id>=0) partials next to
+    # the compacted batch_id=-1 files; if compaction narrowed
+    # sum_value_dec to decimal(10,2) the table would now mix INT64 and
+    # FIXED_LEN_BYTE_ARRAY physical encodings for the same column and
+    # every read (query_rollup AND the next compact_rollup) would fail
+    # with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+    extra_src = tempfile.mkdtemp(prefix="rce_") + "/events"
+    (batch.limit(700).withColumn("value", F.col("value") * 2)
+          .write.parquet(extra_src))
+    resumed = (spark.readStream.schema(spark.read.parquet(extra_src).schema)
+               .parquet(extra_src))
+    q2 = stream_maintain_rollup(resumed, path,
+                                tempfile.mkdtemp(prefix="rcc2_"))
+    q2.awaitTermination()
+    expected_path = tempfile.mkdtemp(prefix="rcx_") + "/rollup"
+    build_rollup(batch.unionByName(spark.read.parquet(extra_src)),
+                 expected_path)
+    expected = {tuple(r) for r in
+                query_rollup(spark, expected_path, "day").collect()}
+    assert {tuple(r) for r in
+            query_rollup(spark, path, "day").collect()} == expected
+    # and the NEXT compaction folds the mixed files without error
+    compact_rollup(spark, path)
+    assert {tuple(r) for r in
+            query_rollup(spark, path, "day").collect()} == expected
+
 
 def test_parquet_rotating_sink_partitions(spark, sf_dir):
     """S3: the collector's rotated-file sink writes a date/hour-partitioned
