@@ -36,6 +36,7 @@ bit-for-bit and every query here carries a full-hash oracle.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -182,6 +183,34 @@ def l24_dsir_weights(spark, sf_dir):
 # --- l25: SemDeDup-shaped SRP semantic dedup --------------------------------
 
 _SRP_PLANES, _SRP_DIMS, _SRP_THRESHOLD = 6, 64, 0.85
+# adaptive plane count (r5 verdict): a FIXED plane count zero-recalls at
+# scale — at 200k vectors the old 6-plane default put 100% of the corpus
+# in over-cap buckets, so the guard kept cost bounded but pairing never
+# ran and semantic dedup silently found nothing. The default now derives
+# the plane count from a cheap corpus count (one distributed COUNT job,
+# O(parquet metadata + row-group stats), negligible next to the
+# signature pass): planes = clamp(ceil(log2(N / target_bucket)), 6, 32),
+# the rule SCALE_STRESS measured (12 planes at 200k → 2% exclusion,
+# exponent 0.66). target_bucket=32 keeps the EXPECTED bucket population
+# ≤32 — 6x headroom under the 200-member pairing cap absorbs the skew
+# tail. The cap of 32 planes supports N ≈ 32·2³² ≈ 1.4e11 vectors before
+# expected buckets exceed the target again. At every fixture scale
+# (500–2000 vectors) the formula floors at the historical 6, so graded
+# results and bench plans are unchanged; the oracle mirrors the formula
+# in SQL (count → LOG2 → same clamp), so the query stays hash-checkable
+# at any corpus size.
+_SRP_PLANES_CAP, _SRP_TARGET_BUCKET = 32, 32
+
+
+def _srp_adaptive_planes(n_vectors: int) -> int:
+    """planes = clamp(ceil(log2(N / target_bucket)), floor=6, cap=32).
+
+    Exact-mirrorable in SQL: N/32 is an exact double for any realistic N,
+    log2 of a power of two is exact in IEEE, and non-power-of-two log2
+    values sit far (≥~1e-4 at N≤1e11) from integers, so ceil can never
+    disagree across engines over a last-ulp libm difference."""
+    frac = max(float(n_vectors), 1.0) / _SRP_TARGET_BUCKET
+    return max(_SRP_PLANES, min(_SRP_PLANES_CAP, math.ceil(math.log2(frac))))
 # hot-bucket guard (mirrors operators.dedup.lsh_candidate_pairs): a bucket
 # with b members feeds a b² within-bucket join, so one degenerate bucket
 # (e.g. a corpus of near-identical template embeddings) can go quadratic.
@@ -207,11 +236,17 @@ def _srp_sign(p: int, i: int) -> float:
 @register(
     "l25_semdedup_srp",
     oracle=f"""
-    WITH planes AS (
+    WITH np AS (
+      SELECT GREATEST({_SRP_PLANES}, LEAST({_SRP_PLANES_CAP},
+               CAST(CEIL(LOG2(GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0)
+                               / {_SRP_TARGET_BUCKET})) AS BIGINT))) AS n
+      FROM embeddings
+    ), planes AS (
       SELECT p, i,
              CASE WHEN substr(md5(p || '_' || i), 1, 1) BETWEEN '0' AND '7'
                   THEN 1.0 ELSE -1.0 END AS s
-      FROM range({_SRP_PLANES}) tp(p), range({_SRP_DIMS}) ti(i)
+      FROM range({_SRP_PLANES_CAP}) tp(p), range({_SRP_DIMS}) ti(i), np
+      WHERE p < np.n
     ), dots AS (
       SELECT e.vec_id, p.p,
              SUM(CAST(e.embedding[CAST(p.i + 1 AS INT)] AS DOUBLE) * p.s) AS d
@@ -253,17 +288,26 @@ def _srp_sign(p: int, i: int) -> float:
     "public strings, reproduced in SQL. Scale: bucket equi-join bounds "
     "candidate pairs (no all-pairs); hot buckets above max_bucket are "
     "excluded from pairing (guard mirrored in the oracle), and the plane "
-    "count is a parameter — size it ~log2(N/target_bucket) so buckets "
-    "stay bounded as the corpus grows; signatures are one codegen'd fold "
-    "per plane, no shuffle before the bucket join.",
+    "count DEFAULTS ADAPTIVE — clamp(ceil(log2(N/32)), 6, 32) from a "
+    "cheap corpus count, mirrored in the oracle's np CTE — so expected "
+    "bucket loads stay under the cap as the corpus grows (the fixed "
+    "6-plane default zero-recalled at 200k vectors: 100% of buckets over "
+    "cap, pairing never ran); signatures are one codegen'd fold per "
+    "plane, no shuffle before the bucket join.",
     tags=("L2", "L3"),
     bench=True,
 )
-def l25_semdedup_srp(spark, sf_dir, n_planes=_SRP_PLANES,
+def l25_semdedup_srp(spark, sf_dir, n_planes=None,
                      max_bucket=_SRP_MAX_BUCKET):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
+    if n_planes is None:
+        # adaptive default (see _srp_adaptive_planes): one scalar COUNT
+        # job sizes the signature so expected bucket loads stay under the
+        # pairing cap at any corpus size — the fixed old default silently
+        # zero-recalled past ~13k vectors (every bucket over cap)
+        n_planes = _srp_adaptive_planes(e.count())
     bits = []
     for p in range(n_planes):
         signs = F.array(*[F.lit(_srp_sign(p, i)) for i in range(_SRP_DIMS)])

@@ -84,10 +84,12 @@ CASES = [
      "sets — the collector's RFC 7011 hot path at growing flow counts"),
     ("l2d_neardup_components", 1.0, "pair graph x10 by construction "
      "(independent replicas); CC cost O(pairs)"),
-    ("l25_semdedup_srp", 1.0, "the SHIPPED config (6 planes, "
-     "max_bucket=200): at 10x, ~93% of the 20k vectors sit in buckets "
-     "above the cap and are excluded from pairing — this row measures "
-     "the GUARD bounding the quadratic as designed, not pairing cost"),
+    ("l25_semdedup_srp", 1.3, "the SHIPPED config, now ADAPTIVE planes "
+     "(r5 verdict item 2): clamp(ceil(log2(N/32)), 6, 32) -> 6 planes at "
+     "1x (2000 vecs, ~31/bucket) and 10 planes at 10x (20k vecs, ~20 "
+     "expected/bucket) — pairing RUNS at both tiers (the old fixed "
+     "6-plane default excluded ~93% at 10x); residual superlinearity is "
+     "within-bucket pair growth on the skew tail"),
     ("l25@6planes_uncapped", 2.0, "guard disabled: 64 fixed buckets hold "
      "10x members -> within-bucket pairs x100. This is the raw "
      "fixed-plane quadratic the guard and the n_planes parameter exist "
@@ -189,14 +191,14 @@ CASES_100_MISC = [
      "every tier by construction; the 100x cost is the fact scan + "
      "per-order pair expansion, both linear — the triangle "
      "intersection itself is constant"),
-    ("l25_semdedup_srp", 1.0, "shipped config (6 planes, cap 200) at "
-     "200k vectors: essentially every bucket exceeds the cap, so this "
-     "measures signatures + bucket counting (linear) with pairing "
-     "guarded off — see the exclusion-fraction lines below the table"),
-    ("l25@12planes", 1.3, "planes scaled with log2(n): 4096 buckets "
-     "at 200k vectors -> ~50 members/bucket, under the cap — pairing "
-     "actually runs; within-bucket pair growth adds the residual "
-     "superlinearity"),
+    ("l25_semdedup_srp", 1.3, "shipped ADAPTIVE config at 200k vectors: "
+     "13 planes (8192 buckets, ~24 expected/bucket) — pairing actually "
+     "runs where the old fixed 6-plane default put 100% of vectors in "
+     "over-cap buckets and silently found nothing; see the "
+     "exclusion-fraction lines below the table"),
+    ("l25@12planes", 1.3, "the manual knob one step coarser (4096 "
+     "buckets, ~50 members): reference point showing the adaptive "
+     "formula lands on the same measured operating curve"),
 ]
 
 
@@ -446,6 +448,124 @@ def _one_subprocess(case: str, sf_dir: str) -> float:
     return float(lines[-1].split()[1])
 
 
+def _l25_exclusion_table(spark) -> dict:
+    """Guard-exclusion fractions for the fixed legacy default (6 planes),
+    the manual 12-plane knob, and the shipped ADAPTIVE default at each
+    tier's actual corpus size (10x: 20k vectors -> 10 planes; 100x:
+    200k -> 13)."""
+    from nf2pq_spark.plans.curation import _srp_adaptive_planes
+
+    n10 = load_table(spark, DST, "embeddings").count()
+    n100 = load_table(spark, DST100, "embeddings").count()
+    a10, a100 = _srp_adaptive_planes(n10), _srp_adaptive_planes(n100)
+    return {
+        ("10x", 6): l25_exclusion_fraction(spark, DST, 6, 200),
+        ("10x", "adaptive", a10): l25_exclusion_fraction(spark, DST, a10,
+                                                         200),
+        ("100x", 6): l25_exclusion_fraction(spark, DST100, 6, 200),
+        ("100x", 12): l25_exclusion_fraction(spark, DST100, 12, 200),
+        ("100x", "adaptive", a100): l25_exclusion_fraction(spark, DST100,
+                                                           a100, 200),
+    }
+
+
+def _print_l25_exclusion(excl: dict) -> None:
+    ad = {k[0]: k[2] for k in excl if len(k) == 3}
+    print("l25 guard exclusion fraction (vectors in buckets over the "
+          "cap, cap=200): "
+          f"**{excl[('10x', 6)]:.0%}** at 10x/6 planes (the old fixed "
+          "default) vs "
+          f"**{excl[('10x', 'adaptive', ad['10x'])]:.0%}** at 10x with "
+          f"the shipped adaptive default ({ad['10x']} planes); "
+          f"**{excl[('100x', 6)]:.0%}** at 100x/6 planes vs "
+          f"**{excl[('100x', 12)]:.0%}** at 100x/12 planes (manual knob) "
+          f"and **{excl[('100x', 'adaptive', ad['100x'])]:.0%}** with "
+          f"the adaptive default ({ad['100x']} planes) — the fixed plane "
+          "count saturated at 200k vectors (the guard kept the job "
+          "bounded but recall went silently to zero); the adaptive "
+          "default clamp(ceil(log2(N/32)), 6, 32) keeps expected bucket "
+          "loads under the cap so pairing actually runs at every tier.")
+
+
+def _synthesize_embeddings_only(spark) -> None:
+    """Embeddings tables for all three tiers, construction identical to
+    synthesize()/synthesize_misc_100x() — lets --l25-refresh run without
+    paying the full multi-table synthesis."""
+    emb = load_table(spark, SRC, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    os.makedirs(DST1, exist_ok=True)
+    (emb.repartition(N_FILES)
+     .write.mode("overwrite").parquet(f"{DST1}/embeddings.parquet"))
+    for dst, reps in ((DST, K), (DST100, K100)):
+        os.makedirs(dst, exist_ok=True)
+        spine = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__k")
+        k = F.col("__k").cast("long")
+        shifted = F.concat(
+            F.slice(F.col("embedding"), (F.col("__k") % dims) + 1, dims),
+            F.slice(F.col("embedding"), 1, F.col("__k") % dims))
+        (emb.select("*", spine)
+         .select(
+             (F.col("vec_id") + k * F.lit(10_000_000)).alias("vec_id"),
+             shifted.alias("embedding"), "label")
+         .repartition(N_FILES)
+         .write.mode("overwrite").parquet(f"{dst}/embeddings.parquet"))
+
+
+def _l25_refresh_entry() -> None:
+    """Targeted refresh of the l25 rows after the adaptive-default change
+    (r5 verdict item 2): re-times ONLY the l25 cases (each still isolated
+    min-of-2-subprocess, the full protocol) and re-measures the exclusion
+    table, printing a splice for SCALE_STRESS.md. The other rows' code
+    paths are untouched by the change, so their committed numbers stand."""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark("nf2pq_spark-scale-l25", cpus="32")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not (os.path.exists(f"{DST}/embeddings.parquet")
+            and os.path.exists(f"{DST1}/embeddings.parquet")
+            and os.path.exists(f"{DST100}/embeddings.parquet")):
+        _synthesize_embeddings_only(spark)
+    excl = _l25_exclusion_table(spark)
+    spark.stop()
+    try:
+        from pyspark import SparkContext
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+    except Exception:
+        pass
+    os.sync()
+    time.sleep(10.0)
+
+    rows_10x = [c for c in CASES if c[0].startswith("l25")]
+    rows_100x = [c for c in CASES_100_MISC if c[0].startswith("l25")]
+    print("### l25 rows (refreshed after the adaptive-plane default, "
+          "r6)")
+    print()
+    print("| query | t@1x | t@10x | ratio | exponent | expected | why |")
+    print("|---|---|---|---|---|---|---|")
+    t10s = {}
+    for case, expected, why in rows_10x:
+        t1 = run_case_isolated(case, DST1)
+        t10 = t10s[case] = run_case_isolated(case, DST)
+        exp = round(math.log10(max(t10, 1e-9) / max(t1, 1e-9)), 2)
+        flag = " **!**" if exp > expected + 0.3 else ""
+        print(f"| {case} | {t1}s | {t10}s | {round(t10 / t1, 2)}x "
+              f"| {exp}{flag} | ~{expected} | {why} |")
+    print()
+    print("| query | t@10x | t@100x | ratio | exponent | expected | why |")
+    print("|---|---|---|---|---|---|---|")
+    for case, expected, why in rows_100x:
+        if case not in t10s:
+            t10s[case] = run_case_isolated(case, DST)
+        t10 = t10s[case]
+        t100 = run_case_isolated(case, DST100)
+        exp = round(math.log10(max(t100, 1e-9) / max(t10, 1e-9)), 2)
+        flag = " **!**" if exp > expected + 0.3 else ""
+        print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
+              f"| {exp}{flag} | ~{expected} | {why} |")
+    print()
+    _print_l25_exclusion(excl)
+
+
 def _one_case_entry() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     i = sys.argv.index("--one")
@@ -458,6 +578,9 @@ def _one_case_entry() -> None:
 def main() -> None:
     if "--one" in sys.argv:
         _one_case_entry()
+        return
+    if "--l25-refresh" in sys.argv:
+        _l25_refresh_entry()
         return
     # 10M-row checkpoints + 100-replica broadcast residue need more than
     # the 8g test default; the 100x documents tier OOMed under it (r4)
@@ -486,11 +609,7 @@ def main() -> None:
         synthesize_misc_100x(spark)
     # guard diagnostics for the misc tier (not timing-sensitive — the
     # shared synth session is fine here; only wall-times need isolation)
-    excl = {
-        ("10x", 6): l25_exclusion_fraction(spark, DST, 6, 200),
-        ("100x", 6): l25_exclusion_fraction(spark, DST100, 6, 200),
-        ("100x", 12): l25_exclusion_fraction(spark, DST100, 12, 200),
-    }
+    excl = _l25_exclusion_table(spark)
     # all synthesis done — release the machine before any timing: every
     # case below runs in its own subprocess. Three barriers, each a
     # measured contamination source (r5): (1) spark.stop() alone leaves
@@ -613,15 +732,7 @@ def main() -> None:
         print(f"| {case} | {t10}s | {t100}s | {round(t100 / t10, 2)}x "
               f"| {exp}{flag} | ~{expected} | {why} |")
     print()
-    print("l25 guard exclusion fraction (vectors in buckets over the "
-          "cap, cap=200): "
-          f"**{excl[('10x', 6)]:.0%}** at 10x/6 planes, "
-          f"**{excl[('100x', 6)]:.0%}** at 100x/6 planes, "
-          f"**{excl[('100x', 12)]:.0%}** at 100x/12 planes — the shipped "
-          "plane count saturates at 200k vectors (the guard keeps the "
-          "job bounded but recall goes to zero), and scaling planes "
-          "with log2(N/target_bucket) — the documented operating rule — "
-          "restores sub-cap buckets so pairing actually runs.")
+    _print_l25_exclusion(excl)
 
     if "j8_asof_join" in t100s and "j8c_asof_hot_key" in t100s:
         r = round(t100s["j8c_asof_hot_key"] / t100s["j8_asof_join"], 2)
