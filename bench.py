@@ -42,6 +42,36 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def _spot_entry() -> None:
+    """``bench.py --one <name> <sf_dir>``: time one query in a FRESH
+    session (warmup + min-of-2, the scale_stress --one protocol) and
+    print ``RESULT <sec>``. Used by the isolated spot pass below."""
+    i = sys.argv.index("--one")
+    name, sf_dir = sys.argv[i + 1], sys.argv[i + 2]
+    spark = get_spark("nf2pq_spark-bench-spot",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    run_query(spark, name, sf_dir)  # warmup: JIT, listings, synth inputs
+    t = min(run_query(spark, name, sf_dir), run_query(spark, name, sf_dir))
+    print(f"RESULT {round(t, 3)}")
+
+
+def _spot_isolated(name: str, sf_dir: str) -> float | None:
+    """One subprocess invocation of --one; None if it failed (the spot
+    row is diagnostic — a failure must not sink the bench run)."""
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir],
+        capture_output=True, text=True, timeout=600)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
+    if p.returncode != 0 or not lines:
+        print(f"spot run failed for {name}: {p.stderr[-500:]}",
+              file=sys.stderr)
+        return None
+    return float(lines[-1].split()[1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -94,6 +124,32 @@ def main() -> None:
         t1, t2 = run_query(spark, name, sf_dir), run_query(spark, name, sf_dir)
         timings[name] = round(min(timings[name], t1, t2), 3)
 
+    # Isolated-session spot rows (r5 verdict item 5): the shared-session
+    # numbers above stay the round-over-round comparable series, but
+    # their ≥1s tail moves with same-day ambient load (r4→r5: every
+    # query uniformly 1.01-1.50x on identical plans, adjudicated machine
+    # condition). Each ≥1s query is re-timed in its OWN subprocess
+    # session (fresh JVM, warmup + min-of-2 — the scale_stress --one
+    # protocol), so BENCH_r*.json carries a load-independent reference
+    # for exactly the queries whose drift has needed adjudication. The
+    # shared session is torn down first: its background cleanup is the
+    # measured contamination source, and the spot JVMs must not inherit
+    # a machine still draining it.
+    spot: dict[str, float] = {}
+    if slow:
+        spark.stop()
+        try:
+            from pyspark import SparkContext
+            if SparkContext._gateway is not None:
+                SparkContext._gateway.shutdown()
+        except Exception:
+            pass
+        time.sleep(3.0)
+        for name in sorted(slow):
+            t = _spot_isolated(name, sf_dir)
+            if t is not None:
+                spot[name] = t
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -105,6 +161,8 @@ def main() -> None:
     }
     if firstpass_slow:
         out["queries_inorder_gt1s"] = firstpass_slow
+    if spot:
+        out["queries_isolated_gt1s"] = spot
     # skew resilience: the 80/20 hot-key as-of (bucketed operator) vs the
     # uniform-key as-of. The segmented scan's STRUCTURAL cost is ~2x the
     # uniform baseline (one extra column-pruned pass for the bucket
@@ -138,4 +196,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--one" in sys.argv:
+        _spot_entry()
+    else:
+        main()
