@@ -61,6 +61,15 @@ def _list_capture_files(path: str) -> list[str]:
         for f in sorted(names):
             if not f.endswith(".bin"):
                 continue
+            # Spark's file sources treat '.'/'_'-prefixed names as
+            # hidden/metadata and never read them; this reader must match
+            # (hostile-input differential, r6): a foreign dot-prefixed
+            # temp — the atomic-write convention of most writers,
+            # including our own write_capture_file — is a HALF-WRITTEN
+            # file, and reading it mid-write is exactly the partial-read
+            # hazard the convention exists to prevent.
+            if f.startswith((".", "_")):
+                continue
             if f.startswith("cap_w_"):
                 job_id = f[len("cap_w_"):-len(".bin")].rsplit("_", 1)[0]
                 if job_id not in committed:

@@ -483,3 +483,96 @@ def test_scalar_vectorized_differential_multiset_property():
         assert rows == got
 
     run()
+
+
+def test_capture_read_paths_hostile_differential(spark, tmp_path):
+    """r5 verdict item 6: the nfcapture DataSource and the binaryFile
+    two-phase path are equality-tested on clean fixtures — this drives
+    BOTH through a hostile capture DIRECTORY and requires identical
+    surviving rows. Crafted cases: truncated trailing record (length
+    header past EOF), garbage length framing (0-length entries + 0xFFFF
+    FFFF), an empty file, a raw magic-less datagram, a corrupt datagram
+    FOLLOWED by a valid one (per-datagram recovery, not per-file), the
+    legacy/padded mixed stream-sink names, and hidden/underscore-prefixed
+    files (Spark's file sources never read those; the DataSource listing
+    must match — it originally didn't, reading a foreign dot-prefixed
+    half-written temp is the exact partial-read hazard the atomic-write
+    convention prevents)."""
+    import os
+
+    from nf2pq_spark.sources.datasource import register_capture_source
+    from nf2pq_spark.sources.ipfix import (_CAPTURE_MAGIC, encode_netflow_v5,
+                                           encode_netflow_v9,
+                                           read_flow_files,
+                                           write_capture_file)
+
+    d = str(tmp_path / "caps")
+    os.makedirs(d)
+
+    def flows(base, n=3):
+        return [{"sa_int": base + i, "da_int": 99, "sp": i, "dp": 443,
+                 "pr": 6, "flg": 16, "ipkt": 1, "ibyt": 10,
+                 "ts_ms": 1_000_000 + base + i, "te_ms": 1_000_500 + base + i,
+                 "sas": 1, "das": 2} for i in range(n)]
+
+    # clean baselines: v5 and v9 (template re-announced per datagram, so
+    # the per-file and cross-file template harvests see the same sets)
+    write_capture_file(f"{d}/cap_v5.bin", encode_netflow_v5(flows(10)))
+    write_capture_file(f"{d}/cap_v9.bin",
+                       encode_netflow_v9(flows(50, 4), per_packet=2,
+                                         template_every=1))
+    # truncated trailing record: valid datagram, then a length header
+    # claiming 1000 bytes with 7 present — the short tail must be dropped
+    # without losing the valid datagram before it
+    good = encode_netflow_v5(flows(100))[0]
+    with open(f"{d}/cap_trunc.bin", "wb") as fh:
+        fh.write(_CAPTURE_MAGIC + struct.pack(">I", len(good)) + good
+                 + struct.pack(">I", 1000) + b"partial")
+    # garbage framing: zero-length entries then an absurd length whose
+    # clamped slice is version-garbage
+    with open(f"{d}/cap_garbage.bin", "wb") as fh:
+        fh.write(_CAPTURE_MAGIC + struct.pack(">I", 0) * 3
+                 + b"\xff\xff\xff\xff" + b"\x00\x07junkjunk")
+    # empty file / raw magic-less single datagram
+    open(f"{d}/cap_empty.bin", "wb").close()
+    with open(f"{d}/cap_raw.bin", "wb") as fh:
+        fh.write(encode_netflow_v5(flows(200))[0])
+    # corrupt datagram then a valid one INSIDE one file: recovery must be
+    # per-datagram on both paths
+    with open(f"{d}/cap_mixed.bin", "wb") as fh:
+        bad = b"\x00\x05" + b"\x01" * 10  # v5 header truncated mid-struct
+        ok2 = encode_netflow_v5(flows(300))[0]
+        fh.write(_CAPTURE_MAGIC + struct.pack(">I", len(bad)) + bad
+                 + struct.pack(">I", len(ok2)) + ok2)
+    # the stream sink's legacy/padded name mix (both are data: read-side
+    # equality; the WRITER's commit sweep is what prevents the mix)
+    write_capture_file(f"{d}/cap_b7_p0.bin", encode_netflow_v5(flows(400)))
+    write_capture_file(f"{d}/cap_b0000000007_p00000.bin",
+                       encode_netflow_v5(flows(500)))
+    # hidden / metadata names: INVISIBLE to Spark file sources, so the
+    # DataSource must skip them too — these carry valid decodable flows
+    # so a listing divergence cannot hide
+    write_capture_file(f"{d}/.hidden.bin", encode_netflow_v5(flows(600)))
+    write_capture_file(f"{d}/_sidecar.bin", encode_netflow_v5(flows(700)))
+    with open(f"{d}/_committed_x", "w") as fh:
+        fh.write("ok")
+
+    register_capture_source(spark)
+    cols = [c for c in
+            spark.read.format("nfcapture").load(d).columns
+            if c != "exporter"]  # exporter: file:/-URI vs plain path
+    via_ds = sorted(map(tuple,
+                        spark.read.format("nfcapture").load(d)
+                        .select(cols).collect()))
+    via_bf = sorted(map(tuple,
+                        read_flow_files(spark, d).select(cols).collect()))
+    assert via_ds == via_bf
+    # and the hostile files changed nothing they shouldn't: every
+    # surviving row comes from a well-formed datagram
+    sps = {r[cols.index("sp")] for r in via_ds}
+    assert sps == {0, 1, 2, 3}
+    sas = sorted({r[cols.index("sa")] for r in via_ds})
+    # bases 10,50,100,200,300,400,500 present; 600 (hidden), 700
+    # (sidecar) absent on BOTH paths
+    assert "0.0.2.88" not in sas and "0.0.2.188" not in sas
+    assert len(via_ds) == 3 + 4 + 3 + 3 + 3 + 3 + 3
