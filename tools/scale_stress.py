@@ -182,10 +182,10 @@ CASES_100_DOCS = [
 #: construction repeats the SAME part co-purchases under shifted order
 #: keys, so the aggregated pair graph stays constant while the fact
 #: scan and per-order pair expansion scale 100x (cost should go linear,
-#: like the fact-agg claim says); l25's shipped config measures the
-#: hot-bucket guard at saturated loads, and the @12planes row shows the
-#: documented mitigation (planes ~ log2(N/target_bucket)) restoring
-#: realistic bucket loads at 200k vectors.
+#: like the fact-agg claim says); l25's shipped ADAPTIVE config (r6)
+#: lands at 13 planes for 200k vectors so pairing runs, and the
+#: @12planes row keeps the manual knob as a reference point on the same
+#: measured operating curve.
 CASES_100_MISC = [
     ("g3_triangle_count", 1.0, "same aggregated part-pair graph at "
      "every tier by construction; the 100x cost is the fact scan + "
@@ -716,9 +716,11 @@ def main() -> None:
           "so the AGGREGATED pair graph is constant across tiers — a "
           "~1.0 exponent means cost tracks the linear fact work and the "
           "triangle intersection really is O(aggregated E), independent "
-          "of corpus size. l25's rows measure the hot-bucket guard at "
-          "saturated loads (shipped 6 planes) vs log2(n)-scaled planes "
-          "(12) that restore realistic bucket loads.")
+          "of corpus size. l25's rows measure the shipped ADAPTIVE "
+          "config (13 planes at 200k vectors, pairing live) against the "
+          "12-plane manual knob; the old fixed 6-plane default "
+          "saturated here (100% exclusion, silent zero recall) — "
+          "exactly what the adaptive default removes.")
     print()
     print("| query | t@10x | t@100x | ratio | exponent | expected | why |")
     print("|---|---|---|---|---|---|---|")
