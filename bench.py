@@ -145,7 +145,15 @@ def main() -> None:
         except Exception:
             pass
         time.sleep(3.0)
+        # hard budget: the spot pass is diagnostic — if the machine is
+        # slow enough that fresh-JVM runs crawl, truncating the spot set
+        # beats risking the whole bench run against a driver timeout
+        spot_deadline = time.monotonic() + 300.0
         for name in sorted(slow):
+            if time.monotonic() > spot_deadline:
+                print(f"spot budget exhausted; skipping {name}",
+                      file=sys.stderr)
+                continue
             t = _spot_isolated(name, sf_dir)
             if t is not None:
                 spot[name] = t
