@@ -18,6 +18,8 @@ restatement:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,16 +137,30 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     partition so the stream can keep appending fresh batch partitions to
     the same tree afterwards.
 
-    The rewrite is WHOLE-TABLE static overwrite on purpose: a dynamic
+    The rewrite replaces the WHOLE table on purpose: a dynamic
     (per-partition) overwrite writing only ``batch_id=-1`` rows would
     leave the superseded ``(date, batch_id=N)`` partials in place and
     every later read would double-count them. The rollup is tiny by
-    design (aggregates, not raw data), so a full rewrite is cheap; the
-    eager ``localCheckpoint`` materializes the collapsed rows before the
-    overwrite deletes their source files. Run only while the maintaining
-    stream is stopped at a committed checkpoint — compacting mid-stream
-    races the sink, and a replayed batch re-adds rows the compaction
-    already folded in."""
+    design (aggregates, not raw data), so a full rewrite is cheap.
+
+    Crash-safe via a sibling-dir swap, never an in-place overwrite: a
+    ``mode("overwrite")`` of ``path`` deletes the existing files at JOB
+    START, so a failure anywhere in the (arbitrarily long) write job
+    would destroy the only on-disk copy of the table — the folded rows'
+    sole other home being session memory. Instead the collapsed table is
+    fully written to ``<path>__compact_tmp`` while the source files
+    remain intact, and only then swapped in (rmtree + atomic same-fs
+    rename). A crash during the write leaves the table untouched plus an
+    orphan tmp (removed by the next compaction); the destructive window
+    shrinks from the whole job to the final rmtree+rename. Run only
+    while the maintaining stream is stopped at a committed checkpoint —
+    compacting mid-stream races the sink, and a replayed batch re-adds
+    rows the compaction already folded in."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # orphan from a crashed prior compaction
     r = spark.read.parquet(path)
     collapsed = (
         r.groupBy("bucket", "event_type", "date")
@@ -164,16 +180,11 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
         .withColumn("batch_id", F.lit(-1))
         .select("bucket", "event_type", "n", "sum_value_dec",
                 "min_value", "max_value", "date", "batch_id")
-        .localCheckpoint(eager=True)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        (collapsed.repartition("date")
-                  .write.mode("overwrite").partitionBy("date", "batch_id")
-                  .parquet(path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (collapsed.repartition("date")
+              .write.partitionBy("date", "batch_id").parquet(tmp))
+    shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def query_rollup(spark: SparkSession, path: str, grain: str = "day") -> DataFrame:

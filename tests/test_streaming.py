@@ -304,7 +304,16 @@ def test_compact_rollup_preserves_results_and_guards_layout(spark, sf_dir):
     with pytest.raises(ValueError, match="compact_rollup"):
         build_rollup(batch, path)
 
+    # a crashed prior compaction's orphan tmp must be cleaned up, not
+    # break the swap (crash-safe protocol: write to sibling tmp while the
+    # source files stay intact, then rmtree+rename — never an in-place
+    # overwrite whose job-start delete destroys the only on-disk copy)
+    orphan = path.rstrip("/") + "__compact_tmp"
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("x")
     compact_rollup(spark, path)
+    assert not os.path.exists(orphan)  # swap completed, no tmp left
     after = {tuple(r) for r in query_rollup(spark, path, "day").collect()}
     assert after == before
     batches_after = set(
