@@ -204,6 +204,49 @@ def test_l25_adaptive_default_pairs_past_old_saturation(spark, tmp_path):
     assert dropped >= 0.7 * n_dirs, dropped
 
 
+def test_l25_oracle_parity_at_nonfloor_plane_count(spark, tmp_path):
+    """Every driver grade runs at sf0.01 (500 vectors), where the
+    adaptive rule FLOORS at 6 planes — so the formula mirror between the
+    Spark count and the oracle's np CTE is never exercised off the floor
+    by the correctness gate. This pins cross-engine parity at a corpus
+    size where the rule actually engages (4000 vectors -> 7 planes):
+    same rows, cell-exact, via the suite's driver-mirror comparator."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nf2pq_spark import plans
+    from nf2pq_spark.plans.curation import _srp_adaptive_planes
+    from tests.test_correctness import assert_frames_match
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    vecs = rng.standard_normal((n, _SRP_DIMS))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # plant some near-dups so drops are non-trivial at the 0.85 bar
+    vecs[1::10] = vecs[::10][: len(vecs[1::10])] + 0.01 * rng.standard_normal(
+        (len(vecs[1::10]), _SRP_DIMS))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.astype("float32") for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+    })
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    assert _srp_adaptive_planes(n) == 7  # off the floor, rule engaged
+
+    spec = plans.REGISTRY["l25_semdedup_srp"]
+    spark_pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    duck_pdf = con.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, "l25@7planes")
+    # non-vacuous: the planted near-dups actually dropped
+    assert spark_pdf["n_dropped"].sum() > 0
+
+
 def test_j17_first_common_bucket_counts_each_pair_once(spark):
     """Property: the time-bucket-blocked overlap join with
     first-common-bucket emission (no dedup shuffle) produces exactly the
