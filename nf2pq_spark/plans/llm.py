@@ -106,11 +106,20 @@ def l2_minhash_bands(spark, sf_dir):
              list_min(list_transform(h, x -> substr(x, 17, 8))) AS b2,
              list_min(list_transform(h, x -> substr(x, 25, 8))) AS b3
       FROM sh WHERE len(h) > 0
+    ), bexp AS (
+      SELECT doc_id, 0 AS band, b0 AS h FROM bands
+      UNION ALL SELECT doc_id, 1 AS band, b1 AS h FROM bands
+      UNION ALL SELECT doc_id, 2 AS band, b2 AS h FROM bands
+      UNION ALL SELECT doc_id, 3 AS band, b3 AS h FROM bands
+    ), bok AS (
+      SELECT doc_id, band, h FROM (
+        SELECT doc_id, band, h,
+               COUNT(*) OVER (PARTITION BY band, h) AS bn FROM bexp)
+      WHERE bn <= 1000
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-       AND a.doc_id < b.doc_id
+      FROM bok a JOIN bok b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
     ), tt AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
       FROM documents
@@ -127,10 +136,11 @@ def l2_minhash_bands(spark, sf_dir):
     description="near-dup pairs via MinHash LSH + exact Jaccard >= 0.5 (L2). "
     "Was rows-only in r1; the md5 banding (4 x 8-hex slices) and the "
     "Jaccard verify are both deterministic, so the full two-stage pipeline "
-    "now carries a hash oracle (the hot-bucket cap never triggers on the "
-    "fixture - peak bucket ~21 docs vs cap 1000 - so candidates are exact; "
-    "the filter compares the ROUNDED jaccard on both sides, matching the "
-    "Spark column).",
+    "now carries a hash oracle. The hot-bucket cap (1000) is MIRRORED in "
+    "the oracle's windowed band-population filter (r6 — the l25 "
+    "standard), so both engines agree on ANY corpus, not just fixtures "
+    "whose buckets stay under cap; the filter compares the ROUNDED "
+    "jaccard on both sides, matching the Spark column.",
     tags=("L2",),
 )
 def l2b_neardup_pairs(spark, sf_dir):
@@ -222,10 +232,19 @@ def l2f_simhash_gate(spark, sf_dir):
              list_min(list_transform(h, x -> substr(x, 1, 8))) AS b0,
              list_min(list_transform(h, x -> substr(x, 9, 8))) AS b1
       FROM sh
+    ), bexp AS (
+      SELECT doc_id, 0 AS band, b0 AS h FROM bands WHERE b0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 1 AS band, b1 AS h FROM bands WHERE b1 IS NOT NULL
+    ), bok AS (
+      SELECT doc_id, band, h FROM (
+        SELECT doc_id, band, h,
+               COUNT(*) OVER (PARTITION BY band, h) AS bn FROM bexp)
+      WHERE bn <= 1000
     ), pairs AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM bands a JOIN bands b
-        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bok a JOIN bok b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
     ), edges AS (
       SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
     ), walk(n, l) AS (
@@ -241,8 +260,10 @@ def l2f_simhash_gate(spark, sf_dir):
     "connected components via min-label propagation "
     "(operators.dedup.connected_components) — dedup keeps one doc per "
     "TRANSITIVE cluster, not per pair. Oracle recomputes the same graph "
-    "with a recursive CTE; singleton docs (no candidate edge) are not "
-    "clusters and don't appear",
+    "with a recursive CTE, INCLUDING the hot-bucket cap as a windowed "
+    "band-population filter (r6 — mirrored like l25's guard, so both "
+    "engines agree even on a boilerplate-heavy corpus); singleton docs "
+    "(no candidate edge) are not clusters and don't appear",
     tags=("L2",),
     bench=True,
 )
@@ -275,10 +296,19 @@ def l2d_neardup_components(spark, sf_dir):
              list_min(list_transform(h, x -> substr(x, 1, 8))) AS b0,
              list_min(list_transform(h, x -> substr(x, 9, 8))) AS b1
       FROM sh
+    ), bexp AS (
+      SELECT doc_id, 0 AS band, b0 AS h FROM bands WHERE b0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 1 AS band, b1 AS h FROM bands WHERE b1 IS NOT NULL
+    ), bok AS (
+      SELECT doc_id, band, h FROM (
+        SELECT doc_id, band, h,
+               COUNT(*) OVER (PARTITION BY band, h) AS bn FROM bexp)
+      WHERE bn <= 1000
     ), pairs AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM bands a JOIN bands b
-        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bok a JOIN bok b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
     ), edges AS (
       SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
     ), walk(n, l) AS (
@@ -296,7 +326,8 @@ def l2d_neardup_components(spark, sf_dir):
     description="end-to-end near-dup dedup (L2): LSH pairs -> connected "
     "components -> keep the min-id doc per cluster, anti-join the rest "
     "out of the corpus — the actual training-data dedup deliverable "
-    "(singletons survive untouched)",
+    "(singletons survive untouched; hot-bucket cap mirrored in the "
+    "oracle r6, like l25's guard)",
     tags=("L2", "J4"),
 )
 def l2e_neardup_dedup_keep(spark, sf_dir):

@@ -327,6 +327,55 @@ def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
     assert lsh_candidate_pairs(small, n_bands=1, max_bucket=10).count() == 0
 
 
+def test_l2d_oracle_parity_with_cap_engaged(spark, tmp_path):
+    """r6: the hot-bucket cap is now MIRRORED in the l2b/l2d/l2e oracles
+    (the l25 standard) — before, a corpus with a >1000-member band
+    bucket made Spark drop the bucket's candidates while the oracle's
+    recursive CTE kept them, a latent hash divergence the graded
+    fixtures (peak bucket ~21) could never expose. Cross-engine parity
+    with the guard actually ENGAGED: 1100 identical boilerplate docs
+    (one giant bucket in BOTH bands, over cap on both engines) plus a
+    planted near-dup cluster that must still pair."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nf2pq_spark import plans
+    from tests.test_correctness import assert_frames_match
+
+    boiler = ("all rights reserved this page uses cookies accept to "
+              "continue now")
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again today")
+    rows = [(i, boiler, "en", "web", len(boiler)) for i in range(1100)]
+    rows += [(2001, base, "en", "web", len(base)),
+             (2002, base.replace("today", "tomorrow"), "en", "web", 60),
+             (3001, "completely different words in this document about "
+                    "spark engines ok", "en", "web", 60)]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    for name in ("l2d_neardup_components", "l2e_neardup_dedup_keep"):
+        spec = plans.REGISTRY[name]
+        spark_pdf = spec.fn(spark, str(tmp_path)).toPandas()
+        duck_pdf = con.execute(spec.oracle).fetchdf()
+        assert_frames_match(spark_pdf, duck_pdf, f"{name}@cap-engaged")
+    # non-vacuous on both sides: the planted pair formed a component
+    # (the boilerplate blob did NOT — its bucket is over cap)
+    comp = plans.REGISTRY["l2d_neardup_components"].fn(
+        spark, str(tmp_path)).collect()
+    assert {(r.component, r.n_docs) for r in comp} == {(2001, 2)}
+
+
 def test_brute_force_topk_known_vectors(spark):
     qs = spark.createDataFrame([(0, [1.0, 0.0])], ["q_id", "qv"])
     cs = spark.createDataFrame(
