@@ -56,14 +56,21 @@ def _spot_entry() -> None:
     print(f"RESULT {round(t, 3)}")
 
 
-def _spot_isolated(name: str, sf_dir: str) -> float | None:
-    """One subprocess invocation of --one; None if it failed (the spot
-    row is diagnostic — a failure must not sink the bench run)."""
+def _spot_isolated(name: str, sf_dir: str,
+                   timeout_sec: float = 600.0) -> float | None:
+    """One subprocess invocation of --one; None if it failed OR timed out
+    (the spot row is diagnostic — a failure must not sink the bench run,
+    so TimeoutExpired is caught, not propagated)."""
     import subprocess
 
-    p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir],
-        capture_output=True, text=True, timeout=600)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir],
+            capture_output=True, text=True, timeout=max(timeout_sec, 30.0))
+    except subprocess.TimeoutExpired:
+        print(f"spot run timed out for {name} after {timeout_sec:.0f}s",
+              file=sys.stderr)
+        return None
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
     if p.returncode != 0 or not lines:
         print(f"spot run failed for {name}: {p.stderr[-500:]}",
@@ -150,11 +157,14 @@ def main() -> None:
         # beats risking the whole bench run against a driver timeout
         spot_deadline = time.monotonic() + 300.0
         for name in sorted(slow):
-            if time.monotonic() > spot_deadline:
+            remaining = spot_deadline - time.monotonic()
+            if remaining <= 0:
                 print(f"spot budget exhausted; skipping {name}",
                       file=sys.stderr)
                 continue
-            t = _spot_isolated(name, sf_dir)
+            # per-run timeout tracks the remaining budget (with a floor so
+            # a JVM that is ABOUT to finish isn't killed pointlessly)
+            t = _spot_isolated(name, sf_dir, timeout_sec=remaining)
             if t is not None:
                 spot[name] = t
 

@@ -151,16 +151,30 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     fully written to ``<path>__compact_tmp`` while the source files
     remain intact, and only then swapped in (rmtree + atomic same-fs
     rename). A crash during the write leaves the table untouched plus an
-    orphan tmp (removed by the next compaction); the destructive window
-    shrinks from the whole job to the final rmtree+rename. Run only
-    while the maintaining stream is stopped at a committed checkpoint —
-    compacting mid-stream races the sink, and a replayed batch re-adds
-    rows the compaction already folded in."""
+    orphan tmp; a crash INSIDE the swap (after ``rmtree(path)``, before
+    ``rename``) leaves the tmp as the only complete copy — so recovery
+    on entry disambiguates by whether ``path`` still exists: present →
+    the tmp is a partial-write orphan, delete it; absent → the tmp is a
+    finished write whose swap was interrupted, rename it into place and
+    treat that as the completed compaction. Either way the destructive
+    window never orphans the sole surviving copy. Run only while the
+    maintaining stream is stopped at a committed checkpoint — compacting
+    mid-stream races the sink, and a replayed batch re-adds rows the
+    compaction already folded in."""
     import shutil
 
     tmp = path.rstrip("/") + "__compact_tmp"
     if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # orphan from a crashed prior compaction
+        if not os.path.exists(path):
+            # Crashed between rmtree(path) and rename: the tmp holds the
+            # ONLY complete copy (the write job finished before the swap
+            # started). Finish the interrupted swap instead of deleting
+            # it, then fall through and compact normally — the resumed
+            # table may itself be an earlier compaction's output, which
+            # re-compacts to the identical rows (idempotent fold).
+            os.rename(tmp, path)
+        else:
+            shutil.rmtree(tmp)  # partial-write orphan; table is intact
     r = spark.read.parquet(path)
     collapsed = (
         r.groupBy("bucket", "event_type", "date")

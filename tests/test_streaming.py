@@ -353,6 +353,51 @@ def test_compact_rollup_preserves_results_and_guards_layout(spark, sf_dir):
             query_rollup(spark, path, "day").collect()} == expected
 
 
+def test_compact_rollup_resumes_interrupted_swap(spark, sf_dir):
+    """r6 verdict #1: a crash INSIDE compact_rollup's swap window — after
+    ``rmtree(path)``, before ``rename(tmp, path)`` — leaves the tmp dir as
+    the ONLY complete copy of the table. The old recovery unconditionally
+    rmtree'd the tmp ("orphan") and then failed reading the missing path,
+    i.e. deleted the sole surviving copy. Recovery must instead finish the
+    interrupted rename and produce the correct table."""
+    from nf2pq_spark.operators.rollup import (build_rollup, compact_rollup,
+                                              query_rollup)
+    from nf2pq_spark.plans.streaming_q import _chunked_events_dir
+
+    src = _chunked_events_dir(spark, sf_dir, n_chunks=3)
+    batch = (spark.read.parquet(src).drop("chunk")
+             .withColumn("event_type", F.lit("x")))
+    path = tempfile.mkdtemp(prefix="rcr_") + "/rollup"
+    build_rollup(batch, path)
+    expected = {tuple(r) for r in query_rollup(spark, path, "day").collect()}
+
+    # Simulate the exact crash state: the write job completed into tmp,
+    # rmtree(path) ran, the process died before rename. Renaming the live
+    # table to the tmp name reproduces it bit-for-bit (tmp = a complete,
+    # readable table; path = gone).
+    tmp = path.rstrip("/") + "__compact_tmp"
+    os.rename(path, tmp)
+    assert not os.path.exists(path)
+
+    compact_rollup(spark, path)  # must resume the swap, not delete tmp
+    assert os.path.exists(path) and not os.path.exists(tmp)
+    got = {tuple(r) for r in query_rollup(spark, path, "day").collect()}
+    assert got == expected
+    batches = set(spark.read.parquet(path).select("batch_id").distinct()
+                  .toPandas()["batch_id"])
+    assert batches == {-1}
+
+    # The OTHER crash shape is unchanged: tmp present AND path present
+    # (write-phase orphan) still gets cleaned up, table untouched.
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "junk"), "w") as fh:
+        fh.write("x")
+    compact_rollup(spark, path)
+    assert not os.path.exists(tmp)
+    assert {tuple(r) for r in
+            query_rollup(spark, path, "day").collect()} == expected
+
+
 def test_parquet_rotating_sink_partitions(spark, sf_dir):
     """S3: the collector's rotated-file sink writes a date/hour-partitioned
     layout that time-range queries can prune."""
