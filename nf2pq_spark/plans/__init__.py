@@ -84,42 +84,53 @@ def _row_passed(row) -> bool:
     return err == "no_oracle" and row.get("spark_rows") is not None
 
 
-def _graded_names(min_round: int = 0) -> frozenset[str]:
-    """Names with a PASSING driver correctness row in any committed
-    round file (see _row_passed for what counts as passing). With
-    ``min_round``, only rounds >= it count — used to decide whether a
-    stale row has been refreshed yet (see _REGRADE_TAIL)."""
+def _grade_rounds() -> dict[str, int]:
+    """Name -> LATEST round with a PASSING driver correctness row (see
+    _row_passed for what counts as passing), read from the committed
+    CORRECTNESS_r*.json files. The round number doubles as a freshness
+    stamp: once every query has been graded at least once, the rotation
+    cycles oldest-round-first so r1-era evidence (on code many rounds of
+    fixes have since touched) refreshes before anything re-grades twice
+    (r6 verdict item 2)."""
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    names: set[str] = set()
+    rounds: dict[str, int] = {}
     try:
         entries = sorted(os.listdir(root))
     except OSError:
-        return frozenset()
+        return rounds
     for fn in entries:
-        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
-            if min_round:
-                m = re.match(r"CORRECTNESS_r(\d+)\.json$", fn)
-                if not m or int(m.group(1)) < min_round:
-                    continue
-            try:
-                with open(os.path.join(root, fn)) as f:
-                    data = json.load(f)
-                if isinstance(data, dict):
-                    names |= {n for n, row in data.items()
-                              if _row_passed(row)}
-                else:
-                    names |= set(data)
-            except (OSError, ValueError, TypeError):
-                # a malformed or unexpectedly-shaped grade file (e.g. a
-                # list of result objects) must degrade the rotation, not
-                # brick every import of the package
-                continue
-    return frozenset(names)
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(root, fn)) as f:
+                data = json.load(f)
+            if isinstance(data, dict):
+                passed = [n for n, row in data.items() if _row_passed(row)]
+            else:
+                passed = list(data)
+        except (OSError, ValueError, TypeError):
+            # a malformed or unexpectedly-shaped grade file (e.g. a
+            # list of result objects) must degrade the rotation, not
+            # brick every import of the package
+            continue
+        for n in passed:
+            rounds[n] = max(rounds.get(n, 0), rnd)
+    return rounds
+
+
+def _graded_names(min_round: int = 0) -> frozenset[str]:
+    """Names with a PASSING driver correctness row in any committed
+    round file >= ``min_round`` — used to decide whether a stale row has
+    been refreshed yet (see _REGRADE_TAIL)."""
+    return frozenset(n for n, r in _grade_rounds().items()
+                     if r >= min_round)
 
 
 #: Evidence-refresh tail (r4 verdict item 5): these rows-only queries
@@ -135,11 +146,17 @@ _REGRADE_MIN_ROUND = 5
 
 def compute_prefix(graded: frozenset[str] | set[str],
                    size: int = 50,
-                   regrade: tuple[str, ...] = ()) -> tuple[str, ...]:
+                   regrade: tuple[str, ...] = (),
+                   grade_rounds: dict[str, int] | None = None,
+                   ) -> tuple[str, ...]:
     """Canaries + (size-5) rotation slots filled with never-graded
     queries: priority seed first, then remaining oracle-backed in
-    registry order, rows-only last; graded queries cycle back in
-    registry order once the never-graded pool runs dry. ``regrade``
+    registry order, rows-only last; graded queries cycle back once the
+    never-graded pool runs dry — OLDEST passing grade first when
+    ``grade_rounds`` (name -> latest passing round) is supplied, so the
+    evidence refreshes where it is stalest instead of re-grading the
+    registry head forever (r6 verdict item 2); registry order otherwise
+    (synthetic grade sets in tests carry no round numbers). ``regrade``
     names (already graded, evidence stale) are pinned to the tail."""
     regrade = tuple(n for n in regrade
                     if n in REGISTRY and n not in CANARIES)
@@ -157,7 +174,13 @@ def compute_prefix(graded: frozenset[str] | set[str],
     pool = take([n for n in _ROTATION_PRIORITY if n not in graded])
     pool += take([n for n in ungraded if REGISTRY[n].oracle])
     pool += take(ungraded)                       # rows-only stragglers
-    pool += take(list(REGISTRY))                 # everything graded: cycle
+    # everything graded: cycle, stalest-first (stable: registry order
+    # breaks ties within a round)
+    cycle = list(REGISTRY)
+    if grade_rounds:
+        idx = {n: i for i, n in enumerate(cycle)}
+        cycle.sort(key=lambda n: (grade_rounds.get(n, 0), idx[n]))
+    pool += take(cycle)
     body = pool[:max(0, size - len(CANARIES) - len(regrade))]
     return tuple((*CANARIES, *body, *regrade))[:size]
 
@@ -167,8 +190,11 @@ REGRADE_TAIL_ACTIVE: tuple[str, ...] = tuple(
     n for n in _REGRADE_TAIL
     if n not in _graded_names(min_round=_REGRADE_MIN_ROUND))
 
+_GRADE_ROUNDS: dict[str, int] = _grade_rounds()
+
 CURATED_PREFIX: tuple[str, ...] = compute_prefix(
-    _graded_names(), regrade=REGRADE_TAIL_ACTIVE)
+    frozenset(_GRADE_ROUNDS), regrade=REGRADE_TAIL_ACTIVE,
+    grade_rounds=_GRADE_ROUNDS)
 
 
 def _reorder_registry() -> None:

@@ -124,6 +124,42 @@ def test_failed_rows_are_not_graded():
     assert _row_passed("not-a-dict")
 
 
+def test_all_graded_cycle_refreshes_stalest_first():
+    """r6 verdict item 2: once every query has a passing grade, the
+    rotation must fill the cycle slots oldest-passing-round-first (the
+    naive registry-order refill would re-grade the registry head forever
+    while r1-era grades — on code many rounds of fixes have touched —
+    never refresh). Ties within a round break in registry order."""
+    reg = list(plans.REGISTRY)
+    # synthetic: everything graded, rounds assigned so the STALEST names
+    # sit at the registry TAIL (the naive refill would never pick them)
+    rounds = {n: (1 if i >= len(reg) - 60 else 5) for i, n in enumerate(reg)}
+    for c in plans.CANARIES:
+        rounds[c] = 5
+    p = plans.compute_prefix(frozenset(reg), grade_rounds=rounds)
+    assert p[:5] == plans.CANARIES and len(set(p)) == 50
+    body = [n for n in p[5:]]
+    stale = [n for n in reg if rounds[n] == 1 and n not in plans.CANARIES]
+    assert body == stale[:45], "cycle slots are not the stalest names"
+
+    # without round data (synthetic grade sets), registry order still
+    # applies — the legacy property
+    p_legacy = plans.compute_prefix(frozenset(reg))
+    assert p_legacy[:5] == plans.CANARIES and len(set(p_legacy)) == 50
+
+    # and the LIVE prefix (committed grade files, all 253 graded as of
+    # r6): every body slot's latest passing round must be <= every
+    # non-prefix name's — i.e. the 45 body names ARE a stalest-45 set
+    gr = plans._GRADE_ROUNDS
+    if gr and all(n in gr for n in plans.REGISTRY):
+        body_rounds = [gr[n] for n in plans.CURATED_PREFIX[5:]]
+        outside = [gr[n] for n in plans.REGISTRY
+                   if n not in set(plans.CURATED_PREFIX)]
+        assert max(body_rounds) <= min(outside), (
+            "a fresher-graded name occupies a cycle slot while a staler "
+            "one waits outside the prefix")
+
+
 def test_prefix_is_mostly_oracle_backed():
     # the sweep is only useful if the prefix rows carry hard hash checks;
     # the registry has 7 rows-only queries and the rotation sends them
