@@ -17,8 +17,25 @@ transactional step.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _assert_disjoint_paths(src: str, dst: str, what: str) -> None:
+    """Refuse a destructive write whose target aliases its own input.
+
+    ``mode("overwrite")`` deletes ``dst`` at JOB START while the read of
+    ``src`` is lazy — with ``dst == src`` (or one nested in the other,
+    or aliased via symlink/trailing-slash spelling) the job deletes the
+    only copy of the data it is about to read, and Spark's own
+    same-path check catches only the literal-string match."""
+    a, b = os.path.realpath(src), os.path.realpath(dst)
+    if a == b or os.path.commonpath([a, b]) in (a, b):
+        raise ValueError(
+            f"{what}: dst {dst!r} aliases src {src!r} — the overwrite "
+            "would delete the input at job start; write to a fresh "
+            "directory and swap afterwards")
 
 
 def dataset_bytes(spark: SparkSession, path: str) -> int:
@@ -43,6 +60,7 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
 
     Returns the compacted DataFrame (re-read from ``dst``).
     """
+    _assert_disjoint_paths(src, dst, "compact_parquet")
     df = spark.read.parquet(src)
     if partition_col is not None:
         cols = ([partition_col] if isinstance(partition_col, str)

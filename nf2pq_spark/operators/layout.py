@@ -57,7 +57,27 @@ def zorder_write(df: DataFrame, cols: list[str], dst: str,
     and the frame is range-partitioned + sorted on it — so every output
     file covers a compact hyper-rectangle of the key space and parquet
     min/max footer stats prune on every interleaved column.
+
+    ``dst`` must be a fresh directory disjoint from ``df``'s own input
+    files: ``mode("overwrite")`` deletes ``dst`` at job start while the
+    scan is lazy, so re-laying-out a table "in place" would destroy the
+    only copy before reading it. Checked best-effort via
+    ``df.inputFiles()`` (empty for non-file sources, where the hazard
+    cannot arise).
     """
+    import os
+
+    dst_real = os.path.realpath(dst)
+    for f in df.inputFiles():
+        p = f[7:] if f.startswith("file://") else f
+        p = p[5:] if p.startswith("file:") else p
+        p = os.path.realpath(p)
+        if p == dst_real or p.startswith(dst_real + os.sep):
+            raise ValueError(
+                f"zorder_write: dst {dst!r} overlaps the frame's own "
+                f"input file {f!r} — the overwrite would delete the "
+                "input at job start; write to a fresh directory and "
+                "swap afterwards")
     # ranges are collected on the SAME long cast the executor-side
     # quantization applies, so timestamp keys (zorder on address+time is
     # the classic layout) reach the driver as ints — min(raw column)

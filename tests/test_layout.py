@@ -84,3 +84,55 @@ def test_zorder_write_shrinks_minmax_on_both_columns(spark, sf_dir, tmp_path):
         # a single-column sort leaves the OTHER column at ~100% span per
         # file; Z-order must bound BOTH well below the full range
         assert mean_span < 0.6 * full, (col, mean_span, full)
+
+
+def test_zorder_write_refuses_in_place_overwrite(spark, sf_dir, tmp_path):
+    """Crash-safety audit (r6 verdict item 3): mode("overwrite") deletes
+    dst at JOB START while the scan is lazy — zorder_write over the
+    frame's own source directory would destroy the only copy before
+    reading it. The guard must catch the direct path, a symlink alias,
+    and a trailing-slash spelling."""
+    import os
+
+    import pytest
+
+    src = str(tmp_path / "zsrc")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    ev.write.parquet(src)
+    df = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="overlaps"):
+        zorder_write(df, ["user_id", "value"], src, n_files=4)
+    with pytest.raises(ValueError, match="overlaps"):
+        zorder_write(df, ["user_id", "value"], src + "/", n_files=4)
+    link = str(tmp_path / "zlink")
+    os.symlink(src, link)
+    with pytest.raises(ValueError, match="overlaps"):
+        zorder_write(df, ["user_id", "value"], link, n_files=4)
+    # the source is untouched and a disjoint dst still works
+    assert spark.read.parquet(src).count() == ev.count()
+    dst = str(tmp_path / "zok")
+    zorder_write(df, ["user_id", "value"], dst, n_files=4)
+    assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_compact_parquet_refuses_aliased_dst(spark, sf_dir, tmp_path):
+    """Same hazard for compact_parquet: dst == src (or nested either
+    way, or symlink-aliased) deletes the input at job start."""
+    import os
+
+    import pytest
+
+    from nf2pq_spark.operators.compact import compact_parquet
+
+    src = str(tmp_path / "csrc")
+    load_table(spark, sf_dir, "events").select("user_id", "value") \
+        .write.parquet(src)
+    for bad in (src, src + "/", os.path.join(src, "sub"),
+                str(tmp_path)):  # tmp_path contains src
+        with pytest.raises(ValueError, match="aliases"):
+            compact_parquet(spark, src, bad)
+    link = str(tmp_path / "clink")
+    os.symlink(src, link)
+    with pytest.raises(ValueError, match="aliases"):
+        compact_parquet(spark, src, link)
+    assert spark.read.parquet(src).count() > 0  # input untouched
