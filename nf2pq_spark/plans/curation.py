@@ -306,7 +306,13 @@ def l25_semdedup_srp(spark, sf_dir, n_planes=None,
         # adaptive default (see _srp_adaptive_planes): one scalar COUNT
         # job sizes the signature so expected bucket loads stay under the
         # pairing cap at any corpus size — the fixed old default silently
-        # zero-recalled past ~13k vectors (every bucket over cap)
+        # zero-recalled past ~13k vectors (every bucket over cap).
+        # COST CAVEAT (r6 verdict): this count is an EAGER driver-side
+        # job per invocation. On a bare parquet scan it resolves from
+        # row-group metadata (no data read); on a filtered/derived/view
+        # input it is a real pass over the data — callers on such inputs
+        # who know their corpus size should pass n_planes= explicitly
+        # (the escape hatch) rather than pay the extra scan.
         n_planes = _srp_adaptive_planes(e.count())
     bits = []
     for p in range(n_planes):
