@@ -194,16 +194,65 @@ def source_stamp(sf_dir: str, *tables: str) -> str:
     return ";".join(parts)
 
 
+def _dir_manifest(root: str, exclude: str) -> str:
+    """``relpath|size`` per file under ``root`` (sorted), excluding the
+    marker itself. The manifest is the marker's content-integrity half:
+    /tmp cleaners (tmpwatch/systemd-tmpfiles prune by age/atime) can
+    delete individual DATA files while the marker survives — a
+    stamp-only marker would then vouch for a partial cache and the query
+    would silently return fewer rows than the oracle."""
+    import os
+
+    lines = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if os.path.abspath(p) == exclude:
+                continue
+            rel = os.path.relpath(p, root)
+            try:
+                lines.append(f"{rel}|{os.stat(p).st_size}")
+            except OSError:
+                lines.append(f"{rel}|gone")
+    return "\n".join(sorted(lines))
+
+
 def cache_current(marker: str, stamp: str) -> bool:
-    """True iff ``marker`` exists and records exactly ``stamp``. Legacy
-    empty/'ok' markers (pre-stamp) read as stale, forcing one rebuild."""
+    """True iff ``marker`` exists, records exactly ``stamp``, and every
+    file in its recorded manifest is still present at its recorded size
+    (extra files are tolerated — nothing external ADDS files; deletion
+    and truncation are the external-cleanup failure modes). Legacy
+    markers (pre-stamp, or stamp-only pre-manifest) read as stale,
+    forcing one rebuild."""
+    import os
+
     try:
         with open(marker) as fh:
-            return fh.read() == stamp
+            content = fh.read()
     except OSError:
         return False
+    head, sep, manifest = content.partition("\n")
+    if head != stamp or not sep:
+        return False
+    root = os.path.dirname(os.path.abspath(marker))
+    for line in manifest.splitlines():
+        rel, _, size = line.rpartition("|")
+        try:
+            if os.stat(os.path.join(root, rel)).st_size != int(size):
+                return False
+        except (OSError, ValueError):
+            return False
+    return True
 
 
 def write_cache_marker(marker: str, stamp: str) -> None:
+    """Record ``stamp`` plus a manifest of the marker's directory tree
+    (see :func:`_dir_manifest`). Call only AFTER all cache data is
+    written — every call site does (marker-last is the crash-safety
+    protocol: an unmarked partial cache is rebuilt, never trusted)."""
+    import os
+
+    manifest = _dir_manifest(os.path.dirname(os.path.abspath(marker)),
+                             os.path.abspath(marker))
     with open(marker, "w") as fh:
-        fh.write(stamp)
+        fh.write(stamp + "\n" + manifest)

