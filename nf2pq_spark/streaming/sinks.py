@@ -65,6 +65,11 @@ def compact_partitions(spark, path: str, target_partitions: int = 1) -> None:
     """
     from ..operators.compact import compact_parquet
 
+    # normalize: a trailing slash would nest dst INSIDE the source
+    # dataset ("p/" + "_compacted" -> "p/_compacted"), which the
+    # compact_parquet alias guard rejects (correctly — a nested copy
+    # would double the data on the next read of p)
+    path = path.rstrip("/") or path
     compact_parquet(spark, path, path + "_compacted",
                     partition_col=["date", "hour"])
 

@@ -463,6 +463,16 @@ def test_compact_partitions(spark, sf_dir):
     assert n_after < n_before
     assert spark.read.parquet(out).count() == ev.count()
 
+    # trailing-slash spelling must normalize to the SAME sibling dst —
+    # "src/" + "_compacted" would otherwise nest the compacted copy
+    # inside the source dataset and double the data on the next read
+    # (the alias guard would reject it; the wrapper must not get there)
+    import shutil
+    shutil.rmtree(out)
+    compact_partitions(spark, src + "/", target_partitions=1)
+    assert spark.read.parquet(out).count() == ev.count()
+    assert not glob.glob(f"{src}/_compacted*")
+
 
 def test_rate_source_smoke(spark):
     """S8: built-in rate source runs one bounded trigger."""
