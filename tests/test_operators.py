@@ -1535,3 +1535,60 @@ def test_rollup_cache_rebuilds_after_partial_tmp_cleanup(spark, sf_dir):
     after = sorted(tuple(r) for r in
                    rl1_hypertable_rollup(spark, sf_dir).collect())
     assert after == before
+
+
+def test_cache_manifest_property_random_trees_and_mutations(tmp_path):
+    """Property over random cache trees: cache_current stays True under
+    additions (nothing external ADDS meaningfully) and flips False for
+    ANY deletion or size change of a recorded file — the exact guarantee
+    the torn-/tmp-cache protection rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.plans.helpers import cache_current, write_cache_marker
+
+    names = st.lists(
+        st.text(alphabet="abcxyz0189._-", min_size=1, max_size=12)
+        .filter(lambda s: s not in {".", "..", "_BUILT"} and "/" not in s),
+        min_size=1, max_size=8, unique=True)
+
+    case_n = [0]
+
+    @settings(max_examples=40, deadline=None)
+    @given(files=names, sizes=st.data())
+    def prop(files, sizes):
+        import os
+        import shutil
+
+        case_n[0] += 1
+        root = tmp_path / f"c{case_n[0]}"
+        sub = root / "part=0"
+        os.makedirs(sub)
+        paths = []
+        for i, f in enumerate(files):
+            p = (root if i % 2 else sub) / f
+            with open(p, "wb") as fh:
+                fh.write(b"x" * sizes.draw(st.integers(0, 64)))
+            paths.append(p)
+        marker = str(root / "_BUILT")
+        write_cache_marker(marker, "s")
+        assert cache_current(marker, "s")
+        assert not cache_current(marker, "other-stamp")
+
+        mutation = sizes.draw(st.sampled_from(["del", "resize", "add"]))
+        victim = paths[sizes.draw(st.integers(0, len(paths) - 1))]
+        if mutation == "del":
+            os.remove(victim)
+            assert not cache_current(marker, "s")
+        elif mutation == "resize":
+            old = os.path.getsize(victim)
+            with open(victim, "wb") as fh:
+                fh.write(b"y" * (old + 1))
+            assert not cache_current(marker, "s")
+        else:
+            with open(root / "added.new", "w") as fh:
+                fh.write("z")
+            assert cache_current(marker, "s")
+        shutil.rmtree(root)
+
+    prop()
