@@ -163,7 +163,12 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     compaction already folded in."""
     import shutil
 
-    tmp = path.rstrip("/") + "__compact_tmp"
+    # normalize before ANY rename: os.rename to a trailing-slash target
+    # that does not exist fails on POSIX (ENOENT/ENOTDIR), which would
+    # break both the final swap and — worse — the crash-recovery rename
+    # where the tmp is the only surviving copy
+    path = path.rstrip("/") or path
+    tmp = path + "__compact_tmp"
     if os.path.exists(tmp):
         if not os.path.exists(path):
             # Crashed between rmtree(path) and rename: the tmp holds the

@@ -397,6 +397,18 @@ def test_compact_rollup_resumes_interrupted_swap(spark, sf_dir):
     assert {tuple(r) for r in
             query_rollup(spark, path, "day").collect()} == expected
 
+    # A trailing-slash spelling of the table path must survive BOTH
+    # renames: os.rename to a trailing-slash target that does not exist
+    # fails on POSIX, so an unnormalized path would break the final swap
+    # and — in the crash state above — the recovery rename of the only
+    # surviving copy.
+    compact_rollup(spark, path + "/")          # normal swap
+    os.rename(path, tmp)                       # crash state again
+    compact_rollup(spark, path + "/")          # recovery rename
+    assert os.path.exists(path) and not os.path.exists(tmp)
+    assert {tuple(r) for r in
+            query_rollup(spark, path, "day").collect()} == expected
+
 
 def test_parquet_rotating_sink_partitions(spark, sf_dir):
     """S3: the collector's rotated-file sink writes a date/hour-partitioned
