@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Hostile-but-legal engine-config sweep: determinism under driver variation.
+
+The grading driver hands the engine an arbitrary session. ``ensure_session_conf``
+pins what it can (UTC, AQE, Arrow), but deliberately RESPECTS a non-default
+shuffle-partition count, and cannot control the master's thread count, scan
+split sizing, Arrow batch size, or the Python interpreter's hash seed. Any
+query whose value-hash depends on one of those is a latent driver red even
+though the vanilla drive (tools/driver_sim.py) is green.
+
+Each profile below perturbs one such axis to an adversarial-but-legal value
+and re-runs the full oracle comparison. Profiles need their own JVM (master
+and several confs are static), so the default invocation forks one subprocess
+per profile:
+
+    python tools/hostile_conf_sim.py                 # all profiles, all queries
+    python tools/hostile_conf_sim.py tiny_shuffle    # one profile, all queries
+    python tools/hostile_conf_sim.py tiny_shuffle q1_pricing_summary ...
+
+Exit 0 iff every profile's every oracle-backed query hash-matches (rows-only
+queries must merely execute), mirroring tools/driver_sim.py.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.driver_sim import SF, TABLES, vhash  # noqa: E402
+
+#: name -> (master, static+runtime confs, extra env). Values chosen to be
+#: maximally unlike the tested local[16]/local[32] x 32-partition layouts:
+#: prime partition counts, a 3-thread pool, 17-row Arrow batches (forces
+#: multi-batch mapInPandas on every fixture), 256 KB scan splits (shatters
+#: every parquet file into many input partitions), and two different fixed
+#: PYTHONHASHSEEDs (flushes out Python hash()/set-order dependence in UDFs).
+PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
+    "tiny_shuffle": ("local[3]", {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.default.parallelism": "5",
+    }, {}),
+    "tiny_arrow_batch": ("local[4]", {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "17",
+    }, {}),
+    "shattered_scans": ("local[4]", {
+        "spark.sql.files.maxPartitionBytes": "262144",
+        "spark.sql.files.openCostInBytes": "0",
+    }, {}),
+    "hash_seed_a": ("local[4]", {}, {"PYTHONHASHSEED": "1"}),
+    "hash_seed_b": ("local[4]", {}, {"PYTHONHASHSEED": "31337"}),
+}
+
+
+def run_profile(profile: str, names: list[str] | None) -> int:
+    """Run the oracle sweep under one profile (in THIS process)."""
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    master, confs, _env = PROFILES[profile]
+    builder = (SparkSession.builder.master(master)
+               .appName(f"hostile-{profile}")
+               .config("spark.ui.enabled", "false"))
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    import __spark_entry__ as entrymod
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = names or sorted(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    bad = []
+    t0 = time.time()
+    for name in names:
+        try:
+            s = qs[name](spark, SF).toPandas()
+            if name in oracles:
+                d = con.execute(oracles[name]).fetchdf()
+                ok = (len(s) == len(d)
+                      and sorted(s.columns) == sorted(d.columns)
+                      and vhash(s) == vhash(d))
+                if not ok:
+                    bad.append(name)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            bad.append(f"{name}: {type(ex).__name__} {str(ex)[:120]}")
+    status = "OK" if not bad else "BAD"
+    print(f"[{profile}] {status}: {len(names)} queries in "
+          f"{time.time() - t0:.0f}s" + (f"; failures: {bad}" if bad else ""))
+    return 0 if not bad else 1
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if args and args[0] == "--run-profile":
+        # child mode: the parent already set env and picked the profile
+        return run_profile(args[1], args[2:] or None)
+
+    profiles = [args[0]] if args and args[0] in PROFILES else list(PROFILES)
+    names = args[1:] if args and args[0] in PROFILES else args
+    rc = 0
+    for p in profiles:
+        env = dict(os.environ, **PROFILES[p][2])
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-profile", p,
+             *names],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        rc = rc or r.returncode
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
