@@ -13,6 +13,42 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: Magnitude cap for the embedding validity contract. Real embedding
+#: spaces are unit-normalized (components in [-1, 1]); 1e6 is orders of
+#: magnitude beyond any legitimate component while keeping every exact-
+#: decimal accumulation path safe: the widest per-element cast in the
+#: registry is decimal(18,6) over a 64-dim sum (|sum| <= 64 * cap =
+#: 6.4e7, against a 1e12 ceiling).
+EMBEDDING_ABS_CAP = 1e6
+
+#: DuckDB spelling of :func:`embedding_is_valid` for oracle WHERE
+#: clauses — MUST stay semantically identical to the Spark predicate
+#: (NULL component, NaN, or |x| > cap excludes the row on both engines).
+EMBEDDING_VALID_SQL = ("len(list_filter({col}, x -> x IS NULL OR isnan(x) "
+                       "OR abs(x) > 1000000.0)) = 0")
+
+
+def embedding_is_valid(col: Column | str) -> Column:
+    """Validity contract for embedding analytics: every component
+    present, finite (no NaN/Inf), and |x| <= :data:`EMBEDDING_ABS_CAP`.
+
+    Degenerate vectors are EXCLUDED from vector analytics rather than
+    poisoned into them — the behavior of any production validation
+    stage. Without this, a single hostile vector silently corrupts
+    results or kills jobs: NaN ranks FIRST under Spark's descending
+    NaN-greatest sort (wrong top-k neighbors, no error), Spark ML's
+    KMeans raises on non-finite input, 1e30-magnitude components
+    overflow the exact-decimal accumulation casts under ANSI, and
+    DuckDB refuses NaN→int casts in the quantization oracle — all found
+    by the hostile-corpus differential sweep (r7,
+    tools/hostile_corpus_fixture.py). A NULL component reads as
+    invalid on both engines (Spark: isNotNull in the lambda; DuckDB:
+    ``x IS NULL`` in the filter)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.forall(c, lambda x: x.isNotNull() & ~F.isnan(x)
+                    & (F.abs(x) <= F.lit(EMBEDDING_ABS_CAP)))
+
+
 def as_double_array(col: Column | str) -> Column:
     """Cast array<float> → array<double> so arithmetic matches the oracle."""
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")

@@ -42,9 +42,16 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
-from ..functions.vectors import as_double_array, cosine
+from ..functions.vectors import as_double_array, cosine, embedding_is_valid
 from ..sources.tables import load_table
 from .registry import register
+
+from ..functions.vectors import EMBEDDING_VALID_SQL
+
+#: DuckDB spelling of the embedding validity contract (kept in one
+#: place: functions.vectors) — the l25 oracle filters through it so
+#: both engines exclude the same degenerate vectors.
+_EMB_WHERE = EMBEDDING_VALID_SQL.format(col="embedding")
 
 # --- l23: overlapping chunking ----------------------------------------------
 
@@ -236,11 +243,13 @@ def _srp_sign(p: int, i: int) -> float:
 @register(
     "l25_semdedup_srp",
     oracle=f"""
-    WITH np AS (
+    WITH emb AS (
+      SELECT * FROM embeddings WHERE {_EMB_WHERE}
+    ), np AS (
       SELECT GREATEST({_SRP_PLANES}, LEAST({_SRP_PLANES_CAP},
                CAST(CEIL(LOG2(GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0)
                                / {_SRP_TARGET_BUCKET})) AS BIGINT))) AS n
-      FROM embeddings
+      FROM emb
     ), planes AS (
       SELECT p, i,
              CASE WHEN substr(md5(p || '_' || i), 1, 1) BETWEEN '0' AND '7'
@@ -250,7 +259,7 @@ def _srp_sign(p: int, i: int) -> float:
     ), dots AS (
       SELECT e.vec_id, p.p,
              SUM(CAST(e.embedding[CAST(p.i + 1 AS INT)] AS DOUBLE) * p.s) AS d
-      FROM embeddings e, planes p
+      FROM emb e, planes p
       GROUP BY e.vec_id, p.p
     ), sig AS (
       SELECT vec_id,
@@ -263,10 +272,10 @@ def _srp_sign(p: int, i: int) -> float:
     ), pairs AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib
       FROM (SELECT e.vec_id, e.embedding, s.bucket
-            FROM embeddings e JOIN sigc s USING (vec_id)
+            FROM emb e JOIN sigc s USING (vec_id)
             WHERE s.bn <= {_SRP_MAX_BUCKET}) a
       JOIN (SELECT e.vec_id, e.embedding, s.bucket
-            FROM embeddings e JOIN sigc s USING (vec_id)
+            FROM emb e JOIN sigc s USING (vec_id)
             WHERE s.bn <= {_SRP_MAX_BUCKET}) b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -275,7 +284,7 @@ def _srp_sign(p: int, i: int) -> float:
     ), drops AS (SELECT DISTINCT ib AS vec_id FROM pairs)
     SELECT e.label, COUNT(*) AS n_total, COUNT(d.vec_id) AS n_dropped,
            COUNT(*) - COUNT(d.vec_id) AS n_kept
-    FROM embeddings e LEFT JOIN drops d USING (vec_id)
+    FROM emb e LEFT JOIN drops d USING (vec_id)
     GROUP BY e.label
     """,
     description="SemDeDup-shaped semantic dedup (L2/L3): n-plane SRP-LSH "
@@ -299,7 +308,9 @@ def _srp_sign(p: int, i: int) -> float:
 )
 def l25_semdedup_srp(spark, sf_dir, n_planes=None,
                      max_bucket=_SRP_MAX_BUCKET):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding")
+    ).select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
     if n_planes is None:

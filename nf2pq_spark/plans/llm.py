@@ -12,13 +12,20 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (LANG_MARKERS, STOPWORDS, fingerprint, lang_guess,
                               lang_score, tokens)
-from ..functions.vectors import as_double_array
+from ..functions.vectors import (EMBEDDING_VALID_SQL, as_double_array,
+                                 embedding_is_valid)
 from ..operators.dedup import (exact_dedup, jaccard_pairs, lsh_candidate_pairs,
                                minhash_signature, simhash64)
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from .helpers import khash, okhash
 from .registry import register
+
+#: DuckDB spelling of the embedding validity contract (see
+#: functions.vectors.embedding_is_valid) — every embedding-analytics
+#: oracle filters through this so both engines exclude the same
+#: degenerate vectors (NULL/NaN/Inf/|x|>1e6 components).
+_EMB_WHERE = EMBEDDING_VALID_SQL.format(col="embedding")
 
 
 @register(
@@ -349,7 +356,8 @@ def l2e_neardup_dedup_keep(spark, sf_dir):
 
 @register(
     "l3_cosine_topk",
-    oracle="""
+    oracle=f"""
+    WITH emb AS (SELECT * FROM embeddings WHERE {_EMB_WHERE})
     SELECT q_id, c_id, rn, cos_sim FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
              CAST(ROW_NUMBER() OVER (
@@ -361,7 +369,7 @@ def l2e_neardup_dedup_keep(spark, sf_dir):
              CAST(ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                                CAST(c.embedding AS DOUBLE[])), 6)
                   AS DOUBLE) AS cos_sim
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < 10) t
     WHERE rn <= 5
     """,
@@ -374,7 +382,8 @@ def l2e_neardup_dedup_keep(spark, sf_dir):
     bench=True,
 )
 def l3_cosine_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
     )
@@ -390,7 +399,8 @@ def l3_cosine_topk(spark, sf_dir):
     tags=("L3",),
 )
 def l3b_lsh_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
     )
@@ -400,10 +410,10 @@ def l3b_lsh_topk(spark, sf_dir):
 
 @register(
     "l3f_ivf_recall_gate",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
            CAST(1 AS INT) AS recall_ok
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings WHERE vec_id < 10 AND {_EMB_WHERE}
     """,
     description="IVF-KMeans search under the HARD hash gate (companion to "
     "rows-only l3d, same pattern as l3e): recall of IVF top-5 (16 cells, "
@@ -415,7 +425,8 @@ def l3b_lsh_topk(spark, sf_dir):
     tags=("L3",),
 )
 def l3f_ivf_recall_gate(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").cast("long").alias("q_id"),
         as_double_array("embedding").alias("qv"))
@@ -439,10 +450,10 @@ def l3f_ivf_recall_gate(spark, sf_dir):
 
 @register(
     "l3e_lsh_recall_gate",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
            CAST(1 AS INT) AS recall_ok
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings WHERE vec_id < 10 AND {_EMB_WHERE}
     """,
     description="L3 approximate search under the HARD hash gate: recall "
     "of SRP-LSH top-5 against the exact brute-force top-5 is computed "
@@ -454,7 +465,8 @@ def l3f_ivf_recall_gate(spark, sf_dir):
     tags=("L3",),
 )
 def l3e_lsh_recall_gate(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").cast("long").alias("q_id"),
         as_double_array("embedding").alias("qv"))
@@ -485,7 +497,8 @@ def l3e_lsh_recall_gate(spark, sf_dir):
     tags=("L3",),
 )
 def l3d_ivf_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
     )
@@ -495,12 +508,13 @@ def l3d_ivf_topk(spark, sf_dir):
 
 @register(
     "l3c_cosine_neardup",
-    oracle="""
+    oracle=f"""
+    WITH emb AS (SELECT * FROM embeddings WHERE {_EMB_WHERE})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                              CAST(b.embedding AS DOUBLE[])), 6)
                 AS DOUBLE) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) > 0.35
     """,
@@ -512,7 +526,8 @@ def l3d_ivf_topk(spark, sf_dir):
 def l3c_cosine_neardup(spark, sf_dir):
     from ..functions.vectors import cosine
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     a = e.select(F.col("vec_id").alias("id_a"), as_double_array("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), as_double_array("embedding").alias("vb"))
     return (
@@ -835,12 +850,13 @@ def l4d_token_fingerprints(spark, sf_dir):
 
 @register(
     "l5_multimodal_join",
-    oracle="""
+    oracle=f"""
+    WITH emb AS (SELECT * FROM embeddings WHERE {_EMB_WHERE})
     SELECT d.lang, e.label, COUNT(*) AS n,
            CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS tokens,
            CAST(SUM(CAST(list_aggregate(CAST(e.embedding AS DOUBLE[]), 'sum')
                 AS DECIMAL(18,6))) AS DOUBLE) AS sum_vec_sums
-    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    FROM documents d JOIN emb e ON e.vec_id = d.doc_id
     GROUP BY 1, 2
     """,
     description="multimodal doc⋈embedding join: text + vector columns "
@@ -849,7 +865,8 @@ def l4d_token_fingerprints(spark, sf_dir):
 )
 def l5_multimodal_join(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     vec_sum = F.aggregate(as_double_array("embedding"), F.lit(0.0), lambda a, x: a + x)
     return (
         d.join(e, e.vec_id == d.doc_id)
@@ -864,11 +881,12 @@ def l5_multimodal_join(spark, sf_dir):
 
 @register(
     "l6_label_centroids",
-    oracle="""
+    oracle=f"""
+    WITH emb AS (SELECT * FROM embeddings WHERE {_EMB_WHERE})
     SELECT label, CAST(d + 1 AS BIGINT) AS dim,
            CAST(SUM(CAST(CAST(embedding[d + 1] AS DOUBLE)
                 AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS centroid
-    FROM embeddings CROSS JOIN (SELECT CAST(range AS INT) AS d FROM range(64)) dims
+    FROM emb CROSS JOIN (SELECT CAST(range AS INT) AS d FROM range(64)) dims
     GROUP BY label, d
     """,
     description="per-label centroid, dimension-wise (L6): posexplode + "
@@ -877,7 +895,8 @@ def l5_multimodal_join(spark, sf_dir):
     tags=("L6",),
 )
 def l6_label_centroids(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     return (
         e.select("label", F.posexplode(as_double_array("embedding")).alias("d", "val"))
         .groupBy("label", (F.col("d") + 1).cast("long").alias("dim"))
@@ -890,9 +909,10 @@ def l6_label_centroids(spark, sf_dir):
 
 @register(
     "l10_vec_quantize",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE {_EMB_WHERE}
     )
     SELECT vec_id,
            sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
@@ -914,19 +934,25 @@ def l6_label_centroids(spark, sf_dir):
     tags=("L3", "F4"),
 )
 def l10_vec_quantize(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     v = as_double_array("embedding")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    # nullif: a zero vector must quantize to NULLs, not kill the job with
-    # ANSI DIVIDE_BY_ZERO (DuckDB's x/0.0 is NULL, so the oracle already
-    # degrades this way; fixtures contain no zero vectors)
+    # nullif: a zero vector must quantize to NULL, not kill the job with
+    # ANSI DIVIDE_BY_ZERO. DuckDB's x/0.0 is NULL and its array_to_string
+    # over an ALL-null list is NULL (probed live), while Spark's
+    # array_join drops nulls and would emit '' — so the zero-norm case is
+    # pinned to NULL q8 on both engines explicitly (hostile-corpus
+    # differential find, r7).
     safe_norm = F.nullif(norm, F.lit(0.0))
     return e.select(
         "vec_id",
         norm.alias("l2_norm"),
-        F.array_join(
-            F.transform(v, lambda x: F.floor(x / safe_norm * 127 + F.lit(0.5))
-                        .cast("bigint")), ",").alias("q8"),
+        F.when(safe_norm.isNull(), F.lit(None).cast("string")).otherwise(
+            F.array_join(
+                F.transform(v, lambda x: F.floor(x / safe_norm * 127
+                                                 + F.lit(0.5))
+                            .cast("bigint")), ",")).alias("q8"),
         F.size(v).cast("bigint").alias("n_dims"),
     )
 

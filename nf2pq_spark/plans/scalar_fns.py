@@ -8,8 +8,23 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import flownet
+from ..functions.vectors import EMBEDDING_VALID_SQL
 from ..sources.tables import load_table
 from .registry import register
+
+#: DuckDB spelling of the embedding validity contract (kept in one
+#: place: functions.vectors) — f4's oracle filters through it so both
+#: engines exclude the same degenerate vectors.
+_EMB_WHERE = EMBEDDING_VALID_SQL.format(col="embedding")
+
+#: ASCII-only case folding for content fingerprints (f8): full Unicode
+#: lower() is RUNTIME-DEFINED for a handful of code points (Turkish İ,
+#: German ß, Greek final sigma — Java and DuckDB/utf8proc genuinely
+#: disagree, found by the r7 hostile-corpus differential), so a stored
+#: fingerprint built on it would re-key documents whenever the engine's
+#: Unicode tables change. translate() over [A-Z] is bit-stable forever.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
 @register(
@@ -157,7 +172,7 @@ def f3_math(spark, sf_dir):
 
 @register(
     "f4_arrays",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS head,
@@ -168,7 +183,7 @@ def f3_math(spark, sf_dir):
            array_to_string(list_transform(CAST(embedding[1:3] AS DOUBLE[]),
                           x -> CAST(CAST(ROUND(x * 2, 5) AS DECIMAL(28,5))
                                     AS VARCHAR)), ',') AS head2x
-    FROM embeddings
+    FROM embeddings WHERE {_EMB_WHERE}
     """,
     description="array + higher-order function battery (F4): size, index, "
     "max, filter, fold, transform+slice. head2x serialized via "
@@ -177,7 +192,13 @@ def f3_math(spark, sf_dir):
     tags=("F4",),
 )
 def f4_arrays(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vectors import embedding_is_valid
+
+    # the battery's exact-decimal serialization (head2x) and the oracle's
+    # NaN-hostile list folds require the embedding validity contract —
+    # see functions.vectors.embedding_is_valid
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        embedding_is_valid("embedding"))
     dbl = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",
@@ -404,14 +425,20 @@ def f7b_flownet6(spark, sf_dir):
 
 @register(
     "f8_hash",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            md5(text) AS text_md5,
-           md5(lower(text)) AS norm_md5,
+           md5(translate(text, '{_ASCII_UPPER}', '{_ASCII_LOWER}'))
+               AS norm_md5,
            sha256(source) AS src_sha
     FROM documents
     """,
-    description="deterministic hash functions (F8): md5 / sha256",
+    description="deterministic hash functions (F8): md5 / sha256. The "
+    "case-normalized fingerprint folds ONLY [A-Z] (translate, both "
+    "engines): full Unicode lower() is runtime-defined for İ/ß/final-"
+    "sigma (Java vs utf8proc diverge — hostile-corpus differential find, "
+    "r7), and a fingerprint that changes when the JVM's Unicode tables "
+    "upgrade would silently re-key every stored document.",
     tags=("F8",),
 )
 def f8_hash(spark, sf_dir):
@@ -419,7 +446,8 @@ def f8_hash(spark, sf_dir):
     return d.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
-        F.md5(F.lower("text")).alias("norm_md5"),
+        F.md5(F.translate("text", _ASCII_UPPER, _ASCII_LOWER))
+            .alias("norm_md5"),
         F.sha2("source", 256).alias("src_sha"),
     )
 

@@ -1,0 +1,79 @@
+"""Hostile-corpus differential regression (r7).
+
+The shipped fixture corpora are 100% ASCII text and well-formed unit-ish
+embeddings, so the cross-engine oracle comparison had never exercised
+input where Spark (Java/UTF8String) and DuckDB (RE2/utf8proc) genuinely
+diverge, or where degenerate vectors (NaN/Inf/huge/zero/NULL) poison
+vector analytics. The r7 sweep over such a corpus
+(tools/hostile_corpus_fixture.py) found four silent divergences and six
+hard crashes; the fixes were the embedding validity contract
+(functions.vectors.embedding_is_valid, oracle-mirrored), the l10
+zero-norm NULL pin, and f8's runtime-independent ASCII case folding.
+
+This test re-runs exactly the queries that sweep caught, Spark vs
+DuckDB, on a freshly built hostile fixture — so the bug class stays
+dead. The FULL 253-query hostile sweep remains a tool
+(`NF2PQ_VERIFY_SF_DIR=... python tools/driver_sim.py --all`), too heavy
+for the suite.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+#: the queries the r7 hostile sweep found silently diverging or crashing
+CAUGHT = [
+    "f8_hash",            # silent: Java vs utf8proc lower() on İ/ß/σ
+    "l3_cosine_topk",     # silent: NaN ranks first in desc top-k
+    "l3c_cosine_neardup", # silent: NaN threshold comparison
+    "l25_semdedup_srp",   # silent: NaN signs flip SRP buckets
+    "l3b_lsh_topk",       # rows-only: same NaN surface as l3
+    "l3d_ivf_topk",       # crash: Spark ML KMeans refuses non-finite
+    "l3e_lsh_recall_gate",
+    "l3f_ivf_recall_gate",
+    "l5_multimodal_join", # crash: decimal overflow on 1e30 components
+    "l6_label_centroids",
+    "l10_vec_quantize",   # silent: '' vs NULL q8 for the zero vector
+    "f4_arrays",          # crash: DuckDB NaN->int cast in the battery
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_sf(tmp_path_factory):
+    from hostile_corpus_fixture import build
+
+    # sf0.001 keeps this module ~30s; the builder appends the hostile
+    # tail to the real corpus so every query threshold stays non-vacuous
+    return build(src=os.environ.get("NF2PQ_TEST_SF_DIR",
+                                    "/root/testdata/sf0.001"),
+                 dst=str(tmp_path_factory.mktemp("hostile") / "sfh"))
+
+
+def test_caught_queries_match_oracle_on_hostile_corpus(spark, hostile_sf):
+    import duckdb
+
+    import __spark_entry__ as em
+    from driver_sim import TABLES, vhash
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{hostile_sf}/{t}.parquet')")
+    bad = []
+    for name in CAUGHT:
+        s = qs[name](spark, hostile_sf).toPandas()  # must not crash
+        if name not in oracles:
+            continue
+        d = con.execute(oracles[name]).fetchdf()
+        if not (len(s) == len(d)
+                and sorted(s.columns) == sorted(d.columns)
+                and vhash(s) == vhash(d)):
+            bad.append(name)
+    assert not bad, f"hostile-corpus divergence regressed: {bad}"

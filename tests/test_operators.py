@@ -1592,3 +1592,84 @@ def test_cache_manifest_property_random_trees_and_mutations(tmp_path):
         shutil.rmtree(root)
 
     prop()
+
+
+def test_embedding_validity_contract_cross_engine(spark):
+    """The embedding validity contract (functions.vectors.embedding_is_valid
+    and its DuckDB spelling EMBEDDING_VALID_SQL) must classify IDENTICALLY on
+    both engines for every degenerate shape the hostile-corpus sweep found
+    diverging or crashing (r7, tools/hostile_corpus_fixture.py): NaN, +/-Inf,
+    over-cap magnitude, NULL component, NULL vector, zero vector, denormal."""
+    import math
+
+    import duckdb
+
+    from nf2pq_spark.functions.vectors import (EMBEDDING_VALID_SQL,
+                                               embedding_is_valid)
+
+    vecs = [
+        (0, [0.1, 0.2, 0.3], True),            # ordinary
+        (1, [0.0, 0.0, 0.0], True),            # zero vector: valid, callers degrade
+        (2, [float("nan"), 0.1, 0.1], False),  # NaN component
+        (3, [float("inf"), 0.1, 0.1], False),  # +Inf
+        (4, [-float("inf"), 0.1, 0.1], False), # -Inf (|x| > cap)
+        (5, [1e30, 1e30, 1e30], False),        # over-cap magnitude
+        (6, [-1e30, 0.0, 0.0], False),         # negative over-cap
+        (7, [1e6, -1e6, 0.0], True),           # exactly at cap: valid
+        (8, [1e-38] * 3, True),                # denormal-adjacent
+        (9, None, False),                      # NULL vector
+        (10, [None, 0.1, 0.1], False),         # NULL component
+    ]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v, _ in vecs], "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r.ok for r in sdf.select(
+        "vec_id", embedding_is_valid("embedding").alias("ok")).collect()}
+    # Spark forall: NULL vector / NULL-poisoned result reads as "not valid"
+    # through a filter, so compare truthiness of the FILTER, not the raw col
+    kept_spark = {r.vec_id for r in
+                  sdf.filter(embedding_is_valid("embedding")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id INT, embedding DOUBLE[])")
+    for i, v, _ in vecs:
+        con.execute("INSERT INTO e VALUES (?, ?)", [i, v])
+    where = EMBEDDING_VALID_SQL.format(col="embedding")
+    kept_duck = {r[0] for r in
+                 con.execute(f"SELECT vec_id FROM e WHERE {where}").fetchall()}
+
+    expected = {i for i, _, valid in vecs if valid}
+    assert kept_spark == expected, f"spark kept {kept_spark}"
+    assert kept_duck == expected, f"duckdb kept {kept_duck}"
+    # the raw Spark column never claims True for an invalid row
+    for i, _, valid in vecs:
+        assert (got[i] is True) == valid or not valid
+
+
+def test_l10_zero_norm_quantizes_to_null_both_engines(spark, tmp_path):
+    """Zero-norm vectors survive the validity contract (finite, in-cap) but
+    cannot be L2-normalized: l10 must emit q8 = NULL on BOTH engines. Spark's
+    array_join drops nulls ('' for an all-null array) while DuckDB's
+    array_to_string over an all-null list is NULL — the explicit when()
+    guard pins the NULL spelling (hostile-corpus find, r7)."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = str(tmp_path)
+    rows = [(1, [0.6, 0.8], 0), (2, [0.0, 0.0], 1)]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    s = em.queries()["l10_vec_quantize"](spark, sf).toPandas()
+    srow = s.set_index("vec_id")
+    assert srow.loc[2, "q8"] is None
+    assert srow.loc[1, "q8"] == "76,102"  # floor(.6*127+.5), floor(.8*127+.5)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet/*.parquet')")
+    d = con.execute(em.oracle_sql()["l10_vec_quantize"]).fetchdf()
+    drow = d.set_index("vec_id")
+    assert drow.loc[2, "q8"] is None
+    assert drow.loc[1, "q8"] == "76,102"
