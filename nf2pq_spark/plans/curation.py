@@ -246,10 +246,12 @@ def _srp_sign(p: int, i: int) -> float:
     WITH emb AS (
       SELECT * FROM embeddings WHERE {_EMB_WHERE}
     ), np AS (
+      -- sizing counts the UNFILTERED table, mirroring the Spark side's
+      -- metadata-cheap raw.count() (invalid rows only round planes up)
       SELECT GREATEST({_SRP_PLANES}, LEAST({_SRP_PLANES_CAP},
                CAST(CEIL(LOG2(GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0)
                                / {_SRP_TARGET_BUCKET})) AS BIGINT))) AS n
-      FROM emb
+      FROM embeddings
     ), planes AS (
       SELECT p, i,
              CASE WHEN substr(md5(p || '_' || i), 1, 1) BETWEEN '0' AND '7'
@@ -308,9 +310,8 @@ def _srp_sign(p: int, i: int) -> float:
 )
 def l25_semdedup_srp(spark, sf_dir, n_planes=None,
                      max_bucket=_SRP_MAX_BUCKET):
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        embedding_is_valid("embedding")
-    ).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = raw.filter(embedding_is_valid("embedding")).select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
     if n_planes is None:
@@ -318,13 +319,18 @@ def l25_semdedup_srp(spark, sf_dir, n_planes=None,
         # job sizes the signature so expected bucket loads stay under the
         # pairing cap at any corpus size — the fixed old default silently
         # zero-recalled past ~13k vectors (every bucket over cap).
-        # COST CAVEAT (r6 verdict): this count is an EAGER driver-side
-        # job per invocation. On a bare parquet scan it resolves from
-        # row-group metadata (no data read); on a filtered/derived/view
-        # input it is a real pass over the data — callers on such inputs
-        # who know their corpus size should pass n_planes= explicitly
+        # Deliberately counts the UNFILTERED table: on parquet that
+        # resolves from row-group metadata (no data read), while counting
+        # through the validity filter would scan the widest column per
+        # invocation. Plane sizing is a heuristic — invalid rows inflate
+        # N and can only round the plane count UP (smaller buckets),
+        # never break correctness; the oracle's np CTE counts the same
+        # unfiltered table so the signature width matches exactly.
+        # COST CAVEAT (r6 verdict): still an EAGER driver-side job per
+        # invocation; on a non-parquet/derived input it is a real pass —
+        # callers who know their corpus size should pass n_planes=
         # (the escape hatch) rather than pay the extra scan.
-        n_planes = _srp_adaptive_planes(e.count())
+        n_planes = _srp_adaptive_planes(raw.count())
     bits = []
     for p in range(n_planes):
         signs = F.array(*[F.lit(_srp_sign(p, i)) for i in range(_SRP_DIMS)])
