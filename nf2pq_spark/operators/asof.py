@@ -130,6 +130,27 @@ def asof_join(
         *lcols, *[F.col("__asof").getField(c).alias(c) for c in payload])
 
 
+#: fixed-width interval units for the bucketed variant's timestamp axis
+#: (months/years are NOT fixed-width and are rejected — F.window refuses
+#: them for sliding windows for the same reason)
+_INTERVAL_UNIT_US = {
+    "second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
+    "day": 86_400_000_000, "week": 604_800_000_000,
+}
+
+
+def _interval_micros(interval: str) -> int:
+    """Parse a fixed-width interval literal ('1 day', '30 minutes') to
+    microseconds, matching F.window's epoch-aligned bucket widths."""
+    parts = interval.strip().lower().split()
+    unit = parts[-1].rstrip("s") if parts else ""
+    if len(parts) != 2 or unit not in _INTERVAL_UNIT_US:
+        raise ValueError(
+            f"asof_join_bucketed: bucket must be '<n> "
+            f"<second|minute|hour|day|week>[s]', got {interval!r}")
+    return int(parts[0]) * _INTERVAL_UNIT_US[unit]
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,
@@ -190,11 +211,22 @@ def asof_join_bucketed(
     for c in lcols:
         if c != on:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(ltypes[c]))
-    # interval string buckets a timestamp axis; an int buckets a numeric one
-    bucket_expr = (
-        F.window("__ts", bucket).getField("start") if isinstance(bucket, str)
-        else F.floor(F.col("__ts") / F.lit(bucket)).cast("long")
-    )
+    # interval string buckets a timestamp axis; an int buckets a numeric
+    # one. The timestamp form is epoch-aligned floor ARITHMETIC, not
+    # F.window(): Catalyst's TimeWindowing rule injects an
+    # `isnotnull(ts)` filter under any window() projection, which
+    # silently DROPPED null-ts left rows — violating the 'left' contract
+    # the plain asof_join keeps (they must surface with null payload;
+    # r7 hostile-corpus find). Arithmetic is NULL-transparent: a null ts
+    # yields a null bucket, the row rides its own window partition, and
+    # the __asof guard below marks it unmatched.
+    if isinstance(bucket, str):
+        us = _interval_micros(bucket)
+        bucket_expr = F.timestamp_micros(
+            F.floor(F.unix_micros(F.col("__ts")) / F.lit(us)).cast("long")
+            * F.lit(us))
+    else:
+        bucket_expr = F.floor(F.col("__ts") / F.lit(bucket)).cast("long")
     unioned = (
         l_tag.select(on, "__ts", "__side", *[c for c in lcols if c != on], *payload)
         .unionByName(r_tag.select(on, "__ts", "__side",

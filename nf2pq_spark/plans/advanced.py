@@ -650,9 +650,13 @@ def a5b_exact_quantiles(spark, sf_dir):
     SELECT user_id,
            array_to_string(list_sort(list_distinct(list(event_type))), ',')
                AS types,
-           array_to_string(
+           -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+           -- where Spark's array_join is '' — the empty set serializes
+           -- as '' on both engines (r7 hostile-corpus find: a user whose
+           -- only event type IS 'click')
+           COALESCE(array_to_string(
                list_filter(list_sort(list_distinct(list(event_type))),
-                           x -> x != 'click'), ',') AS minus_click,
+                           x -> x != 'click'), ','), '') AS minus_click,
            array_to_string(
                list_sort(list_distinct(list(event_type) || ['audit'])), ',')
                AS with_audit,

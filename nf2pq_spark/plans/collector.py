@@ -42,6 +42,12 @@ _FLOW_SQL = """
                   CAST((event_id // 19) % 256 AS VARCHAR)) AS da,
            epoch_ms(ts) AS ts_ms
     FROM events
+    -- a NULL-ts event yields NO flow, in all three derivations of this
+    -- layout (_FLOW_SQL / _flows_records / _flow_columns): NetFlow wire
+    -- formats cannot represent a missing timestamp, so the collector
+    -- DROPS the record — pandas' NaT would otherwise alias to int64-min
+    -- and the v5 packer crashes on None (r7 hostile-corpus find)
+    WHERE ts IS NOT NULL
 """
 
 
@@ -51,8 +57,13 @@ def _flows_records(eid: pd.Series, ts: pd.Series) -> list[dict]:
     Runs INSIDE executor tasks (one call per pack-group) — the events table
     itself never crosses the driver.
     """
-    eid = eid.reset_index(drop=True)
-    ts_ms = ts.reset_index(drop=True).astype("datetime64[us]").astype("int64") // 1000
+    # NULL-ts events yield no flow (see _FLOW_SQL's WHERE): without this
+    # mask NaT silently aliases to int64-min epoch — a garbage timestamp
+    # on the wire, not an error
+    keep = ts.notna().reset_index(drop=True)
+    eid = eid.reset_index(drop=True)[keep]
+    ts_ms = (ts.reset_index(drop=True)[keep]
+             .astype("datetime64[us]").astype("int64") // 1000)
     o1 = eid % 223 + 10
     o2 = (eid // 7) % 256
     o3 = (eid // 11) % 256
@@ -199,7 +210,12 @@ def s6b_ipfix_decode(spark, sf_dir):
     oracle=f"""
     WITH f AS ({_FLOW_SQL})
     SELECT pr, COUNT(*) AS n_flows,
-           CAST(MIN(ts_ms % 4294967296) AS BIGINT) AS first_ms,
+           -- double-mod: the wire wrap is Python's & (always in
+           -- [0, 2^32)), but SQL % keeps the dividend's sign — a
+           -- pre-epoch flow (negative ms) would wrap negative here
+           -- (r7 hostile-corpus find)
+           CAST(MIN(((ts_ms % 4294967296) + 4294967296) % 4294967296)
+                AS BIGINT) AS first_ms,
            CAST(SUM(dp) AS BIGINT) AS sum_dport,
            CAST(SUM(ibyt) AS BIGINT) AS sum_bytes
     FROM f GROUP BY pr
@@ -761,7 +777,8 @@ def _sampled_dir(spark, sf_dir: str) -> str:
              CAST(event_id % 5000 + 40 AS BIGINT) AS ibyt,
              CAST(CASE WHEN event_id % 2 = 0 THEN 64 ELSE 256 END
                   AS BIGINT) AS rate
-      FROM events
+      -- NULL-ts events yield no flow (same rule as _FLOW_SQL)
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT pr,
            CAST(COUNT(*) AS BIGINT) AS n_flows,
@@ -1053,7 +1070,8 @@ def _flow_columns(df):
     executor-side, no Python)."""
     eid = F.col("event_id")
     d = lambda n: F.expr(f"event_id div {n}")  # noqa: E731
-    return df.select(
+    # NULL-ts events yield no flow (see _FLOW_SQL's WHERE)
+    return df.filter(F.col("ts").isNotNull()).select(
         ((eid % 223 + 10) * 16777216 + (d(7) % 256) * 65536
          + (d(11) % 256) * 256 + eid % 256).cast("long").alias("sa_int"),
         ((d(5) % 200 + 20) * 16777216 + (d(13) % 256) * 65536

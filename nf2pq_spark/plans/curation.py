@@ -1329,10 +1329,14 @@ def g3_triangle_count(spark, sf_dir):
     "t14_wow_growth",
     oracle="""
     WITH w AS (
+      -- ts IS NOT NULL mirrors Spark exactly: F.window() EXCLUDES
+      -- NULL-timestamp rows by definition, while DuckDB's
+      -- time_bucket(NULL) would bucket them into a NULL week
+      -- (r7 hostile-corpus find)
       SELECT event_type,
              time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01') AS wk,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), l AS (
       SELECT event_type, wk, n,
              LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n

@@ -1568,7 +1568,8 @@ def l21_substring_dup_spans(spark, sf_dir):
            CAST(CASE event_type
                 WHEN 'view' THEN 0.5 WHEN 'click' THEN 0.3
                 WHEN 'purchase' THEN 0.8 WHEN 'signup' THEN 0.2
-                ELSE 0.1 END AS DOUBLE) AS target_frac,
+                WHEN 'error' THEN 0.1
+                ELSE 0.0 END AS DOUBLE) AS target_frac,
            TRUE AS in_tol
     FROM events GROUP BY event_type
     """,
@@ -1581,7 +1582,10 @@ def l21_substring_dup_spans(spark, sf_dir):
     "the oracle asserts — the a4c gate pattern for sampling. sampleBy is "
     "seeded, so the outcome is deterministic per fixture. Scale: "
     "Bernoulli filter per partition, no shuffle before the rollup; the "
-    "alternative deterministic-hash form is l20/l12.",
+    "alternative deterministic-hash form is l20/l12. Strata outside the "
+    "preset are sampled at 0 (sampleBy's missing-key semantic) and "
+    "reported with target_frac 0.0 — visible in the output, not "
+    "silently NULL.",
     tags=("L6", "P7"),
 )
 def l22_stratified_sample_gate(spark, sf_dir):
@@ -1591,9 +1595,17 @@ def l22_stratified_sample_gate(spark, sf_dir):
     sampled = (ev.sampleBy("event_type", fractions, seed=42)
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("sampled_n")))
-    frac_expr = F.create_map(
-        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
-    )[F.col("event_type")].cast("double")
+    # coalesce 0.0: sampleBy's DOCUMENTED semantic for a stratum missing
+    # from the fractions dict is "sample nothing" — target_frac must say
+    # 0.0 for such strata (not NULL), so the gate reads true for a novel
+    # event_type instead of NULL-poisoning in_tol (r7 hostile-corpus
+    # find: a corpus with an event_type outside the preset)
+    frac_expr = F.coalesce(
+        F.create_map(
+            *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
+        )[F.col("event_type")].cast("double"),
+        F.lit(0.0),
+    )
     return (
         ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total_n"))
         .join(sampled, "event_type", "left")

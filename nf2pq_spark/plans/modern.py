@@ -84,7 +84,12 @@ def sql21_recursive_spine(spark, sf_dir):
     "a17_distribution_shape",
     oracle="""
     WITH mu AS (
-      SELECT l_returnflag, AVG(l_quantity) AS mean_q, COUNT(*) AS n,
+      -- n = COUNT(l_quantity), NOT COUNT(*): Spark's skewness/kurtosis
+      -- skip NULL observations, so the moment divisor must too — a
+      -- single NULL quantity silently skews every moment otherwise
+      -- (r7 hostile-corpus find)
+      SELECT l_returnflag, AVG(l_quantity) AS mean_q,
+             COUNT(l_quantity) AS n,
              SUM(l_quantity) AS s1, SUM(l_quantity*l_quantity) AS s2,
              SUM(l_quantity*l_quantity*l_quantity) AS s3,
              SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
@@ -99,10 +104,13 @@ def sql21_recursive_spine(spark, sf_dir):
       FROM mu
     ),
     md AS (
+      -- NULL excluded: Spark's mode() ignores NULLs; without the WHERE a
+      -- frequent-enough NULL group would win the deterministic tie-break
       SELECT l_returnflag, l_quantity AS mode_q,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
                                 ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
-      FROM lineitem GROUP BY l_returnflag, l_quantity
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      GROUP BY l_returnflag, l_quantity
     )
     SELECT m.l_returnflag,
            ROUND(m3 / POWER(m2, 1.5), 6) AS skew_q,
@@ -184,25 +192,37 @@ def f2d_calendar_functions(spark, sf_dir):
 @register(
     "v1_variant_json",
     oracle="""
+    WITH j AS (
+      -- json_valid + TRY_CAST mirror the Spark side's try_parse_json +
+      -- try_variant_get: malformed props or a non-numeric k degrade to
+      -- NULL instead of aborting the job (r7 hostile-corpus find)
+      SELECT event_type,
+             TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS k
+      FROM events
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           AVG(k) AS avg_k
+    FROM j
     GROUP BY event_type
     """,
     description="semi-structured path via Spark 4's VARIANT type: "
-    "parse_json(props) → variant_get('$.k', 'bigint'), aggregated per "
-    "event_type; oracle uses DuckDB json_extract_string + CAST. Scale: "
-    "variant parse is a per-row JVM expression inside whole-stage codegen "
-    "(no Python boundary); the shuffle carries only (event_type, partial "
-    "agg) pairs.",
+    "try_parse_json(props) → try_variant_get('$.k', 'bigint'), aggregated "
+    "per event_type; the try_ forms because a single malformed or "
+    "mistyped props row must degrade to NULL, not abort the pipeline "
+    "(plain parse_json/variant_get throw — r7 hostile-corpus find). "
+    "Oracle uses DuckDB json_valid + json_extract_string + TRY_CAST. "
+    "Scale: variant parse is a per-row JVM expression inside whole-stage "
+    "codegen (no Python boundary); the shuffle carries only (event_type, "
+    "partial agg) pairs.",
     tags=("F6", "V1"),
 )
 def v1_variant_json(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),

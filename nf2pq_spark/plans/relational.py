@@ -1003,7 +1003,9 @@ def w1_ranking(spark, sf_dir):
            lead(event_type) OVER w AS next_type,
            value - lag(value) OVER w AS delta
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- ts NULLS FIRST explicit: Spark ASC = NULLS FIRST, DuckDB default
+    -- = NULLS LAST (r7 hostile-corpus find)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
     description="lag/lead analytic windows over the event stream (W2)",
     tags=("W2",),
@@ -1100,18 +1102,24 @@ def w4_topk_per_group(spark, sf_dir):
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cdist
     FROM customer
-    WINDOW wd AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
-           w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    WINDOW wd AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal NULLS FIRST, c_custkey),
+           w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal NULLS FIRST)
     """,
     description="distribution window functions: ntile / percent_rank / "
     "cume_dist (W1). Both engines compute (rank-1)/(n-1) on identical "
-    "inputs — bit-identical doubles, no rounding.",
+    "inputs — bit-identical doubles, no rounding. NULLS FIRST is explicit "
+    "on both sides: Spark's ASC default is NULLS FIRST but DuckDB's is "
+    "NULLS LAST, so a NULL balance silently shifts every rank "
+    "(r7 hostile-corpus find).",
     tags=("W1",),
 )
 def w5_distribution(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    wd = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"))
+    wd = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_first("c_acctbal"), F.asc("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_first("c_acctbal"))
     return c.select(
         "c_custkey",
         "c_nationkey",

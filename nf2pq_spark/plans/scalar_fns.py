@@ -242,13 +242,23 @@ def f4b_explode_wordcount(spark, sf_dir):
 @register(
     "f6_json",
     oracle="""
-    SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
-    FROM events WHERE event_type = 'click'
+    WITH j AS (
+      -- json_valid guard + TRY_CAST: DuckDB's json_extract_string THROWS
+      -- on malformed JSON and CAST('v' AS BIGINT) throws on non-numeric
+      -- strings, where Spark's get_json_object/try_cast degrade to NULL
+      -- (r7 hostile-corpus find) — the oracle must degrade identically
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k_str
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT event_id, k_str,
+           TRY_CAST(k_str AS BIGINT) AS k,
+           TRY_CAST(k_str AS BIGINT) % 10 AS k_mod
+    FROM j
     """,
-    description="JSON extraction over the event props column (F6)",
+    description="JSON extraction over the event props column (F6); "
+    "malformed/mistyped props degrade to NULL on both engines",
     tags=("F6",),
 )
 def f6_json(spark, sf_dir):

@@ -30,7 +30,8 @@ def _batch_events(spark, sf_dir):
     oracle=f"""
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            COUNT(*) AS n, {osum(msql('value'), 'sum_value')}
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL  -- F.window drops null-ts rows
+    GROUP BY 1, 2
     """,
     description="Structured Streaming tumbling-window rollup (T1/T4/T8): "
     "file-source stream, watermark, availableNow trigger, memory sink — "
@@ -61,7 +62,8 @@ def _st4_core(src):
 @register(
     "st4_stream_sliding",
     oracle="""
-    WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, value FROM events),
+    WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, value
+           FROM events WHERE ts IS NOT NULL),  -- F.window drops null ts
          u AS (SELECT b AS ws, value FROM x
                UNION ALL
                SELECT b - INTERVAL 15 MINUTE AS ws, value FROM x)
@@ -99,7 +101,17 @@ def _st5_core(src):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      -- two engine floors mirrored (r7 hostile-corpus find):
+      -- F.session_window drops null-ts rows, and Structured Streaming
+      -- initializes the event-time watermark at EPOCH 0 — an event
+      -- whose session window ends at or before 1970-01-01 is born late
+      -- and dropped in the very first micro-batch (probed live: a 1677
+      -- event vanishes, a 1969-12-31 23:59:59 one survives because its
+      -- +30min window end clears the epoch)
+      FROM events
+      WHERE ts IS NOT NULL
+        AND ts + INTERVAL 30 MINUTE > TIMESTAMP '1970-01-01'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), s AS (
       SELECT user_id, ts,
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -125,7 +137,15 @@ def st5_stream_session(spark, sf_dir):
 
 @register(
     "st2_stream_dedup",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    oracle="""
+    -- ts > epoch: dropDuplicatesWithinWatermark drops rows at or below
+    -- the engine's INITIAL watermark (epoch 0) as born-late — a
+    -- pre-epoch or epoch-exact event never reaches the dedup state
+    -- (r7 hostile-corpus find, probed live); NULL ts never had an
+    -- event time and is dropped by the watermark node itself
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE ts > TIMESTAMP '1970-01-01'
+    """,
     description="streaming stateful dedup (T5): dropDuplicates over the "
     "stream, key projection compared against batch DISTINCT",
     tags=("T5",),
@@ -216,10 +236,15 @@ def st6_stream_stream_join(spark, sf_dir):
 @register(
     "st11_stream_outer_join",
     oracle="""
+    -- ts > epoch on both sides: the watermark initializes at
+    -- 1970-01-01, so a row with event time at or before the epoch is
+    -- born late and never enters the join state (r7 hostile find)
     WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
-          FROM events WHERE event_type = 'view'),
+          FROM events WHERE event_type = 'view'
+            AND ts > TIMESTAMP '1970-01-01'),
     c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
-          FROM events WHERE event_type = 'click'),
+          FROM events WHERE event_type = 'click'
+            AND ts > TIMESTAMP '1970-01-01'),
     wm AS (SELECT least((SELECT max(v_ts) FROM v),
                         (SELECT max(c_ts) FROM c))
                   - INTERVAL 1 HOUR AS w),
@@ -380,12 +405,24 @@ def st7_stateful_totals(spark, sf_dir):
         for pdf in pdfs:
             n += len(pdf)
             v = pdf["value"].to_numpy()
-            sum_c += int(np.rint(v * 100).astype("int64").sum())
-            mx = max(mx, float(v.max()))
+            # NULL values arrive as NaN: np.rint(NaN).astype(int64) is
+            # int64-MIN — one NULL silently poisoned the running sum by
+            # -9.2e16 with no error (r7 hostile-corpus find). Mask them
+            # out (SUM/MAX skip NULLs); floor(x*100+0.5) matches the
+            # oracle's cents convention exactly (np.rint is half-to-even)
+            v = v[~np.isnan(v)]
+            if len(v):
+                sum_c += int(np.floor(v * 100 + 0.5).astype("int64").sum())
+                mx = max(mx, float(v.max()))
         state.update((n, sum_c, mx))
+        # a key with NO non-null values yet emits NULL sum/max (what
+        # SUM/MAX return over an all-NULL group), flagged by the -inf
+        # sentinel that nothing real can reach
+        empty = mx == float("-inf")
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n],
-             "sum_c": [sum_c], "max_value": [mx]})
+             "sum_c": [None if empty else sum_c],
+             "max_value": [None if empty else mx]})
 
     result = stream.groupBy("user_id").applyInPandasWithState(
         totals_fn,
@@ -613,6 +650,10 @@ def _st10_core(src):
     SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
     FROM events, wm
     WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+      -- epoch floor: the engine's event-time watermark INITIALIZES at
+      -- 1970-01-01, so append-mode windows ending at or before the
+      -- epoch are born late and never emit (r7 hostile-corpus find)
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR > TIMESTAMP '1970-01-01'
     GROUP BY 1
     """,
     description="watermark late-data semantics as a hash-gated query (T4): "
@@ -713,7 +754,14 @@ def _st15_core(src):
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM events GROUP BY 1, 2
+      -- epoch floor: level-1 windows ending at/before 1970-01-01 are
+      -- born late (watermark initializes at the epoch; r7 hostile find);
+      -- NULL ts never has an event time
+      FROM events
+      WHERE ts IS NOT NULL
+        AND time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE
+            > TIMESTAMP '1970-01-01'
+      GROUP BY 1, 2
     )
     SELECT time_bucket(INTERVAL 1 HOUR, b15) AS hour_start, event_type,
            CAST(SUM(n) AS BIGINT) AS n,

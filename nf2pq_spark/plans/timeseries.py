@@ -22,7 +22,8 @@ from .registry import register
     oracle=f"""
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            COUNT(*) AS n, {osum(msql('value'), 'sum_value')}
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL  -- F.window drops null-ts rows
+    GROUP BY 1, 2
     """,
     description="tumbling 1h window rollup (T1) — the canonical flow-traffic "
     "report. Scale: single shuffle on (bucket,type); partial agg map-side.",
@@ -44,7 +45,8 @@ def t1_tumbling_hour(spark, sf_dir):
     SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL  -- F.window drops null-ts rows
+    GROUP BY 1
     """,
     description="tumbling 15-minute buckets with distinct users (T1)",
     tags=("T1",),
@@ -61,7 +63,8 @@ def t1b_tumbling_15min(spark, sf_dir):
 @register(
     "t2_sliding_window",
     oracle="""
-    WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, value FROM events),
+    WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, value
+           FROM events WHERE ts IS NOT NULL),  -- F.window drops null ts
          u AS (SELECT b AS ws, value FROM x
                UNION ALL
                SELECT b - INTERVAL 15 MINUTE AS ws, value FROM x)
@@ -90,7 +93,9 @@ def t2_sliding_window(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      -- ts IS NOT NULL: F.session_window drops null-ts rows
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), s AS (
       SELECT user_id, ts,
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -123,10 +128,17 @@ def t3_session_window(spark, sf_dir):
 @register(
     "j8_asof_join",
     oracle="""
+    -- NULL-ts probes split out: same DuckDB ASOF NULL-as-+inf hazard as
+    -- j8c (see that oracle's comment); a LEFT as-of join keeps the row
+    -- with a null payload
     SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    SELECT event_id, user_id, ts, NULL AS click_ts
+    FROM events WHERE event_type = 'purchase' AND ts IS NULL
     """,
     description="as-of join (J8): latest click at-or-before each purchase, "
     "per user — union-tag + window implementation (operators.asof), one "
@@ -155,10 +167,20 @@ def j8_asof_join(spark, sf_dir):
              CASE WHEN user_id % 5 <> 0 THEN 0 ELSE user_id END AS su
       FROM events
     )
+    -- NULL-ts probes are split out explicitly: a row with an unknown
+    -- time can match NOTHING, but a LEFT as-of join must still keep it
+    -- (null payload). DuckDB's ASOF operator instead sorts the NULL
+    -- probe as +infinity and "matches" it to the latest right row — a
+    -- wrong answer the UNION branch overrides (r7 hostile-corpus find;
+    -- the Spark operator guards this in asof.py)
     SELECT p.event_id, p.su AS user_id, p.ts, c.ts AS click_ts
-    FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+    FROM (SELECT * FROM e WHERE event_type = 'purchase'
+                            AND ts IS NOT NULL) p
     ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
       ON p.su = c.su AND p.ts >= c.ts
+    UNION ALL
+    SELECT event_id, su AS user_id, ts, NULL AS click_ts
+    FROM e WHERE event_type = 'purchase' AND ts IS NULL
     """,
     description="as-of join under 80/20 key skew (J8 + skew resilience): "
     "user ids are remapped so ~80% of events share ONE key, then joined "
@@ -197,7 +219,9 @@ def j8c_asof_hot_key(spark, sf_dir):
     SELECT date_trunc('day', ts) AS bucket, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
            MIN(value) AS min_value, MAX(value) AS max_value
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE ts IS NOT NULL  -- the hourly rollup is F.window-built
+    GROUP BY 1, 2
     """,
     description="continuous aggregate (hypertable rollup): daily stats "
     "answered from a persisted hourly rollup table, not the raw events — "
@@ -386,7 +410,10 @@ _EWMA_ORACLE_WEIGHTS = " + ".join(
            CAST(({_EWMA_ORACLE_TERMS}) AS DOUBLE)
              / CAST(({_EWMA_ORACLE_WEIGHTS}) AS DOUBLE) / 100.0 AS ewma
     FROM src
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- ts NULLS FIRST explicit: Spark ASC defaults to NULLS FIRST, DuckDB
+    -- to NULLS LAST — a NULL-ts observation would otherwise sit at
+    -- opposite ends of the EWMA timeline per engine (r7 hostile find)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
     description="per-user EWMA smoothing of the value stream (W3): "
     "truncated geometric-weight trailing average, power-of-two weights "
@@ -402,7 +429,8 @@ def w8_ewma_smoothing(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", cents("value").alias("c"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), "event_id")
     num = None
     den = None
     for j in range(_EWMA_DEPTH):
@@ -551,7 +579,8 @@ def j8b_asof_forward(spark, sf_dir):
       SELECT user_id, ts,
              ts + CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
                        ELSE INTERVAL 30 MINUTE END AS win_end
-      FROM events
+      -- ts IS NOT NULL: F.session_window drops null-ts rows
+      FROM events WHERE ts IS NOT NULL
     ), o AS (
       SELECT user_id, ts, win_end,
              MAX(win_end) OVER (PARTITION BY user_id ORDER BY ts
@@ -607,7 +636,8 @@ def t10_dynamic_session_gap(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL  -- F.window drops null-ts rows
+      GROUP BY 1, 2
     )
     SELECT time_bucket(INTERVAL 1 HOUR, b15) AS hour_start, event_type,
            CAST(SUM(n) AS BIGINT) AS n,

@@ -148,23 +148,39 @@ def x5_map_in_pandas(spark, sf_dir):
 
 def _asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     cols = ["event_id", "user_id", "ts", "click_ts"]
-    left = left.sort_values("ts")
+    # NULL-ts probes ride around the merge: merge_asof RAISES on NaT in
+    # a sorted-key column, and an unknown-time probe can match nothing —
+    # a LEFT as-of join still keeps it with a null payload (same policy
+    # as operators.asof; r7 hostile-corpus find). NULL-ts right rows can
+    # never be matched and are dropped from the candidates.
+    nat = left[left["ts"].isna()].copy()
+    left = left[left["ts"].notna()].sort_values("ts")
+    right = right[right["ts"].notna()]
     if left.empty or right.empty:
-        out = left.copy()
+        out = pd.concat([left, nat]) if len(nat) else left.copy()
         out["click_ts"] = pd.Series(dtype="datetime64[ns]")
         return out[cols]
     merged = pd.merge_asof(left, right[["ts", "click_ts"]].sort_values("ts"),
                            on="ts", direction="backward")
+    if len(nat):
+        nat["click_ts"] = pd.Series(dtype="datetime64[ns]")
+        merged = pd.concat([merged, nat[cols]])
     return merged[cols]
 
 
 @register(
     "x6_cogroup_asof",
     oracle="""
+    -- NULL-ts probes split out (DuckDB ASOF sorts a NULL probe as +inf
+    -- and bogus-matches it — see j8c's oracle comment)
     SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    SELECT event_id, user_id, ts, NULL AS click_ts
+    FROM events WHERE event_type = 'purchase' AND ts IS NULL
     """,
     description="cogrouped applyInPandas (X2 cogroup variant): purchases "
     "and clicks cogrouped per user, pandas merge_asof inside each group — "
@@ -193,13 +209,21 @@ def x6_cogroup_asof(spark, sf_dir):
 @register(
     "x8_arrow_native_udf",
     oracle="""
+    WITH p AS (
+      -- regex-gated TRY_CAST mirrors the Spark UDF's extract_regex: a
+      -- name outside the Customer#NNN format parses to NULL instead of
+      -- aborting (r7 hostile-corpus find: one free-form name killed the
+      -- whole job via pc.cast)
+      SELECT c_mktsegment, c_custkey,
+             TRY_CAST(regexp_extract(c_name, '^Customer#([0-9]+)$', 1)
+                      AS BIGINT) AS sfx
+      FROM customer
+    )
     SELECT c_mktsegment,
-           CAST(COUNT(*) FILTER (
-                WHERE CAST(substr(c_name, 10) AS BIGINT) = c_custkey)
+           CAST(COUNT(*) FILTER (WHERE sfx = c_custkey)
              AS BIGINT) AS n_consistent,
-           CAST(SUM(CAST(substr(c_name, 10) AS BIGINT)) AS BIGINT)
-             AS sum_suffix
-    FROM customer GROUP BY c_mktsegment
+           CAST(SUM(sfx) AS BIGINT) AS sum_suffix
+    FROM p GROUP BY c_mktsegment
     """,
     description="Arrow-native UDF (X1 on the Spark 4.1 arrow_udf API): "
     "pyarrow.compute kernels run directly on Arrow arrays — no "
@@ -219,8 +243,14 @@ def x8_arrow_native_udf(spark, sf_dir):
     # annotations` the hints are strings resolved in the module globals
     @arrow_udf("long")
     def name_suffix(name: pyarrow.Array) -> pyarrow.Array:
-        # 'Customer#000000001' → 1 (pure Arrow kernels, zero-copy slices)
-        return pc.cast(pc.utf8_slice_codeunits(name, 9, 99), pyarrow.int64())
+        # 'Customer#000000001' → 1 (pure Arrow kernels). extract_regex,
+        # NOT a blind slice+cast: a single name outside the format
+        # (empty, Unicode, free-form) made pc.cast throw and killed the
+        # whole job — format-assuming UDFs must degrade to NULL per row
+        # (r7 hostile-corpus find; the oracle mirrors with
+        # regexp_extract + TRY_CAST)
+        m = pc.extract_regex(name, r"^Customer#(?P<sfx>[0-9]+)$")
+        return pc.cast(pc.struct_field(m, "sfx"), pyarrow.int64())
 
     c = load_table(spark, sf_dir, "customer")
     sfx = name_suffix(F.col("c_name"))
@@ -283,8 +313,10 @@ def x10_map_in_arrow(spark, sf_dir):
     oracle="""
     WITH f AS (
       SELECT user_id, event_type, value,
+             -- ts NULLS FIRST matches Spark's table-arg ORDER BY
+             -- (ASC = NULLS FIRST; DuckDB defaults NULLS LAST)
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts NULLS FIRST, event_id) AS rn
       FROM events)
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
            MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
@@ -312,16 +344,24 @@ def x9_udtf_table_arg(spark, sf_dir):
             self.uid = None
             self.n = 0
             self.first = None
-            self.cents = 0
+            self.cents = None
 
         def eval(self, row):
+            import math
+
             self.uid = row["user_id"]
             if self.first is None:
                 self.first = row["event_type"]  # rows arrive ORDER BY ts
             self.n += 1
-            # int() == FLOOR here because event values are non-negative
-            # (verified 0.0..560.21 across fixtures); the oracle uses FLOOR
-            self.cents += int(row["value"] * 100 + 0.5)
+            # math.floor, not int(): int() truncates toward zero, so a
+            # NEGATIVE value (e.g. -1.0 → -99 vs FLOOR's -100) silently
+            # diverged from the oracle; a NULL value crashed the UDTF
+            # outright. NULL skips the accumulation (SUM semantics) and
+            # an all-NULL user yields NULL cents, exactly like SUM
+            # (r7 hostile-corpus find).
+            if row["value"] is not None:
+                self.cents = (self.cents or 0) + math.floor(
+                    row["value"] * 100 + 0.5)
 
         def terminate(self):
             if self.uid is not None:

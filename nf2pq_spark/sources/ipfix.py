@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import struct
+from struct import error as _struct_error
 from collections.abc import Iterator
 
 import numpy as np
@@ -144,15 +145,24 @@ def encode_netflow_v5(flows: list[dict], per_packet: int = 30) -> list[bytes]:
     for i in range(0, len(flows), per_packet):
         chunk = flows[i:i + per_packet]
         header = _V5_HEADER.pack(5, len(chunk), 0, 0, 0, i, 0, 0, 0)
-        recs = b"".join(
-            _V5_RECORD.pack(
-                f["sa_int"], f["da_int"], 0, 0, 0,
-                f["ipkt"], f["ibyt"], f["ts_ms"] % (1 << 32), f["te_ms"] % (1 << 32),
-                f["sp"], f["dp"], 0, f["flg"], f["pr"], 0,
-                f["sas"] & 0xFFFF, f["das"] & 0xFFFF, 0, 0, 0,
+        try:
+            recs = b"".join(
+                _V5_RECORD.pack(
+                    f["sa_int"], f["da_int"], 0, 0, 0,
+                    f["ipkt"], f["ibyt"], f["ts_ms"] % (1 << 32), f["te_ms"] % (1 << 32),
+                    f["sp"], f["dp"], 0, f["flg"], f["pr"], 0,
+                    f["sas"] & 0xFFFF, f["das"] & 0xFFFF, 0, 0, 0,
+                )
+                for f in chunk
             )
-            for f in chunk
-        )
+        except (TypeError, _struct_error) as ex:
+            # name the contract instead of a bare TypeError from deep in
+            # struct.pack: the v5 wire format has no NULL — callers must
+            # drop or fill unencodable records BEFORE the encoder
+            raise ValueError(
+                "encode_netflow_v5: flow record with a None/out-of-range "
+                f"field — NetFlow v5 cannot represent missing values ({ex})"
+            ) from ex
         out.append(header + recs)
     return out
 

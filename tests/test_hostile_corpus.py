@@ -27,8 +27,16 @@ import pytest
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(_REPO, "tools"))
 
-#: the queries the r7 hostile sweep found silently diverging or crashing
+#: the queries the r7 hostile sweeps found silently diverging or
+#: crashing. Wave 1 = degenerate embeddings + adversarial Unicode text;
+#: wave 2 = relational edge rows (NULLs in every nullable slot,
+#: boundary/leap dates, window ties, rounding-edge money, orphan FKs,
+#: malformed JSON props). The heavier streaming st* catches (watermark
+#: epoch-floor mirrors) are covered by the full-sweep tool, not here —
+#: except st7, whose catch was a REAL operator bug (NaN→int64-min sum
+#: poisoning), pinned in test_streaming.py instead of this module.
 CAUGHT = [
+    # wave 1: embeddings + Unicode
     "f8_hash",            # silent: Java vs utf8proc lower() on İ/ß/σ
     "l3_cosine_topk",     # silent: NaN ranks first in desc top-k
     "l3c_cosine_neardup", # silent: NaN threshold comparison
@@ -41,6 +49,27 @@ CAUGHT = [
     "l6_label_centroids",
     "l10_vec_quantize",   # silent: '' vs NULL q8 for the zero vector
     "f4_arrays",          # crash: DuckDB NaN->int cast in the battery
+    # wave 2: relational edge rows
+    "w5_distribution",    # silent: Spark NULLS FIRST vs DuckDB NULLS LAST
+    "w8_ewma_smoothing",  # silent: NULL-ts ordering flips the EWMA lag
+    "w2_lag_lead",        # silent: same NULL-ordering default split
+    "t14_wow_growth",     # silent: F.window drops null-ts, time_bucket keeps
+    "t1_tumbling_hour",   # silent: same null-ts window split
+    "t3_session_window",
+    "t10_dynamic_session_gap",
+    "rl1_hypertable_rollup",
+    "a17_distribution_shape",  # silent: COUNT(*) vs COUNT(col) moments
+    "f4c_array_setops",   # silent: '' vs NULL empty-list serialization
+    "l22_stratified_sample_gate",  # silent: NULL target for novel stratum
+    "j8_asof_join",       # DuckDB ASOF treats NULL probe as +inf
+    "j8c_asof_hot_key",   # + F.window dropped NULL-ts left rows (operator)
+    "x6_cogroup_asof",    # merge_asof raises on NaT probe keys
+    "x8_arrow_native_udf",  # crash: blind slice+cast on free-form name
+    "x9_udtf_table_arg",  # crash: int(None); int() vs FLOOR on negatives
+    "f6_json",            # crash: DuckDB json_extract on malformed JSON
+    "v1_variant_json",    # crash: parse_json/variant_get on malformed
+    "s6c_netflow_v9_decode",  # silent: signed % vs & on pre-epoch wrap
+    "t8_cohort_retention",  # crash: week-floor beyond pandas ns range
 ]
 
 

@@ -687,3 +687,42 @@ def test_idempotent_batch_writer_redelivery(spark, tmp_path):
     got = spark.read.parquet(base)
     assert got.count() == 200  # not 300: batch 0 replaced itself
     assert got.select("v").distinct().count() == 200
+
+
+def test_st7_stateful_totals_null_and_negative_values(spark, tmp_path):
+    """st7's per-key stateful accumulator must treat NULL values as SUM
+    does (skip; all-NULL key => NULL sum/max) and floor negative cents
+    like the oracle. The original np.rint(...).astype(int64) turned one
+    NULL (NaN) into int64-MIN — a silent -9.2e16 poisoning of the running
+    sum with no error — and int() truncation would round -99.5 cents the
+    wrong way (r7 hostile-corpus find)."""
+    from datetime import datetime
+
+    import __spark_entry__ as em
+
+    sf = str(tmp_path)
+    rows = [
+        (datetime(2024, 1, 1, 10, 0, 0), 1, 2.5, "a"),
+        (datetime(2024, 1, 1, 10, 1, 0), 1, None, "a"),   # NULL skipped
+        (datetime(2024, 1, 1, 10, 2, 0), 1, -0.995, "a"), # floor(-99.0)
+        (datetime(2024, 1, 1, 10, 0, 0), 2, None, "a"),   # all-NULL key
+        (datetime(2024, 1, 1, 10, 1, 0), 2, None, "a"),
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, user_id long, value double, event_type string"
+    ).withColumn("event_id", (F.col("user_id") * 10
+                              + F.minute("ts")).cast("long")) \
+     .withColumn("props", F.lit("{}")) \
+     .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+     .coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = {r.user_id: r for r in
+           em.queries()["st7_stateful_totals"](spark, sf).collect()}
+    # user 1: floor(2.5*100+0.5)=250, NULL skipped, floor(-99.5+0.5)=-99
+    assert got[1].n_events == 3
+    assert abs(got[1].sum_value - (250 - 99) / 100) < 1e-9
+    assert got[1].max_value == 2.5
+    # user 2: counted rows but NULL aggregates, not 0.0 / -inf / -9.2e16
+    assert got[2].n_events == 2
+    assert got[2].sum_value is None
+    assert got[2].max_value is None

@@ -68,14 +68,160 @@ HOSTILE_DOCS: list[tuple[str, str]] = [
 ]
 
 
+def _append(src: str, dst: str, table: str, rows: list[dict]) -> None:
+    """Append `rows` (dicts keyed by column name; missing keys = NULL)
+    to `table`, preserving the source schema exactly."""
+    t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    base = t.to_pydict()
+    for row in rows:
+        for f in t.schema:
+            base[f.name].append(row.get(f.name))
+    pq.write_table(pa.table(base, schema=t.schema.remove_metadata()),
+                   os.path.join(dst, f"{table}.parquet"))
+
+
+def _dt(s: str):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def _relational_tails(src: str, dst: str) -> None:
+    """In-domain EDGE rows for the relational tables — data any production
+    pipeline legitimately sees, where engine semantics classically split:
+    NULLs in every nullable slot (Spark ASC = NULLS FIRST, DuckDB default
+    = NULLS LAST — any window ordered by a nullable column is exposed),
+    exact ties for rank/row_number tie-breaks, duplicate rows, rounding-
+    edge money (x.xx5 binary-representation traps), boundary + leap dates,
+    orphan foreign keys, hot keys, Unicode/empty strings, malformed JSON
+    props. Domain-VIOLATING values (NaN/Inf/1e30 money) are deliberately
+    not here: those break the data contract and may legitimately fail
+    loudly; this tail must stay hash-green forever."""
+    lk, ok_, ck, ek = 10_000_000, 20_000_000, 900_000, 30_000_000
+
+    _append(src, dst, "customer", [
+        {"c_custkey": ck + 0, "c_name": "Ärna Müller-Ω", "c_nationkey": 0,
+         "c_acctbal": -999.99, "c_mktsegment": "BUILDING"},
+        {"c_custkey": ck + 1, "c_name": "", "c_nationkey": 1,
+         "c_acctbal": 0.0, "c_mktsegment": ""},
+        {"c_custkey": ck + 2, "c_name": "zz tie", "c_nationkey": 2,
+         "c_acctbal": None, "c_mktsegment": "MACHINERY"},
+        {"c_custkey": ck + 3, "c_name": "zz tie", "c_nationkey": 2,
+         "c_acctbal": None, "c_mktsegment": "MACHINERY"},
+    ])
+
+    _append(src, dst, "orders", [
+        # hot key: many orders on one new customer; boundary/leap dates
+        *[{"o_orderkey": ok_ + i, "o_custkey": ck + 0,
+           "o_orderstatus": "O", "o_totalprice": 1000.005 + i,
+           "o_orderdate": _dt("2024-02-29"), "o_orderpriority": "1-URGENT"}
+          for i in range(6)],
+        {"o_orderkey": ok_ + 6, "o_custkey": -1,        # orphan custkey
+         "o_orderstatus": "F", "o_totalprice": 0.0,
+         "o_orderdate": _dt("1992-01-01"), "o_orderpriority": "5-LOW"},
+        {"o_orderkey": ok_ + 7, "o_custkey": ck + 1,
+         "o_orderstatus": "P", "o_totalprice": None,    # NULL money
+         "o_orderdate": _dt("1998-12-31"), "o_orderpriority": ""},
+        {"o_orderkey": ok_ + 8, "o_custkey": ck + 2,
+         "o_orderstatus": "O", "o_totalprice": 2.675,   # 2.67499999… repr
+         "o_orderdate": None, "o_orderpriority": "3-MEDIUM"},
+    ])
+
+    li_common = {"l_partkey": 1, "l_suppkey": 1, "l_returnflag": "N",
+                 "l_linestatus": "O", "l_shipdate": _dt("1995-06-15")}
+    _append(src, dst, "lineitem", [
+        # two EXACT duplicate lines (same orderkey+linenumber): window
+        # tie-breaks and distinct-vs-all paths
+        {**li_common, "l_orderkey": ok_ + 0, "l_linenumber": 1,
+         "l_quantity": 25.0, "l_extendedprice": 0.005, "l_discount": 0.05,
+         "l_tax": 0.0},
+        {**li_common, "l_orderkey": ok_ + 0, "l_linenumber": 1,
+         "l_quantity": 25.0, "l_extendedprice": 0.005, "l_discount": 0.05,
+         "l_tax": 0.0},
+        # NULLs in aggregated/ordered slots
+        {**li_common, "l_orderkey": ok_ + 1, "l_linenumber": 1,
+         "l_quantity": None, "l_extendedprice": 100.0, "l_discount": None,
+         "l_tax": 0.08},
+        {**li_common, "l_orderkey": ok_ + 1, "l_linenumber": 2,
+         "l_quantity": 0.0, "l_extendedprice": 100.10, "l_discount": 0.1,
+         "l_tax": None, "l_shipdate": None},
+        # boundary dates: epoch day, far-past (pre-ns-range), far-future
+        {**li_common, "l_orderkey": ok_ + 2, "l_linenumber": 1,
+         "l_quantity": 50.0, "l_extendedprice": 50000.0, "l_discount": 0.0,
+         "l_tax": 0.0, "l_shipdate": _dt("1970-01-01")},
+        {**li_common, "l_orderkey": ok_ + 2, "l_linenumber": 2,
+         "l_quantity": 1.0, "l_extendedprice": 901.0, "l_discount": 0.1,
+         "l_tax": 0.08, "l_shipdate": _dt("1600-02-29")},
+        {**li_common, "l_orderkey": ok_ + 2, "l_linenumber": 3,
+         "l_quantity": 1.0, "l_extendedprice": 902.0, "l_discount": 0.1,
+         "l_tax": 0.08, "l_shipdate": _dt("2260-12-31")},
+        # orphan orderkey + novel flag values (new groupBy groups)
+        {"l_orderkey": lk, "l_partkey": -5, "l_suppkey": -5,
+         "l_linenumber": 1, "l_quantity": 30.0, "l_extendedprice": 30000.0,
+         "l_discount": 0.02, "l_tax": 0.04, "l_returnflag": "Ω",
+         "l_linestatus": "", "l_shipdate": _dt("1994-01-01")},
+    ])
+
+    _append(src, dst, "events", [
+        # exact-tie timestamps for one user (session/dedup/rank ties)
+        {"event_id": ek + 0, "ts": _dt("2024-03-10 02:30:00"),
+         "user_id": 777001, "event_type": "click", "value": 1.5,
+         "props": '{"k": "v"}'},
+        {"event_id": ek + 1, "ts": _dt("2024-03-10 02:30:00"),
+         "user_id": 777001, "event_type": "click", "value": 1.5,
+         "props": '{"k": "v"}'},
+        # epoch 0 and pre-epoch
+        {"event_id": ek + 2, "ts": _dt("1970-01-01 00:00:00"),
+         "user_id": 777002, "event_type": "view", "value": 0.0,
+         "props": "{}"},
+        {"event_id": ek + 3, "ts": _dt("1969-12-31 23:59:59"),
+         "user_id": 777002, "event_type": "view", "value": -1.0,
+         "props": "{}"},
+        # NULL value / NULL ts / NULL props
+        {"event_id": ek + 4, "ts": _dt("2024-06-01 12:00:00"),
+         "user_id": 777003, "event_type": "purchase", "value": None,
+         "props": None},
+        {"event_id": ek + 5, "ts": None,
+         "user_id": 777003, "event_type": "purchase", "value": 10.0,
+         "props": '{"a": 1}'},
+        # malformed / adversarial JSON in props
+        {"event_id": ek + 6, "ts": _dt("2024-06-01 12:00:01"),
+         "user_id": 777004, "event_type": "click", "value": 2.0,
+         "props": '{"unterminated": '},
+        {"event_id": ek + 7, "ts": _dt("2024-06-01 12:00:02"),
+         "user_id": 777004, "event_type": "click", "value": 3.0,
+         "props": '{"nested": {"quote\\"": "\\u0000"}}'},
+        {"event_id": ek + 8, "ts": _dt("2024-06-01 12:00:03"),
+         "user_id": 777004, "event_type": "", "value": 4.0,
+         "props": "not json at all"},
+        # timestamp-domain EDGES: the last/first pandas-representable
+        # days. Timestamps OUTSIDE [1677-09-21, 2262-04-11] are
+        # unsupported on any pandas-interop surface — Spark's Arrow
+        # conversion coerces timestamp[us]→[ns] and a 2262-04-12 value
+        # hard-crashes toPandas, mapInPandas, and every pandas UDF
+        # (probed live, r7: ArrowInvalid out-of-bounds). Pure-JVM paths
+        # handle Spark's full 0001–9999 range — the lineitem 1600-02-29
+        # row above stays green through the whole relational sweep.
+        {"event_id": ek + 9, "ts": _dt("2262-04-11 12:00:00"),
+         "user_id": 777005, "event_type": "view", "value": 5.0,
+         "props": "{}"},
+        # lower edge leaves truncation headroom: day/week/month floors
+        # and epoch-aligned 7-day buckets of this ts stay above the ns
+        # minimum (1677-09-21 00:12:43) — a 1677-09-22 event's 7-day
+        # bucket start lands on 1677-09-21 00:00 and overflows (probed)
+        {"event_id": ek + 10, "ts": _dt("1677-10-05 06:00:00"),
+         "user_id": 777005, "event_type": "view", "value": 6.0,
+         "props": "{}"},
+    ])
+
+
 def build(src: str = SRC, dst: str = DST) -> str:
     os.makedirs(dst, exist_ok=True)
-    tables = ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]
-    for t in tables:
+    for t in ["region", "nation", "supplier", "part"]:
         out = os.path.join(dst, f"{t}.parquet")
         if not os.path.exists(out):
             shutil.copyfile(os.path.join(src, f"{t}.parquet"), out)
+    _relational_tails(src, dst)
 
     # documents: original rows + hostile tail (schema preserved exactly)
     dt = pq.read_table(os.path.join(src, "documents.parquet"))
