@@ -1017,15 +1017,22 @@ def l29_ngram_novelty(spark, sf_dir):
 @register(
     "a20_mad_robust_spread",
     oracle="""
-    WITH med AS (
-      SELECT l_returnflag, median(l_extendedprice) AS med
-      FROM lineitem GROUP BY l_returnflag
+    -- isnan CASE mirrors the Spark side's nan_to_null (see a5): NaN
+    -- prices are excluded from BOTH medians on BOTH engines
+    WITH li AS (
+      SELECT l_returnflag,
+             CASE WHEN NOT isnan(l_extendedprice)
+                  THEN l_extendedprice END AS price
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag, median(price) AS med
+      FROM li GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
            CAST(ROUND(MAX(m.med), 4) AS DOUBLE) AS median_price,
-           CAST(ROUND(median(ABS(l.l_extendedprice - m.med)), 4) AS DOUBLE)
+           CAST(ROUND(median(ABS(l.price - m.med)), 4) AS DOUBLE)
                AS mad_price
-    FROM lineitem l JOIN med m USING (l_returnflag)
+    FROM li l JOIN med m USING (l_returnflag)
     GROUP BY l.l_returnflag
     """,
     description="median absolute deviation per group (the robust spread "
@@ -1037,15 +1044,19 @@ def l29_ngram_novelty(spark, sf_dir):
     tags=("A5", "A6"),
 )
 def a20_mad_robust_spread(spark, sf_dir):
+    from .helpers import nan_to_null
+
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice")
+        "l_returnflag", nan_to_null("l_extendedprice").alias("price"))
+    # nan_to_null: see a5 — NaN prices are excluded from BOTH medians
+    # (Spark would rank them greatest, DuckDB excludes; r7 tier-2 find)
     med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("med"))
+        F.percentile("price", 0.5).alias("med"))
     dev = li.join(F.broadcast(med), "l_returnflag")
     return dev.groupBy("l_returnflag").agg(
         F.round(F.max("med"), 4).alias("median_price"),
         F.round(
-            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5),
+            F.percentile(F.abs(F.col("price") - F.col("med")), 0.5),
             4).alias("mad_price"),
     )
 

@@ -113,6 +113,19 @@ def ocents_avg(sql_expr: str, scale: int, alias: str) -> str:
     return f"CAST(SUM({sql_expr}) AS DOUBLE) / {scale}.0 / COUNT(*) AS {alias}"
 
 
+def nan_to_null(col: Column | str) -> Column:
+    """NaN → NULL for ordered-set aggregates (percentile/median/MAD).
+
+    The engines genuinely disagree on NaN inside percentiles: Spark's
+    percentile/median rank NaN as the GREATEST value (silently shifting
+    every upper quantile), DuckDB's quantile_cont excludes it like NULL
+    (r7 hostile-corpus tier-2 find). A NaN metric is garbage, not a
+    magnitude — the production semantic is to exclude it, which also
+    makes both engines agree. No-op on NaN-free data."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c), c)
+
+
 #: Knuth's multiplicative constant (2^32 / golden ratio, public knowledge)
 KNUTH_MULT = 2654435761
 

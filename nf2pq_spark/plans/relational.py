@@ -668,31 +668,51 @@ def a4d_hll_merge_rollup(spark, sf_dir):
 @register(
     "a5_percentiles",
     oracle="""
+    -- isnan CASEs mirror the Spark side's nan_to_null: a NaN metric is
+    -- EXCLUDED from percentiles on both engines (each engine would
+    -- otherwise rank it greatest, but with subtly different
+    -- interpolation around it — r7 hostile-corpus tier-2 find)
     SELECT l_returnflag,
-           CAST(ROUND(median(l_extendedprice), 4) AS DOUBLE) AS med_price,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price,
-           CAST(ROUND(quantile_cont(l_quantity, 0.25), 4) AS DOUBLE) AS q1_qty
+           CAST(ROUND(median(CASE WHEN NOT isnan(l_extendedprice)
+                             THEN l_extendedprice END), 4) AS DOUBLE)
+             AS med_price,
+           CAST(ROUND(quantile_cont(CASE WHEN NOT isnan(l_extendedprice)
+                                    THEN l_extendedprice END, 0.9), 4)
+                AS DOUBLE) AS p90_price,
+           CAST(ROUND(quantile_cont(CASE WHEN NOT isnan(l_quantity)
+                                    THEN l_quantity END, 0.25), 4)
+                AS DOUBLE) AS q1_qty
     FROM lineitem GROUP BY l_returnflag
     """,
     description="exact interpolated percentiles (A5)",
     tags=("A5",),
 )
 def a5_percentiles(spark, sf_dir):
+    from .helpers import nan_to_null
+
     li = load_table(spark, sf_dir, "lineitem")
+    # nan_to_null: Spark percentiles rank NaN as the GREATEST value,
+    # DuckDB excludes it — a NaN metric is excluded on both engines
+    price = nan_to_null("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
-        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-        F.round(F.percentile("l_quantity", 0.25), 4).alias("q1_qty"),
+        F.round(F.median(price), 4).alias("med_price"),
+        F.round(F.percentile(price, 0.9), 4).alias("p90_price"),
+        F.round(F.percentile(nan_to_null("l_quantity"), 0.25), 4)
+        .alias("q1_qty"),
     )
 
 
 @register(
     "a5c_approx_percentile_gate",
     oracle="""
+    -- isnan CASE: see a5 — NaN excluded on both engines
     SELECT l_returnflag,
-           CAST(ROUND(median(l_extendedprice), 4) AS DOUBLE) AS med_exact,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE)
-             AS p90_exact,
+           CAST(ROUND(median(CASE WHEN NOT isnan(l_extendedprice)
+                             THEN l_extendedprice END), 4) AS DOUBLE)
+             AS med_exact,
+           CAST(ROUND(quantile_cont(CASE WHEN NOT isnan(l_extendedprice)
+                                    THEN l_extendedprice END, 0.9), 4)
+                AS DOUBLE) AS p90_exact,
            TRUE AS med_ok, TRUE AS p90_ok
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -707,12 +727,17 @@ def a5_percentiles(spark, sf_dir):
     tags=("A5", "A4"),
 )
 def a5c_approx_percentile_gate(spark, sf_dir):
+    from .helpers import nan_to_null
+
     li = load_table(spark, sf_dir, "lineitem")
+    # nan_to_null: see a5 — NaN is excluded from percentiles on both
+    # engines (and percentile_approx must see the same multiset)
+    price = nan_to_null("l_extendedprice")
     agg = li.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("med_e"),
-        F.percentile("l_extendedprice", 0.9).alias("p90_e"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("med_a"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_a"),
+        F.median(price).alias("med_e"),
+        F.percentile(price, 0.9).alias("p90_e"),
+        F.percentile_approx(price, 0.5, 10000).alias("med_a"),
+        F.percentile_approx(price, 0.9, 10000).alias("p90_a"),
     )
     rel = lambda a, e: F.abs(a - e) / F.abs(e)
     return agg.select(

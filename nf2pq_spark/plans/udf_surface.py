@@ -101,13 +101,24 @@ def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
 @register(
     "x3_grouped_agg_udf",
     oracle="""
+    -- isnan CASEs mirror the pandas-UDF surface's NULL/NaN conflation:
+    -- Arrow hands the UDF float64 where NULL *is* NaN, and pandas
+    -- .sum() skips NaN — so the UDF treats NaN as missing while SQL
+    -- SUM would propagate it (r7 hostile-corpus tier-2 find). The
+    -- denominator keeps the qty of a NaN-priced row, exactly like the
+    -- UDF's independent qty.sum().
     SELECT l_returnflag,
-           CAST(ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           CAST(ROUND(
+             SUM(CASE WHEN NOT isnan(l_extendedprice * l_quantity)
+                      THEN l_extendedprice * l_quantity END)
+             / SUM(CASE WHEN NOT isnan(l_quantity) THEN l_quantity END), 4)
                 AS DOUBLE) AS wavg_price
     FROM lineitem GROUP BY l_returnflag
     """,
     description="grouped-aggregate pandas UDF: quantity-weighted mean price "
-    "(X3)",
+    "(X3). NB the pandas-UDF surface CONFLATES NULL and NaN (Arrow "
+    "float64): both arrive as NaN and pandas sum() skips them — the "
+    "oracle mirrors that as 'NaN is missing'.",
     tags=("X3",),
 )
 def x3_grouped_agg_udf(spark, sf_dir):

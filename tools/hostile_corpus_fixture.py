@@ -215,13 +215,58 @@ def _relational_tails(src: str, dst: str) -> None:
     ])
 
 
-def build(src: str = SRC, dst: str = DST) -> str:
+def _tier2_tails(dst: str) -> None:
+    """DOMAIN-VIOLATING rows appended on top of the tier-1 fixture
+    (``--tier2``): NaN/Inf/1e30 money and NaN event values break the
+    data contract the TPC-H-shaped queries assume. The adjudication
+    rule differs from tier 1: a LOUD error (either engine) is an
+    acceptable outcome for these rows — only SILENT divergences
+    (hash mismatch with no error) are findings. Not part of the
+    regression-test fixture."""
+    _append(dst, dst, "lineitem", [
+        {"l_orderkey": 11_000_000, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": 10.0,
+         "l_extendedprice": float("nan"), "l_discount": 0.05,
+         "l_tax": 0.02, "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": _dt("1995-06-15")},
+        {"l_orderkey": 11_000_000, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 2, "l_quantity": 10.0,
+         "l_extendedprice": float("inf"), "l_discount": 0.0,
+         "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": _dt("1995-06-16")},
+        {"l_orderkey": 11_000_001, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": 1e30,
+         "l_extendedprice": 1e30, "l_discount": 0.05,
+         "l_tax": 0.02, "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": _dt("1995-06-17")},
+    ])
+    _append(dst, dst, "orders", [
+        {"o_orderkey": 21_000_000, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": float("nan"), "o_orderdate": _dt("1996-01-01"),
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 21_000_001, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": -1e30, "o_orderdate": _dt("1996-01-02"),
+         "o_orderpriority": "2-HIGH"},
+    ])
+    _append(dst, dst, "events", [
+        {"event_id": 31_000_000, "ts": _dt("2024-06-02 09:00:00"),
+         "user_id": 778001, "event_type": "view", "value": float("nan"),
+         "props": "{}"},
+        {"event_id": 31_000_001, "ts": _dt("2024-06-02 09:00:01"),
+         "user_id": 778001, "event_type": "view", "value": float("inf"),
+         "props": "{}"},
+    ])
+
+
+def build(src: str = SRC, dst: str = DST, tier2: bool = False) -> str:
     os.makedirs(dst, exist_ok=True)
     for t in ["region", "nation", "supplier", "part"]:
         out = os.path.join(dst, f"{t}.parquet")
         if not os.path.exists(out):
             shutil.copyfile(os.path.join(src, f"{t}.parquet"), out)
     _relational_tails(src, dst)
+    if tier2:
+        _tier2_tails(dst)
 
     # documents: original rows + hostile tail (schema preserved exactly)
     dt = pq.read_table(os.path.join(src, "documents.parquet"))
@@ -268,4 +313,6 @@ def build(src: str = SRC, dst: str = DST) -> str:
 
 
 if __name__ == "__main__":
-    print(build())
+    import sys
+
+    print(build(tier2="--tier2" in sys.argv))
