@@ -194,6 +194,12 @@ def _relational_tails(src: str, dst: str) -> None:
         {"event_id": ek + 8, "ts": _dt("2024-06-01 12:00:03"),
          "user_id": 777004, "event_type": "", "value": 4.0,
          "props": "not json at all"},
+        # NULL value on a user with 2+ DISTINCT non-null values: the
+        # sharp probe for pandas NULL→NaN conflation inside per-group
+        # UDFs (a lone NULL-value user hides behind the std<=0 branch)
+        {"event_id": ek + 11, "ts": _dt("2024-06-01 12:00:04"),
+         "user_id": 777004, "event_type": "click", "value": None,
+         "props": "{}"},
         # timestamp-domain EDGES: the last/first pandas-representable
         # days. Timestamps OUTSIDE [1677-09-21, 2262-04-11] are
         # unsupported on any pandas-interop surface — Spark's Arrow
