@@ -52,6 +52,13 @@ PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
     }, {}),
     "hash_seed_a": ("local[4]", {}, {"PYTHONHASHSEED": "1"}),
     "hash_seed_b": ("local[4]", {}, {"PYTHONHASHSEED": "31337"}),
+    # maximally-offset host timezone (UTC+14): ensure_session_conf pins
+    # the SESSION to UTC, but the JVM's user.timezone, Python's
+    # datetime.fromtimestamp/localtime, pandas' tz-naive conversions,
+    # and DuckDB's TimeZone setting all read the HOST zone — any leak
+    # of local time into a seeder, a UDF, or an oracle shifts every
+    # timestamp by 14 hours and flips date-boundary buckets (r7 lens)
+    "hostile_tz": ("local[4]", {}, {"TZ": "Pacific/Kiritimati"}),
 }
 
 
