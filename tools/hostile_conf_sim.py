@@ -59,6 +59,13 @@ PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
     # of local time into a seeder, a UDF, or an oracle shifts every
     # timestamp by 14 hours and flips date-boundary buckets (r7 lens)
     "hostile_tz": ("local[4]", {}, {"TZ": "Pacific/Kiritimati"}),
+    # Turkish locale: the classic JVM hazard — any code path using
+    # Locale.getDefault() case mapping turns I→ı / i→İ (the reason f8's
+    # fingerprint folds only [A-Z] explicitly); also flips decimal
+    # separators in naive number formatting. Python's str methods are
+    # locale-independent, but the JVM and any C library honor LC_ALL.
+    "hostile_locale": ("local[4]", {},
+                       {"LANG": "tr_TR.UTF-8", "LC_ALL": "tr_TR.UTF-8"}),
 }
 
 
