@@ -1673,3 +1673,53 @@ def test_l10_zero_norm_quantizes_to_null_both_engines(spark, tmp_path):
     drow = d.set_index("vec_id")
     assert drow.loc[2, "q8"] is None
     assert drow.loc[1, "q8"] == "76,102"
+
+
+def test_asof_bucketed_timestamp_axis_null_ts_parity(spark):
+    """The TIMESTAMP-axis bucketed as-of must keep NULL-ts left rows with
+    a null payload, exactly like the plain operator. The original
+    F.window-based bucketing silently DROPPED them — Catalyst's
+    TimeWindowing rewrite injects isnotnull(ts) under any window()
+    projection — and the numeric-axis tests above never exercised the
+    timestamp path (r7 hostile-corpus find). Also pins epoch alignment:
+    the arithmetic bucket must match F.window's epoch-aligned starts."""
+    from datetime import datetime
+
+    from nf2pq_spark.operators.asof import (_interval_micros, asof_join,
+                                            asof_join_bucketed)
+
+    t = lambda h, m=0: datetime(2024, 3, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(10, 30)), (1, 2, t(23, 50)), (2, 3, None),
+         (1, 4, None), (None, 5, t(12))],
+        "k int, id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(9), "early"), (1, t(23, 45), "late"), (2, t(1), "other"),
+         (1, None, "nullts"), (None, t(2), "nullkey")],
+        "k int, ts timestamp, tag string")
+
+    for how in ("left", "inner"):
+        plain = {(r.id, r.tag) for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload=["tag"], how=how).collect()}
+        for bucket in ("1 day", "2 hours", "30 minutes"):
+            buck = {(r.id, r.tag) for r in asof_join_bucketed(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                payload=["tag"], how=how, bucket=bucket).collect()}
+            assert buck == plain, (how, bucket)
+    # left mode keeps the NULL-ts and NULL-key probes, unmatched
+    assert {(1, "early"), (2, "late"), (3, None), (4, None),
+            (5, None)} == {(r.id, r.tag) for r in asof_join_bucketed(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload=["tag"], how="left", bucket="1 day").collect()}
+
+    # interval parser: F.window-compatible widths, loud on non-fixed units
+    assert _interval_micros("1 day") == 86_400_000_000
+    assert _interval_micros("30 minutes") == 1_800_000_000
+    assert _interval_micros("2 Hours") == 7_200_000_000
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket"):
+        _interval_micros("1 month")
+    with pytest.raises(ValueError, match="bucket"):
+        _interval_micros("day")
