@@ -103,49 +103,53 @@ def _datagram_dir(spark, sf_dir: str, kind: str) -> str:
     how flows are sharded across capture files. On a real cluster /tmp
     becomes a shared filesystem or object-store prefix.
     """
-    from .helpers import cache_current, source_stamp, write_cache_marker
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_{kind}_{tag}"
     done = os.path.join(out, "_DONE")
     stamp = source_stamp(sf_dir, "events")
-    if not cache_current(done, stamp):
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
+    with cache_lock(done):
+        # re-check under the lock: a concurrent grader may have
+        # finished the same rebuild while we waited
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
 
-        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("event_id")
-            bucket = int(pdf["event_id"].iloc[0]) % _N_PACK_BUCKETS
-            flows = _flows_records(pdf["event_id"], pdf["ts"])
-            if kind == "mixed":
-                parts = [encode_netflow_v5(flows), encode_netflow_v9(flows),
-                         encode_ipfix(flows)]
-                dgrams = [d for trio in zip(*parts) for d in trio]
-                # tails beyond the shortest list (counts differ per format)
-                shortest = min(len(p) for p in parts)
-                for p in parts:
-                    dgrams.extend(p[shortest:])
-            else:
-                encode = {"v5": encode_netflow_v5, "v9": encode_netflow_v9,
-                          "ipfix": encode_ipfix}[kind]
-                dgrams = encode(flows)
-            write_capture_file(
-                os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
-            return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
+            def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("event_id")
+                bucket = int(pdf["event_id"].iloc[0]) % _N_PACK_BUCKETS
+                flows = _flows_records(pdf["event_id"], pdf["ts"])
+                if kind == "mixed":
+                    parts = [encode_netflow_v5(flows), encode_netflow_v9(flows),
+                             encode_ipfix(flows)]
+                    dgrams = [d for trio in zip(*parts) for d in trio]
+                    # tails beyond the shortest list (counts differ per format)
+                    shortest = min(len(p) for p in parts)
+                    for p in parts:
+                        dgrams.extend(p[shortest:])
+                else:
+                    encode = {"v5": encode_netflow_v5, "v9": encode_netflow_v9,
+                              "ipfix": encode_ipfix}[kind]
+                    dgrams = encode(flows)
+                write_capture_file(
+                    os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
+                return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
 
-        ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-        status = (
-            ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
-            .applyInPandas(pack_group, schema="bucket int, n long")
-        )
-        # O(buckets) rows to the driver — a write barrier, not data
-        # movement. An ordinary statement, NOT an assert: under python -O
-        # an assert (and the pack job inside it) would be stripped
-        # entirely, caching _DONE over an empty directory.
-        n_buckets = status.count()
-        if n_buckets == 0:
-            raise RuntimeError(f"capture synthesis packed 0 buckets at {out}")
-        write_cache_marker(done, stamp)
+            ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+            status = (
+                ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
+                .applyInPandas(pack_group, schema="bucket int, n long")
+            )
+            # O(buckets) rows to the driver — a write barrier, not data
+            # movement. An ordinary statement, NOT an assert: under python -O
+            # an assert (and the pack job inside it) would be stripped
+            # entirely, caching _DONE over an empty directory.
+            n_buckets = status.count()
+            if n_buckets == 0:
+                raise RuntimeError(f"capture synthesis packed 0 buckets at {out}")
+            write_cache_marker(done, stamp)
     return out
 
 
@@ -727,44 +731,48 @@ def _sampled_dir(spark, sf_dir: str) -> str:
     RFC 7011 §8.1), flows follow as ordinary IPFIX data sets."""
     from ..sources.ipfix import encode_ipfix_options
 
-    from .helpers import cache_current, source_stamp, write_cache_marker
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_sampled_{tag}"
     done = os.path.join(out, "_DONE")
     stamp = source_stamp(sf_dir, "events")
-    if not cache_current(done, stamp):
-        shutil.rmtree(out, ignore_errors=True)
-        exp_conf = {0: (64, "samp-a"), 1: (256, "samp-b")}
-        for e in exp_conf:
-            os.makedirs(os.path.join(out, f"exp{e}"), exist_ok=True)
+    with cache_lock(done):
+        # re-check under the lock: a concurrent grader may have
+        # finished the same rebuild while we waited
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            exp_conf = {0: (64, "samp-a"), 1: (256, "samp-b")}
+            for e in exp_conf:
+                os.makedirs(os.path.join(out, f"exp{e}"), exist_ok=True)
 
-        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("event_id")
-            eid0 = int(pdf["event_id"].iloc[0])
-            exp, sub = eid0 % 2, (eid0 // 2) % _N_PACK_BUCKETS
-            rate, sname = exp_conf[exp]
-            dgrams = encode_ipfix(_flows_records(pdf["event_id"], pdf["ts"]))
-            opts = encode_ipfix_options([{149: 1, 34: rate, 35: 2, 84: sname}])
-            write_capture_file(
-                os.path.join(out, f"exp{exp}", f"cap_{sub:05d}.bin"),
-                [opts] + dgrams)
-            return pd.DataFrame({"exp": [exp], "n": [len(pdf)]})
+            def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("event_id")
+                eid0 = int(pdf["event_id"].iloc[0])
+                exp, sub = eid0 % 2, (eid0 // 2) % _N_PACK_BUCKETS
+                rate, sname = exp_conf[exp]
+                dgrams = encode_ipfix(_flows_records(pdf["event_id"], pdf["ts"]))
+                opts = encode_ipfix_options([{149: 1, 34: rate, 35: 2, 84: sname}])
+                write_capture_file(
+                    os.path.join(out, f"exp{exp}", f"cap_{sub:05d}.bin"),
+                    [opts] + dgrams)
+                return pd.DataFrame({"exp": [exp], "n": [len(pdf)]})
 
-        # distributed packing: (exporter, sub-bucket) groups write their own
-        # option-announcing capture files executor-side (see _datagram_dir)
-        ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-        status = (
-            ev.groupBy((F.col("event_id") % 2).alias("e"),
-                       ((F.col("event_id") / 2).cast("long")
-                        % _N_PACK_BUCKETS).alias("s"))
-            .applyInPandas(pack_group, schema="exp int, n long")
-        )
-        # ordinary statement, not assert — see _datagram_dir's barrier
-        n_groups = status.count()
-        if n_groups == 0:
-            raise RuntimeError(f"sampled synthesis packed 0 groups at {out}")
-        write_cache_marker(done, stamp)
+            # distributed packing: (exporter, sub-bucket) groups write their own
+            # option-announcing capture files executor-side (see _datagram_dir)
+            ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+            status = (
+                ev.groupBy((F.col("event_id") % 2).alias("e"),
+                           ((F.col("event_id") / 2).cast("long")
+                            % _N_PACK_BUCKETS).alias("s"))
+                .applyInPandas(pack_group, schema="exp int, n long")
+            )
+            # ordinary statement, not assert — see _datagram_dir's barrier
+            n_groups = status.count()
+            if n_groups == 0:
+                raise RuntimeError(f"sampled synthesis packed 0 groups at {out}")
+            write_cache_marker(done, stamp)
     return out
 
 
@@ -1115,7 +1123,8 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     from ..sources.datasource import register_capture_source
 
     register_capture_source(spark)
-    from .helpers import cache_current, source_stamp, write_cache_marker
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_flows_written_{tag}"
@@ -1124,17 +1133,20 @@ def s5c_capture_datasource_writer(spark, sf_dir):
     # markers that the reader filters on — a dir cached by the pre-marker
     # code would read back EMPTY, so the format bump forces one rewrite
     stamp = source_stamp(sf_dir, "events") + "|capfmt2"
-    if not cache_current(done, stamp):
-        # stale marker = first run, a PARTIAL previous run that died
-        # mid-write, or a regenerated source fixture; clear leftovers so
-        # the rewrite can't duplicate flows (the writer's deterministic
-        # per-partition names make in-run task retries safe, this makes
-        # cross-run retries safe)
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
-        flows = _flow_columns(load_table(spark, sf_dir, "events"))
-        flows.write.format("nfcapture").mode("append").save(out)
-        write_cache_marker(done, stamp)
+    with cache_lock(done):
+        # re-check under the lock: a concurrent grader may have
+        # finished the same rebuild while we waited
+        if not cache_current(done, stamp):
+            # stale marker = first run, a PARTIAL previous run that died
+            # mid-write, or a regenerated source fixture; clear leftovers so
+            # the rewrite can't duplicate flows (the writer's deterministic
+            # per-partition names make in-run task retries safe, this makes
+            # cross-run retries safe)
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+            flows = _flow_columns(load_table(spark, sf_dir, "events"))
+            flows.write.format("nfcapture").mode("append").save(out)
+            write_cache_marker(done, stamp)
     back = spark.read.format("nfcapture").load(out)
     return back.groupBy("pr").agg(
         F.count(F.lit(1)).alias("n_flows"),

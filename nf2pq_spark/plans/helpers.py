@@ -230,6 +230,36 @@ def _dir_manifest(root: str, exclude: str) -> str:
     return "\n".join(sorted(lines))
 
 
+def cache_lock(marker: str):
+    """Advisory inter-process lock for a /tmp cache's check-and-rebuild
+    window. Two graders sharing a machine can both see a stale marker
+    and rebuild CONCURRENTLY — interleaved writes from two generations,
+    and the second marker's manifest would then VOUCH for the mixed
+    tree (silent wrong rows, not an error). flock serializes the
+    rebuild; the loser re-checks under the lock and reads the winner's
+    build. The lock file is a SIBLING of the cache dir, never inside
+    it: the rebuild's rmtree must not delete the locked inode (a second
+    process would lock a fresh file and the race returns). Held locks
+    die with the process (fd-based), so a crashed builder never wedges
+    the cache."""
+    import contextlib
+    import fcntl
+    import os
+
+    @contextlib.contextmanager
+    def _lock():
+        lock_path = os.path.dirname(os.path.abspath(marker)) + ".lock"
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    return _lock()
+
+
 def cache_current(marker: str, stamp: str) -> bool:
     """True iff ``marker`` exists, records exactly ``stamp``, and every
     file in its recorded manifest is still present at its recorded size

@@ -301,25 +301,29 @@ def _chunked_events_dir(spark, sf_dir: str, n_chunks: int = 4) -> str:
 
     import shutil
 
-    from .helpers import cache_current, source_stamp, write_cache_marker
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_events_chunks_{tag}"
     done = os.path.join(out, "_DONE")
     stamp = source_stamp(sf_dir, "events")
-    if not cache_current(done, stamp):
-        shutil.rmtree(out, ignore_errors=True)
-        ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
-        us = ev.withColumn("ts_us", F.unix_micros("ts"))
-        bounds = us.stat.approxQuantile(
-            "ts_us", [i / n_chunks for i in range(1, n_chunks)], 0.01)
-        chunk = sum(
-            (F.col("ts_us") > F.lit(int(b))).cast("int") for b in bounds)
-        (us.withColumn("chunk", chunk)
-           .drop("ts_us")
-           .repartition(n_chunks, "chunk")
-           .write.mode("overwrite").partitionBy("chunk").parquet(out))
-        write_cache_marker(done, stamp)
+    with cache_lock(done):
+        # re-check under the lock: a concurrent grader may have
+        # finished the same rebuild while we waited
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+            us = ev.withColumn("ts_us", F.unix_micros("ts"))
+            bounds = us.stat.approxQuantile(
+                "ts_us", [i / n_chunks for i in range(1, n_chunks)], 0.01)
+            chunk = sum(
+                (F.col("ts_us") > F.lit(int(b))).cast("int") for b in bounds)
+            (us.withColumn("chunk", chunk)
+               .drop("ts_us")
+               .repartition(n_chunks, "chunk")
+               .write.mode("overwrite").partitionBy("chunk").parquet(out))
+            write_cache_marker(done, stamp)
     return out
 
 
@@ -600,38 +604,42 @@ def _watermark_chunks_dir(spark, sf_dir: str) -> str:
 
     import shutil
 
-    from .helpers import cache_current, source_stamp, write_cache_marker
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/nf2pq_wm_chunks_{tag}"
     done = os.path.join(out, "_DONE")
     stamp = source_stamp(sf_dir, "events")
-    if not cache_current(done, stamp):
-        shutil.rmtree(out, ignore_errors=True)
-        ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
-        us = ev.withColumn("ts_us", F.unix_micros("ts"))
-        q10, med, q75 = us.stat.approxQuantile(
-            "ts_us", [0.1, 0.5, 0.75], 0.01)
-        chunk = (
-            (F.col("ts_us") > int(med)).cast("int")
-            + (F.col("ts_us") > int(q75)).cast("int")
-        )
-        late_dups = us.filter(F.col("ts_us") <= int(q10)).withColumn(
-            "chunk", F.lit(2))
-        chunked = (
-            us.withColumn("chunk", chunk).unionAll(late_dups).drop("ts_us")
-        )
-        (chunked.repartition(3, "chunk")
-            .write.mode("overwrite").partitionBy("chunk").parquet(out))
-        # order the three micro-batches explicitly (file source sorts by mtime)
-        import glob as globmod
-        import time
+    with cache_lock(done):
+        # re-check under the lock: a concurrent grader may have
+        # finished the same rebuild while we waited
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+            us = ev.withColumn("ts_us", F.unix_micros("ts"))
+            q10, med, q75 = us.stat.approxQuantile(
+                "ts_us", [0.1, 0.5, 0.75], 0.01)
+            chunk = (
+                (F.col("ts_us") > int(med)).cast("int")
+                + (F.col("ts_us") > int(q75)).cast("int")
+            )
+            late_dups = us.filter(F.col("ts_us") <= int(q10)).withColumn(
+                "chunk", F.lit(2))
+            chunked = (
+                us.withColumn("chunk", chunk).unionAll(late_dups).drop("ts_us")
+            )
+            (chunked.repartition(3, "chunk")
+                .write.mode("overwrite").partitionBy("chunk").parquet(out))
+            # order the three micro-batches explicitly (file source sorts by mtime)
+            import glob as globmod
+            import time
 
-        now = time.time()
-        for i in (0, 1, 2):
-            for f in globmod.glob(os.path.join(out, f"chunk={i}", "*.parquet")):
-                os.utime(f, (now - 100 + i * 30, now - 100 + i * 30))
-        write_cache_marker(done, stamp)
+            now = time.time()
+            for i in (0, 1, 2):
+                for f in globmod.glob(os.path.join(out, f"chunk={i}", "*.parquet")):
+                    os.utime(f, (now - 100 + i * 30, now - 100 + i * 30))
+            write_cache_marker(done, stamp)
     return out
 
 

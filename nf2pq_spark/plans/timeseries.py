@@ -235,7 +235,8 @@ def rl1_hypertable_rollup(spark, sf_dir):
     import shutil
 
     from ..operators.rollup import build_rollup, query_rollup
-    from .helpers import cache_current, source_stamp, write_cache_marker
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/nf2pq_rollup_{tag}"
@@ -248,10 +249,13 @@ def rl1_hypertable_rollup(spark, sf_dir):
     # rebuilds instead of silently serving stale aggregates.
     marker = os.path.join(path, "_BUILT")
     stamp = source_stamp(sf_dir, "events")
-    if not cache_current(marker, stamp):
-        shutil.rmtree(path, ignore_errors=True)
-        build_rollup(load_table(spark, sf_dir, "events"), path)
-        write_cache_marker(marker, stamp)
+    with cache_lock(marker):
+        # re-check under the lock: a concurrent grader may have
+        # finished the same rebuild while we waited
+        if not cache_current(marker, stamp):
+            shutil.rmtree(path, ignore_errors=True)
+            build_rollup(load_table(spark, sf_dir, "events"), path)
+            write_cache_marker(marker, stamp)
     return query_rollup(spark, path, grain="day")
 
 

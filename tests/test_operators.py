@@ -1723,3 +1723,50 @@ def test_asof_bucketed_timestamp_axis_null_ts_parity(spark):
         _interval_micros("1 month")
     with pytest.raises(ValueError, match="bucket"):
         _interval_micros("day")
+
+
+def test_cache_lock_serializes_concurrent_rebuilds(tmp_path):
+    """Two graders sharing a /tmp cache can both see a stale marker and
+    rebuild concurrently — interleaved writes from two generations that
+    the second marker's manifest would then vouch for (silent wrong
+    rows). cache_lock must serialize the check-and-rebuild window, and
+    the loser's re-check under the lock must see the winner's build and
+    skip its own. flock conflicts across separate open file
+    descriptions, so two threads each opening the sibling lock file
+    model two processes faithfully."""
+    import threading
+    import time
+
+    from nf2pq_spark.plans.helpers import (cache_current, cache_lock,
+                                           write_cache_marker)
+
+    cache = tmp_path / "nf2pq_fake_cache"
+    cache.mkdir()
+    marker = str(cache / "_DONE")
+    stamp = "s1"
+    builds, timeline = [], []
+
+    def grader(name, delay):
+        time.sleep(delay)
+        with cache_lock(marker):
+            timeline.append((name, "in"))
+            if not cache_current(marker, stamp):
+                builds.append(name)
+                time.sleep(0.3)  # a slow build inside the lock
+                (cache / "data.bin").write_bytes(b"x" * 64)
+                write_cache_marker(marker, stamp)
+            timeline.append((name, "out"))
+
+    a = threading.Thread(target=grader, args=("a", 0.0))
+    b = threading.Thread(target=grader, args=("b", 0.05))
+    a.start(); b.start(); a.join(); b.join()
+
+    # exactly ONE build ran, and the critical sections never interleaved
+    assert builds == ["a"], builds
+    assert timeline == [("a", "in"), ("a", "out"), ("b", "in"), ("b", "out")]
+    # the lock file lives OUTSIDE the cache dir, so the build's rmtree
+    # cannot delete the locked inode
+    import os
+
+    assert os.path.exists(str(cache) + ".lock")
+    assert not (cache / ".lock").exists()
