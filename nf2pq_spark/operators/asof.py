@@ -144,7 +144,8 @@ def _interval_micros(interval: str) -> int:
     microseconds, matching F.window's epoch-aligned bucket widths."""
     parts = interval.strip().lower().split()
     unit = parts[-1].rstrip("s") if parts else ""
-    if len(parts) != 2 or unit not in _INTERVAL_UNIT_US:
+    if (len(parts) != 2 or unit not in _INTERVAL_UNIT_US
+            or not parts[0].isdigit() or int(parts[0]) <= 0):
         raise ValueError(
             f"asof_join_bucketed: bucket must be '<n> "
             f"<second|minute|hour|day|week>[s]', got {interval!r}")

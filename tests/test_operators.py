@@ -1770,3 +1770,16 @@ def test_cache_lock_serializes_concurrent_rebuilds(tmp_path):
 
     assert os.path.exists(str(cache) + ".lock")
     assert not (cache / ".lock").exists()
+
+
+def test_interval_micros_rejects_malformed_inputs():
+    """Every malformed bucket raises the NAMED ValueError — never an
+    IndexError from an empty string or a negative width accepted."""
+    import pytest
+
+    from nf2pq_spark.operators.asof import _interval_micros
+
+    for bad in ("", "day", "1 month", "-3 days", "x hours",
+                "1.5 hours", "0 days", "3 fortnights"):
+        with pytest.raises(ValueError, match="bucket"):
+            _interval_micros(bad)
