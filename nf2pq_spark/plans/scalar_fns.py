@@ -31,7 +31,13 @@ _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
     "f1_strings",
     oracle="""
     SELECT p_partkey,
-           upper(p_name) AS uname,
+           -- ß normalization: Java/Spark upper() follows Unicode
+           -- SpecialCasing (ß → SS, the default full uppercase) while
+           -- DuckDB/utf8proc applies the 1:1 map (ß → ẞ, U+1E9E) — the
+           -- one code point in the fixture where the engines' upper()
+           -- legitimately differ (r7 hostile-corpus find; same
+           -- runtime-defined-casing family as f8's lower())
+           replace(upper(p_name), 'ẞ', 'SS') AS uname,
            substr(p_name, 1, 5) AS pfx,
            CAST(length(p_name) AS BIGINT) AS name_len,
            replace(p_name, ' ', '_') AS snake,

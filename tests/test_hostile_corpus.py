@@ -69,6 +69,7 @@ CAUGHT = [
     "f6_json",            # crash: DuckDB json_extract on malformed JSON
     "v1_variant_json",    # crash: parse_json/variant_get on malformed
     "s6c_netflow_v9_decode",  # silent: signed % vs & on pre-epoch wrap
+    "f1_strings",         # silent: upper(ß) SpecialCasing SS vs 1:1 ẞ
     "t8_cohort_retention",  # crash: week-floor beyond pandas ns range
 ]
 

@@ -98,6 +98,26 @@ def _relational_tails(src: str, dst: str) -> None:
     not here: those break the data contract and may legitimately fail
     loudly; this tail must stay hash-green forever."""
     lk, ok_, ck, ek = 10_000_000, 20_000_000, 900_000, 30_000_000
+    pk, sk = 800_000, 700_000
+
+    _append(src, dst, "part", [
+        # LIKE/regex metachars INSIDE data, Unicode names (collation in
+        # min/max and ORDER BY), empty name, NULL price, zero/neg size
+        {"p_partkey": pk + 0, "p_name": "100% cotton [new] (large)",
+         "p_brand": "Brand#00", "p_type": "PROMO_PLATED% brass",
+         "p_size": 0, "p_retailprice": 0.005},
+        {"p_partkey": pk + 1, "p_name": "Ölfaß-Teil Ω", "p_brand": "Brand#Ü",
+         "p_type": "ECONOMY bürstend", "p_size": -1,
+         "p_retailprice": None},
+        {"p_partkey": pk + 2, "p_name": "", "p_brand": "",
+         "p_type": "", "p_size": 50, "p_retailprice": 2.675},
+    ])
+    _append(src, dst, "supplier", [
+        {"s_suppkey": sk + 0, "s_name": "Ärna Supply Ω", "s_nationkey": 99,
+         "s_acctbal": None},                         # orphan nation + NULL
+        {"s_suppkey": sk + 1, "s_name": "", "s_nationkey": 0,
+         "s_acctbal": -0.005},
+    ])
 
     _append(src, dst, "customer", [
         {"c_custkey": ck + 0, "c_name": "Ärna Müller-Ω", "c_nationkey": 0,
