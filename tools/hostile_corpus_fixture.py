@@ -100,6 +100,25 @@ def _relational_tails(src: str, dst: str) -> None:
     lk, ok_, ck, ek = 10_000_000, 20_000_000, 900_000, 30_000_000
     pk, sk = 800_000, 700_000
 
+    # dim anchors: Unicode names (collation in joins/group labels), an
+    # orphan regionkey, an empty name — completes hostile coverage of
+    # EVERY fixture table
+    rschema = pq.read_schema(os.path.join(src, "region.parquet")).names
+    _append(src, dst, "region", [
+        {k: v for k, v in
+         {"r_regionkey": 90, "r_name": "ÅSGÅRD-Ω",
+          "r_comment": "über region"}.items() if k in rschema},
+    ])
+    nschema = pq.read_schema(os.path.join(src, "nation.parquet")).names
+    _append(src, dst, "nation", [
+        {k: v for k, v in
+         {"n_nationkey": 90, "n_name": "ÆLFLAND", "n_regionkey": 90,
+          "n_comment": ""}.items() if k in nschema},
+        {k: v for k, v in
+         {"n_nationkey": 91, "n_name": "", "n_regionkey": 999,
+          "n_comment": None}.items() if k in nschema},  # orphan region
+    ])
+
     _append(src, dst, "part", [
         # LIKE/regex metachars INSIDE data, Unicode names (collation in
         # min/max and ORDER BY), empty name, NULL price, zero/neg size
