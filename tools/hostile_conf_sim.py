@@ -66,6 +66,17 @@ PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
     # locale-independent, but the JVM and any C library honor LC_ALL.
     "hostile_locale": ("local[4]", {},
                        {"LANG": "tr_TR.UTF-8", "LC_ALL": "tr_TR.UTF-8"}),
+    # every knob at once: single-axis green does not prove the axes
+    # don't INTERACT (e.g. a locale-sensitive format under an offset
+    # zone inside a tiny Arrow batch) — one combined profile closes that
+    "everything": ("local[3]", {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.default.parallelism": "5",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "17",
+        "spark.sql.files.maxPartitionBytes": "262144",
+        "spark.sql.files.openCostInBytes": "0",
+    }, {"PYTHONHASHSEED": "31337", "TZ": "Pacific/Kiritimati",
+        "LANG": "tr_TR.UTF-8", "LC_ALL": "tr_TR.UTF-8"}),
 }
 
 
