@@ -22,10 +22,16 @@ from pyspark.sql import functions as F
 EMBEDDING_ABS_CAP = 1e6
 
 #: DuckDB spelling of :func:`embedding_is_valid` for oracle WHERE
-#: clauses — MUST stay semantically identical to the Spark predicate
-#: (NULL component, NaN, or |x| > cap excludes the row on both engines).
-EMBEDDING_VALID_SQL = ("len(list_filter({col}, x -> x IS NULL OR isnan(x) "
-                       "OR abs(x) > 1000000.0)) = 0")
+#: clauses — semantically identical to the Spark predicate BY
+#: CONSTRUCTION (NULL component, NaN, or |x| > cap excludes the row on
+#: both engines): the cap is interpolated from the same
+#: :data:`EMBEDDING_ABS_CAP` the Spark lambda closes over, so editing
+#: the constant can never desynchronize the two filters (r7 advice —
+#: a hardcoded 1000000.0 literal previously sat here). ``!r`` renders
+#: the full float repr (1e6 → '1000000.0'), which DuckDB parses as
+#: DOUBLE exactly like Spark's F.lit(float).
+EMBEDDING_VALID_SQL = (f"len(list_filter({{col}}, x -> x IS NULL OR "
+                       f"isnan(x) OR abs(x) > {EMBEDDING_ABS_CAP!r})) = 0")
 
 
 def embedding_is_valid(col: Column | str) -> Column:

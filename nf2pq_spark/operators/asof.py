@@ -223,9 +223,15 @@ def asof_join_bucketed(
     # the __asof guard below marks it unmatched.
     if isinstance(bucket, str):
         us = _interval_micros(bucket)
-        bucket_expr = F.timestamp_micros(
-            F.floor(F.unix_micros(F.col("__ts")) / F.lit(us)).cast("long")
-            * F.lit(us))
+        # Integer arithmetic end-to-end: `floor(micros / lit(us))` runs a
+        # DOUBLE division first, and doubles are exact only to 2^53 —
+        # micros past ~2255 AD (or before ~-2255, both inside the hostile
+        # corpus's 1677/2262 extremes) can round UP across a bucket
+        # boundary and floor into the wrong bucket. `x - pmod(x, us)` is
+        # the same epoch-aligned floor computed exactly in int64, and
+        # pmod(NULL, us) = NULL keeps the NULL transparency.
+        micros = F.unix_micros(F.col("__ts"))
+        bucket_expr = F.timestamp_micros(micros - F.pmod(micros, F.lit(us)))
     else:
         bucket_expr = F.floor(F.col("__ts") / F.lit(bucket)).cast("long")
     unioned = (

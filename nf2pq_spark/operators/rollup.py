@@ -143,24 +143,29 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     every later read would double-count them. The rollup is tiny by
     design (aggregates, not raw data), so a full rewrite is cheap.
 
-    Crash-safe via a sibling-dir swap, never an in-place overwrite: a
-    ``mode("overwrite")`` of ``path`` deletes the existing files at JOB
-    START, so a failure anywhere in the (arbitrarily long) write job
-    would destroy the only on-disk copy of the table — the folded rows'
-    sole other home being session memory. Instead the collapsed table is
-    fully written to ``<path>__compact_tmp`` while the source files
-    remain intact, and only then swapped in (rmtree + atomic same-fs
-    rename). A crash during the write leaves the table untouched plus an
-    orphan tmp; a crash INSIDE the swap (after ``rmtree(path)``, before
-    ``rename``) leaves the tmp as the only complete copy — so recovery
-    on entry disambiguates by whether ``path`` still exists: present →
-    the tmp is a partial-write orphan, delete it; absent → the tmp is a
-    finished write whose swap was interrupted, rename it into place and
-    treat that as the completed compaction. Either way the destructive
-    window never orphans the sole surviving copy. Run only while the
-    maintaining stream is stopped at a committed checkpoint — compacting
-    mid-stream races the sink, and a replayed batch re-adds rows the
-    compaction already folded in."""
+    Crash-safe via a THREE-step sibling-dir swap, never an in-place
+    overwrite: a ``mode("overwrite")`` of ``path`` deletes the existing
+    files at JOB START, so a failure anywhere in the (arbitrarily long)
+    write job would destroy the only on-disk copy of the table — the
+    folded rows' sole other home being session memory. Instead the
+    collapsed table is fully written to ``<path>__compact_tmp`` while
+    the source files remain intact, then swapped in with two atomic
+    same-fs renames before anything is destructively walked:
+    ``rename(path, path__compact_old)`` → ``rename(tmp, path)`` →
+    ``rmtree(old)``. A directory is rmtree'd ONLY while a complete
+    replacement is already live at ``path``, so no crash point — not
+    even one INSIDE an rmtree, which leaves a partially-deleted dir
+    still present — ever orphans the sole surviving copy. Recovery on
+    entry reads the surviving dirs: ``old`` present + ``path`` present
+    → the swap finished, ``old`` is superseded (possibly mid-rmtree),
+    delete it; ``old`` + ``tmp`` present, ``path`` absent → crashed
+    between the renames, roll FORWARD (``rename(tmp, path)``, drop
+    ``old``); ``old`` alone → restore it. A ``tmp`` with no ``old``
+    is a write-phase orphan when ``path`` exists (delete it), else the
+    legacy two-step crash state (rename it into place). Run only while
+    the maintaining stream is stopped at a committed checkpoint —
+    compacting mid-stream races the sink, and a replayed batch re-adds
+    rows the compaction already folded in."""
     import shutil
 
     # normalize before ANY rename: os.rename to a trailing-slash target
@@ -169,14 +174,32 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     # where the tmp is the only surviving copy
     path = path.rstrip("/") or path
     tmp = path + "__compact_tmp"
-    if os.path.exists(tmp):
+    old = path + "__compact_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            # Swap completed at least through rename(tmp, path): `old` is
+            # the superseded copy — possibly partially deleted if the
+            # crash hit mid-rmtree, but `path` is complete either way.
+            shutil.rmtree(old)
+            if os.path.exists(tmp):  # defensive: stray partial write
+                shutil.rmtree(tmp)
+        elif os.path.exists(tmp):
+            # Crashed between rename(path, old) and rename(tmp, path):
+            # both copies are complete; roll the swap FORWARD so the
+            # finished compaction wins, then drop the superseded copy.
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            # `old` alone — unreachable via this code's crash points
+            # (tmp only disappears by becoming path), but if external
+            # cleanup removed the tmp, restore the surviving copy.
+            os.rename(old, path)
+    elif os.path.exists(tmp):
         if not os.path.exists(path):
-            # Crashed between rmtree(path) and rename: the tmp holds the
-            # ONLY complete copy (the write job finished before the swap
-            # started). Finish the interrupted swap instead of deleting
-            # it, then fall through and compact normally — the resumed
-            # table may itself be an earlier compaction's output, which
-            # re-compacts to the identical rows (idempotent fold).
+            # Legacy two-step crash state (pre-r8 builds rmtree'd the
+            # live path before renaming): the tmp holds the ONLY complete
+            # copy — finish the interrupted swap, then fall through and
+            # compact normally (idempotent fold).
             os.rename(tmp, path)
         else:
             shutil.rmtree(tmp)  # partial-write orphan; table is intact
@@ -202,8 +225,9 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     )
     (collapsed.repartition("date")
               .write.partitionBy("date", "batch_id").parquet(tmp))
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def query_rollup(spark: SparkSession, path: str, grain: str = "day") -> DataFrame:

@@ -195,12 +195,23 @@ def f2d_calendar_functions(spark, sf_dir):
     WITH j AS (
       -- json_valid + TRY_CAST mirror the Spark side's try_parse_json +
       -- try_variant_get: malformed props or a non-numeric k degrade to
-      -- NULL instead of aborting the job (r7 hostile-corpus find)
+      -- NULL instead of aborting the job (r7 hostile-corpus find).
+      -- The integer-format regex gate mirrors Spark's string->bigint
+      -- cast exactly: DuckDB TRY_CAST ROUNDS decimal strings
+      -- ('1.5' -> 2) where Spark try_cast yields NULL (r8: wrong-typed
+      -- {"k": 1.5}/{"k": true} fixture rows caught this)
       SELECT event_type,
-             TRY_CAST(CASE WHEN json_valid(props)
-                           THEN json_extract_string(props, '$.k') END
+             TRY_CAST(CASE WHEN regexp_matches(k_str,
+                      '^\\s*[+-]?[0-9]+\\s*$') THEN k_str END
                       AS BIGINT) AS k
-      FROM events
+      FROM (
+        -- CASE (not AND) guards the extract: json_extract_string
+        -- THROWS on malformed props and AND does not short-circuit
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS k_str
+        FROM events
+      )
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -214,6 +225,11 @@ def f2d_calendar_functions(spark, sf_dir):
     "per event_type; the try_ forms because a single malformed or "
     "mistyped props row must degrade to NULL, not abort the pipeline "
     "(plain parse_json/variant_get throw — r7 hostile-corpus find). "
+    "Extraction goes through 'string' + try_cast, NOT "
+    "try_variant_get(..., 'bigint'): the direct bigint form NUMERICALLY "
+    "casts non-integer k ({\"k\":1.5} → 1, true → 1) while the oracle's "
+    "json_extract_string + TRY_CAST yields NULL — routing both engines "
+    "through string→bigint cast semantics keeps them aligned (r7 advice). "
     "Oracle uses DuckDB json_valid + json_extract_string + TRY_CAST. "
     "Scale: variant parse is a per-row JVM expression inside whole-stage "
     "codegen (no Python boundary); the shuffle carries only (event_type, "
@@ -222,7 +238,8 @@ def f2d_calendar_functions(spark, sf_dir):
 )
 def v1_variant_json(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
+    k = F.expr("try_cast(try_variant_get(try_parse_json(props), '$.k', "
+               "'string') as long)")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),

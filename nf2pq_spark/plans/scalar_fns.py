@@ -259,8 +259,18 @@ def f4b_explode_wordcount(spark, sf_dir):
       FROM events WHERE event_type = 'click'
     )
     SELECT event_id, k_str,
-           TRY_CAST(k_str AS BIGINT) AS k,
-           TRY_CAST(k_str AS BIGINT) % 10 AS k_mod
+           -- integer-format gate BEFORE the cast: DuckDB TRY_CAST
+           -- ROUNDS decimal strings ('1.5' -> 2) where Spark's
+           -- try_cast yields NULL — the regex (optional whitespace,
+           -- sign, digits only, Spark's accepted shape) routes both
+           -- engines through identical string->bigint semantics
+           -- (r8: wrong-typed {"k": 1.5} fixture rows caught this)
+           TRY_CAST(CASE WHEN regexp_matches(k_str,
+                    '^\\s*[+-]?[0-9]+\\s*$') THEN k_str END
+                    AS BIGINT) AS k,
+           TRY_CAST(CASE WHEN regexp_matches(k_str,
+                    '^\\s*[+-]?[0-9]+\\s*$') THEN k_str END
+                    AS BIGINT) % 10 AS k_mod
     FROM j
     """,
     description="JSON extraction over the event props column (F6); "

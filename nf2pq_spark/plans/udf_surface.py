@@ -217,6 +217,37 @@ def x6_cogroup_asof(spark, sf_dir):
     )
 
 
+def _name_suffix_arrow(name: "pyarrow.Array") -> "pyarrow.Array":
+    """'Customer#000000001' → 1 via pure Arrow kernels, degrading to NULL
+    per row exactly like SQL TRY_CAST. extract_regex, NOT a blind
+    slice+cast: a single name outside the format (empty, Unicode,
+    free-form) made pc.cast throw and killed the whole job (r7
+    hostile-corpus find; the oracle mirrors with regexp_extract +
+    TRY_CAST). The cast itself is range-gated too: pc.cast has no try_
+    form, so a digit run beyond int64 ('Customer#99999…') raised
+    ArrowInvalid and killed the job while the oracle's TRY_CAST degraded
+    to NULL (r7 advice). Exact TRY_CAST semantics: strip leading zeros,
+    then a digit string is in range iff <19 digits, or ==19 and
+    lexicographically ≤ '9223372036854775807' (equal-length digit
+    strings compare numerically). Module-level so the int64-boundary
+    parity test can drive the same kernels DuckDB-differentially."""
+    import pyarrow.compute as pc
+
+    m = pc.extract_regex(name, r"^Customer#(?P<sfx>[0-9]+)$")
+    digits = pc.replace_substring_regex(pc.struct_field(m, "sfx"), r"^0+", "")
+    digits = pc.if_else(pc.equal(pc.utf8_length(digits), 0),
+                        pyarrow.scalar("0", pyarrow.string()), digits)
+    n = pc.utf8_length(digits)
+    in_range = pc.or_(
+        pc.less(n, 19),
+        pc.and_(pc.equal(n, 19),
+                pc.less_equal(digits, pyarrow.scalar(str(2**63 - 1),
+                                                     pyarrow.string()))))
+    gated = pc.if_else(in_range, digits,
+                       pyarrow.scalar(None, pyarrow.string()))
+    return pc.cast(gated, pyarrow.int64())
+
+
 @register(
     "x8_arrow_native_udf",
     oracle="""
@@ -246,7 +277,6 @@ def x6_cogroup_asof(spark, sf_dir):
     tags=("X1",),
 )
 def x8_arrow_native_udf(spark, sf_dir):
-    import pyarrow.compute as pc
     from pyspark.sql.functions import arrow_udf
 
     # NB: pyarrow is imported at module level because arrow_udf infers its
@@ -254,14 +284,7 @@ def x8_arrow_native_udf(spark, sf_dir):
     # annotations` the hints are strings resolved in the module globals
     @arrow_udf("long")
     def name_suffix(name: pyarrow.Array) -> pyarrow.Array:
-        # 'Customer#000000001' → 1 (pure Arrow kernels). extract_regex,
-        # NOT a blind slice+cast: a single name outside the format
-        # (empty, Unicode, free-form) made pc.cast throw and killed the
-        # whole job — format-assuming UDFs must degrade to NULL per row
-        # (r7 hostile-corpus find; the oracle mirrors with
-        # regexp_extract + TRY_CAST)
-        m = pc.extract_regex(name, r"^Customer#(?P<sfx>[0-9]+)$")
-        return pc.cast(pc.struct_field(m, "sfx"), pyarrow.int64())
+        return _name_suffix_arrow(name)
 
     c = load_table(spark, sf_dir, "customer")
     sfx = name_suffix(F.col("c_name"))

@@ -1725,6 +1725,64 @@ def test_asof_bucketed_timestamp_axis_null_ts_parity(spark):
         _interval_micros("day")
 
 
+def test_asof_bucketed_extreme_timestamp_integer_bucketing(spark):
+    """r7 advice: the bucket arithmetic must be exact int64, not a double
+    division — micros past 2^53 round in double, and 11324707199999999 μs
+    (2328-11-12T23:59:59.999999, last micro of its day) double-divides to
+    day-bucket 131073 instead of 131072. Bucketed results must match the
+    plain operator at both timestamp extremes (far future past 2^53 μs,
+    pre-epoch negatives where pmod's sign convention does the flooring),
+    and the assigned bucket itself must be the exact integer floor."""
+    from datetime import datetime
+
+    from nf2pq_spark.operators.asof import asof_join, asof_join_bucketed
+
+    # the exact misbucket boundary value, plus neighbors spanning it
+    edge = datetime(2328, 11, 12, 23, 59, 59, 999999)
+    nxt = datetime(2328, 11, 13, 0, 0, 0)
+    pre = datetime(1620, 6, 5, 23, 59, 59, 999999)  # negative micros
+    left = spark.createDataFrame(
+        [(1, 1, edge), (1, 2, nxt), (1, 3, pre), (2, 4, edge)],
+        "k int, id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, datetime(2328, 11, 12, 1), "same-day"),
+         (1, nxt, "next-day"),
+         (1, datetime(1620, 6, 5, 1), "pre-epoch"),
+         (2, edge, "tie")],
+        "k int, ts timestamp, tag string")
+    for how in ("left", "inner"):
+        plain = {(r.id, r.tag) for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload=["tag"], how=how).collect()}
+        for bucket in ("1 day", "1 hour"):
+            buck = {(r.id, r.tag) for r in asof_join_bucketed(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                payload=["tag"], how=how, bucket=bucket).collect()}
+            assert buck == plain, (how, bucket)
+    assert {(r.id, r.tag) for r in asof_join_bucketed(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload=["tag"], how="left", bucket="1 day").collect()} == {
+        (1, "same-day"), (2, "next-day"), (3, "pre-epoch"), (4, "tie")}
+
+    # the bucket expression itself: exact integer floor at the 2^53 edge
+    # and at a pre-epoch value (pmod keeps x - pmod(x, us) the FLOOR
+    # multiple for negative micros, not the truncate-toward-zero one)
+    import pyspark.sql.functions as F
+    us = 86_400_000_000
+    df = spark.createDataFrame([(edge,), (pre,)], "ts timestamp")
+    micros = F.unix_micros(F.col("ts"))
+    got = {r[0] for r in df.select(
+        (micros - F.pmod(micros, F.lit(us))).alias("b")).collect()}
+    exp = set()
+    for d in (edge, pre):
+        x = int((d - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        # recompute exactly (total_seconds is float): micros from days
+        import calendar
+        x = calendar.timegm(d.timetuple()) * 1_000_000 + d.microsecond
+        exp.add((x // us) * us)
+    assert got == exp
+
+
 def test_cache_lock_serializes_concurrent_rebuilds(tmp_path):
     """Two graders sharing a /tmp cache can both see a stale marker and
     rebuild concurrently — interleaved writes from two generations that

@@ -410,6 +410,70 @@ def test_compact_rollup_resumes_interrupted_swap(spark, sf_dir):
             query_rollup(spark, path, "day").collect()} == expected
 
 
+def test_compact_rollup_three_step_swap_crash_states(spark, sf_dir):
+    """r7 advice (medium): the old recovery disambiguated purely on
+    path-existence, so a crash MID-rmtree(path) — path partially deleted
+    but still present — took the 'orphan' branch, deleted tmp (the only
+    complete copy) and silently re-compacted the torn table. The
+    three-step swap (rename path→old, rename tmp→path, rmtree old) never
+    destructively walks the live copy; every crash state must recover to
+    the correct full table."""
+    import shutil
+
+    from nf2pq_spark.operators.rollup import (build_rollup, compact_rollup,
+                                              query_rollup)
+    from nf2pq_spark.plans.streaming_q import _chunked_events_dir
+
+    src = _chunked_events_dir(spark, sf_dir, n_chunks=3)
+    batch = (spark.read.parquet(src).drop("chunk")
+             .withColumn("event_type", F.lit("x")))
+    path = tempfile.mkdtemp(prefix="rcr3_") + "/rollup"
+    build_rollup(batch, path)
+    expected = {tuple(r) for r in query_rollup(spark, path, "day").collect()}
+    tmp, old = path + "__compact_tmp", path + "__compact_old"
+
+    def check():
+        assert os.path.exists(path)
+        assert not os.path.exists(tmp) and not os.path.exists(old)
+        assert {tuple(r) for r in
+                query_rollup(spark, path, "day").collect()} == expected
+
+    # State A — crash MID-rmtree(old): old present but PARTIALLY deleted
+    # (the advice's exact shape, now on the superseded dir instead of the
+    # live one). path is the complete new table; recovery must finish
+    # deleting old and compact normally.
+    compact_rollup(spark, path)
+    shutil.copytree(path, old)
+    for f in sorted(os.listdir(old)):           # tear: delete some entries
+        shutil.rmtree(os.path.join(old, f), ignore_errors=True)
+        break
+    compact_rollup(spark, path)
+    check()
+
+    # State B — crash between the two renames: old = complete previous
+    # table, tmp = complete new table, path ABSENT. Recovery must roll
+    # FORWARD (tmp wins) and drop old — never delete tmp.
+    shutil.copytree(path, tmp)
+    os.rename(path, old)
+    compact_rollup(spark, path)
+    check()
+
+    # State C — old alone (external cleanup removed the tmp): restore the
+    # surviving copy rather than fail on a missing table.
+    os.rename(path, old)
+    compact_rollup(spark, path)
+    check()
+
+    # State D — swap finished but a stray partial tmp ALSO survives next
+    # to old (defensive branch): both cleaned, table intact.
+    shutil.copytree(path, old)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "junk"), "w") as fh:
+        fh.write("x")
+    compact_rollup(spark, path)
+    check()
+
+
 def test_parquet_rotating_sink_partitions(spark, sf_dir):
     """S3: the collector's rotated-file sink writes a date/hour-partitioned
     layout that time-range queries can prune."""

@@ -147,6 +147,18 @@ def _relational_tails(src: str, dst: str) -> None:
          "c_acctbal": None, "c_mktsegment": "MACHINERY"},
         {"c_custkey": ck + 3, "c_name": "zz tie", "c_nationkey": 2,
          "c_acctbal": None, "c_mktsegment": "MACHINERY"},
+        # format-conforming names whose digit run breaks a naive cast:
+        # beyond-int64 overflow (TRY_CAST → NULL; pc.cast raised and
+        # killed the job, r7 advice) and value-in-range digits hidden
+        # behind 20+ leading zeros (a length-bounded regex would wrongly
+        # NULL these). The exact int64 max/max+1 boundary is pinned in a
+        # unit test instead — an int64-max sfx reaching SUM() overflows
+        # the aggregate itself on both engines (domain violation, not a
+        # cast edge).
+        {"c_custkey": ck + 4, "c_name": "Customer#99999999999999999999999",
+         "c_nationkey": 3, "c_acctbal": 1.0, "c_mktsegment": "AUTOMOBILE"},
+        {"c_custkey": ck + 5, "c_name": "Customer#00000000000000000000007",
+         "c_nationkey": 3, "c_acctbal": 2.0, "c_mktsegment": "AUTOMOBILE"},
     ])
 
     _append(src, dst, "orders", [
@@ -233,6 +245,31 @@ def _relational_tails(src: str, dst: str) -> None:
         {"event_id": ek + 8, "ts": _dt("2024-06-01 12:00:03"),
          "user_id": 777004, "event_type": "", "value": 4.0,
          "props": "not json at all"},
+        # well-formed JSON with WRONG-TYPED k: a direct
+        # try_variant_get(..., 'bigint') numerically casts 1.5 → 1 and
+        # true → 1 while json_extract_string + TRY_CAST yields NULL — v1
+        # must route through string semantics on both engines (r7 advice)
+        {"event_id": ek + 13, "ts": _dt("2024-06-01 12:00:06"),
+         "user_id": 777004, "event_type": "click", "value": 5.0,
+         "props": '{"k": 1.5}'},
+        {"event_id": ek + 14, "ts": _dt("2024-06-01 12:00:07"),
+         "user_id": 777004, "event_type": "click", "value": 6.0,
+         "props": '{"k": true}'},
+        {"event_id": ek + 15, "ts": _dt("2024-06-01 12:00:08"),
+         "user_id": 777004, "event_type": "click", "value": 7.0,
+         "props": '{"k": 42}'},
+        {"event_id": ek + 16, "ts": _dt("2024-06-01 12:00:09"),
+         "user_id": 777004, "event_type": "click", "value": 8.0,
+         "props": '{"k": "7"}'},
+        # integer-format but beyond int64 (passes the regex gate, both
+        # TRY_CASTs overflow to NULL) and whitespace-padded digits
+        # (both engines trim before casting)
+        {"event_id": ek + 17, "ts": _dt("2024-06-01 12:00:10"),
+         "user_id": 777004, "event_type": "click", "value": 9.0,
+         "props": '{"k": "99999999999999999999999"}'},
+        {"event_id": ek + 18, "ts": _dt("2024-06-01 12:00:11"),
+         "user_id": 777004, "event_type": "click", "value": 10.0,
+         "props": '{"k": " 5"}'},
         # NULL value on a user with 2+ DISTINCT non-null values: the
         # sharp probe for pandas NULL→NaN conflation inside per-group
         # UDFs (a lone NULL-value user hides behind the std<=0 branch)
