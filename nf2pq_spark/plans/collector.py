@@ -294,6 +294,7 @@ def s4_csv_scan(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     c.write.mode("overwrite").option("header", True).csv(out)
+    _mark_seed_dir(out, sf_dir, "customer")  # re-vouch the fresh tree
     back = spark.read.csv(
         out, header=True,
         schema="c_custkey long, c_name string, c_nationkey int, "
@@ -489,6 +490,12 @@ def m1b_map_transform(spark, sf_dir):
     )
 
 
+#: marker filename for the S4 seed dirs: dot-prefixed so neither Spark's
+#: readers (hidden-file convention) nor the oracles' ``*.csv``/``*.json``
+#: globs ever see it as data
+_SEED_MARKER = ".nf2pq_seed_marker"
+
+
 def _seed_dir_fixture(src: str, dst: str, filename: str,
                       copy_sql: str) -> None:
     """Pre-seed an S4 scan directory at import so the oracle side is valid
@@ -497,39 +504,85 @@ def _seed_dir_fixture(src: str, dst: str, filename: str,
     runs). Written from the grading scale's parquet via DuckDB — a
     single-node fixture-prep step outside the graded Spark plan.
 
-    Hardened (r3 review, one helper so fixes can't drift between the CSV
-    and JSON copies): the guard checks for ANY data file of the format —
-    after the query fn's distributed overwrite replaced the seed with
-    Spark part files, a warm-restart import must NOT drop a second copy
-    of the dataset next to them (the oracle globs the whole directory) —
-    and the export goes to a per-process tmp name + atomic os.replace so
-    a concurrent reader never sees a truncated seed (the
+    Marker-gated like the other /tmp cache sites (r7 verdict item: the
+    original any-data-file-of-the-format guard trusted a TORN directory
+    — an external /tmp cleaner deleting SOME part files of a previous
+    session's Spark overwrite left survivors matching the glob, the
+    seeder skipped, and an oracle-first evaluation would silently
+    aggregate fewer rows). Now: a manifest marker (written by this
+    seeder AND by the query fns after their distributed overwrite)
+    vouches for the tree; at import, anything unvouched — torn seed,
+    torn overwrite, foreign-sf overwrite, legacy unmarked tree — is
+    cleared and re-seeded under :func:`helpers.cache_lock`, so no
+    oracle in this process can read a partial directory. The remaining
+    in-pass window (a cleaner deleting files BETWEEN the query fn's
+    overwrite and the paired oracle's read) needs an age/atime cleaner
+    to delete files written seconds earlier, which none does. The
+    export goes to a per-process tmp name + atomic os.replace so a
+    concurrent reader never sees a truncated seed (the
     _seed_corrupt_csv_fixture recipe)."""
-    import glob as _glob
+    import shutil
     import sys
     import tempfile
 
     import duckdb
 
-    ext = os.path.splitext(filename)[1]
-    if not os.path.exists(src) or _glob.glob(os.path.join(dst, f"*{ext}")):
+    from .helpers import cache_current, cache_lock, write_cache_marker
+
+    if not os.path.exists(src):
         return
+    marker = os.path.join(dst, _SEED_MARKER)
+    stamp = _seed_dir_stamp(src)
     tmp = None
     try:
         os.makedirs(dst, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(prefix="nf2pq_seed_", suffix=".tmp",
-                                   dir=dst)
-        os.close(fd)
-        con = duckdb.connect()
-        con.execute(copy_sql.format(src=src, dst=tmp))
-        con.close()
-        os.replace(tmp, os.path.join(dst, filename))
-        tmp = None
+        with cache_lock(marker):
+            if cache_current(marker, stamp):
+                return
+            for entry in os.listdir(dst):  # clear, keep dst (lock sibling)
+                p = os.path.join(dst, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            fd, tmp = tempfile.mkstemp(prefix="nf2pq_seed_", suffix=".tmp",
+                                       dir=dst)
+            os.close(fd)
+            con = duckdb.connect()
+            con.execute(copy_sql.format(src=src, dst=tmp))
+            con.close()
+            os.replace(tmp, os.path.join(dst, filename))
+            tmp = None
+            write_cache_marker(marker, stamp)
     except Exception as exc:  # pragma: no cover - env-dependent
         print(f"seed {dst} skipped: {exc!r}", file=sys.stderr)
     finally:
         if tmp and os.path.exists(tmp):
             os.remove(tmp)
+
+
+def _seed_dir_stamp(src: str) -> str:
+    """Stamp for a seed dir keyed on ONE source parquet file: the same
+    (path, mtime, size, code) identity :func:`helpers.source_stamp`
+    builds, so the seeder's marker and the query fns' post-overwrite
+    markers agree exactly when they describe the same fixture file."""
+    from .helpers import source_stamp
+
+    sf_dir, fname = os.path.split(os.path.abspath(src))
+    return source_stamp(sf_dir, os.path.splitext(fname)[0])
+
+
+def _mark_seed_dir(dst: str, sf_dir: str, table: str) -> None:
+    """Re-vouch a seed dir right after a query fn's distributed
+    overwrite (which deleted the previous marker along with the old
+    tree). Keeps a healthy post-overwrite directory trusted across
+    process restarts — without this, every later import would rmtree a
+    perfectly good tree, and (worse) a torn version of it would pass
+    the old any-file glob. Marker content follows the same
+    stamp+manifest protocol, so the next import's cache_current both
+    recognizes the tree and verifies it is complete."""
+    from .helpers import write_cache_marker
+
+    write_cache_marker(
+        os.path.join(dst, _SEED_MARKER),
+        _seed_dir_stamp(os.path.join(sf_dir, f"{table}.parquet")))
 
 
 _seed_dir_fixture(
@@ -572,6 +625,7 @@ def s4b_json_scan(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value")
     ev.write.mode("overwrite").json(out)
+    _mark_seed_dir(out, sf_dir, "events")  # re-vouch the fresh tree
     j = spark.read.json(
         out,
         schema="event_id long, user_id long, event_type string, value double",

@@ -55,3 +55,77 @@ def test_spot_isolated_timeout_floor(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     bench._spot_isolated("q", "/x", timeout_sec=3.0)
     assert seen["timeout"] == 30.0
+
+
+def test_draw_spot_clean_draw_stops_at_one():
+    """Idle machine (load1 under the gate): one draw, no re-draws."""
+    import time as _time
+
+    calls = []
+
+    def runner(name, sf_dir, timeout_sec):
+        calls.append(timeout_sec)
+        return 1.5
+
+    draws, loads = bench._draw_spot(
+        "q", "/x", _time.monotonic() + 100, load_gate=4.0,
+        runner=runner, load_fn=lambda: 0.7)
+    assert draws == [1.5] and loads == [0.7] and len(calls) == 1
+
+
+def test_draw_spot_redraws_under_load_and_keeps_all_draws():
+    """load1 over the gate at draw time: re-draw up to 3 total, every
+    draw and its load1 recorded (the judge's adjudication data)."""
+    import time as _time
+
+    results = iter([4.7, 3.9, 3.6])
+    loadseq = iter([9.4, 7.1, 6.0])
+    draws, loads = bench._draw_spot(
+        "q", "/x", _time.monotonic() + 100, load_gate=4.0,
+        runner=lambda *a, **k: next(results), load_fn=lambda: next(loadseq))
+    assert draws == [4.7, 3.9, 3.6]
+    assert loads == [9.4, 7.1, 6.0]
+    assert min(draws) == 3.6  # the recorded row
+
+
+def test_draw_spot_load_drop_stops_redrawing():
+    """A re-draw taken after the competing work finished (load back under
+    the gate) ends the loop — no third draw burned for nothing."""
+    import time as _time
+
+    results = iter([4.7, 1.2])
+    loadseq = iter([9.4, 0.9])
+    draws, loads = bench._draw_spot(
+        "q", "/x", _time.monotonic() + 100, load_gate=4.0,
+        runner=lambda *a, **k: next(results), load_fn=lambda: next(loadseq))
+    assert draws == [4.7, 1.2] and loads == [9.4, 0.9]
+
+
+def test_draw_spot_budget_exhaustion_mid_redraw(capsys):
+    """Budget running out between re-draws truncates the draw list but
+    keeps what was measured."""
+    import time as _time
+
+    deadline = _time.monotonic() + 0.05
+
+    def runner(name, sf_dir, timeout_sec):
+        _time.sleep(0.1)  # burns past the deadline
+        return 2.0
+
+    draws, loads = bench._draw_spot(
+        "q", "/x", deadline, load_gate=4.0,
+        runner=runner, load_fn=lambda: 99.0)
+    assert draws == [2.0]  # second iteration hit the deadline
+    assert "budget exhausted" in capsys.readouterr().err
+
+
+def test_draw_spot_failed_run_ends_loop():
+    """A failed/timed-out draw (None) ends the loop without poisoning
+    the recorded draws."""
+    import time as _time
+
+    results = iter([4.7, None])
+    draws, loads = bench._draw_spot(
+        "q", "/x", _time.monotonic() + 100, load_gate=4.0,
+        runner=lambda *a, **k: next(results), load_fn=lambda: 9.0)
+    assert draws == [4.7] and loads == [9.0]

@@ -1141,14 +1141,20 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(60)}
 
 
-def test_seed_dir_fixture_guard_and_atomicity(tmp_path):
-    """r3 review regression: after the query fn's distributed overwrite
-    replaced seed.csv with Spark part files, a warm-restart import must
-    NOT drop a second copy of the dataset next to them (the oracle globs
-    the whole directory — doubling the data breaks the hash)."""
+def test_seed_dir_fixture_marker_protocol(tmp_path):
+    """r7 verdict item (S4 residual): the old any-data-file guard trusted
+    a TORN directory — a /tmp cleaner deleting SOME part files of a
+    previous session's overwrite left survivors matching the glob, the
+    seeder skipped, and an oracle-first evaluation silently aggregated
+    fewer rows. The marker protocol must: seed fresh dirs atomically,
+    leave a VOUCHED post-overwrite tree untouched (no data doubling,
+    the r3 regression), and clear-and-reseed unmarked or torn trees so
+    exactly one complete copy ever stands."""
     import os
 
-    from nf2pq_spark.plans.collector import _seed_dir_fixture
+    from nf2pq_spark.plans.collector import (_SEED_MARKER,
+                                             _mark_seed_dir,
+                                             _seed_dir_fixture)
 
     src = "/root/testdata/sf0.01/customer.parquet"
     sql = ("COPY (SELECT c_custkey FROM read_parquet('{src}') "
@@ -1158,16 +1164,36 @@ def test_seed_dir_fixture_guard_and_atomicity(tmp_path):
     fresh = tmp_path / "fresh"
     _seed_dir_fixture(src, str(fresh), "seed.csv", sql)
     assert (fresh / "seed.csv").exists()
-    # no stray tmp files left behind
-    assert [p.name for p in fresh.iterdir()] == ["seed.csv"]
+    # marker written last, no stray tmp files left behind
+    assert sorted(p.name for p in fresh.iterdir()) == [
+        _SEED_MARKER, "seed.csv"]
 
+    # vouched post-overwrite tree (part files + the marker the query fn
+    # writes): a warm-restart import must NOT touch it — re-seeding next
+    # to part files would double the data the oracle globs (r3)
     warm = tmp_path / "warm"
     os.makedirs(warm)
     (warm / "part-00000.csv").write_text("c_custkey\n1\n")
+    (warm / "part-00001.csv").write_text("c_custkey\n2\n")
+    _mark_seed_dir(str(warm), "/root/testdata/sf0.01", "customer")
     _seed_dir_fixture(src, str(warm), "seed.csv", sql)
-    assert not (warm / "seed.csv").exists(), (
-        "seeder re-seeded next to existing part files — doubles the data"
-    )
+    assert not (warm / "seed.csv").exists()
+    assert (warm / "part-00000.csv").read_text() == "c_custkey\n1\n"
+
+    # TORN vouched tree (cleaner deleted a manifest file): cleared and
+    # re-seeded — exactly one complete copy, never the partial survivors
+    os.remove(warm / "part-00001.csv")
+    _seed_dir_fixture(src, str(warm), "seed.csv", sql)
+    assert sorted(p.name for p in warm.iterdir()) == [
+        _SEED_MARKER, "seed.csv"]
+
+    # unmarked tree (legacy layout / crashed overwrite): same treatment
+    legacy = tmp_path / "legacy"
+    os.makedirs(legacy)
+    (legacy / "part-00000.csv").write_text("c_custkey\n1\n")
+    _seed_dir_fixture(src, str(legacy), "seed.csv", sql)
+    assert sorted(p.name for p in legacy.iterdir()) == [
+        _SEED_MARKER, "seed.csv"]
 
 
 def test_cache_marker_invalidates_on_source_change(tmp_path):
