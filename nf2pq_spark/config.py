@@ -104,7 +104,19 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
     Returns the StreamingQuery. With ``available_now=True`` it drains the
     existing capture backlog and stops (operationally: catch-up/backfill
     mode; also how tests run it hermetically).
-    """
+
+    Delivery is REPLAY-IDEMPOTENT (r8 crash soak): foreachBatch commits
+    the checkpoint AFTER the sink runs, so a kill between the parquet
+    write and the checkpoint commit redelivers the batch on restart — a
+    blind ``mode("append")`` then duplicated every row of the replayed
+    batch (the soak reproduced this immediately). Each batch therefore
+    lands in its own ``batch_id=N`` partition with mode=overwrite
+    (:func:`streaming.sinks.idempotent_parquet_batch_writer`'s recipe,
+    composed with the date/hour layout): a replay replaces itself. The
+    table layout gains a leading ``batch_id`` partition column;
+    date/hour pruning still works (partition discovery reads all three
+    levels), and ``operators.compact.compact_partitions`` folds the
+    batch dirs away on the maintenance path."""
     from .sources.ipfix import stream_flow_files
     from .streaming.sinks import jdbc_batch_writer, with_partition_columns
 
@@ -117,8 +129,8 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
     def deliver(flows: DataFrame, batch_id: int) -> None:
         typed = flows.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
         out = with_partition_columns(typed, "ts")
-        (out.write.mode("append").partitionBy("date", "hour")
-            .parquet(cfg.parquet_path))
+        (out.write.mode("overwrite").partitionBy("date", "hour")
+            .parquet(f"{cfg.parquet_path}/batch_id={int(batch_id)}"))
         if ch_writer is not None:
             ch_writer(typed, batch_id)
 

@@ -22,6 +22,54 @@ from ..sources.ipfix import (encode_ipfix, encode_netflow_v5,
 from ..sources.tables import load_table
 from .registry import register
 
+# Per-PROCESS S4 scan directories (r8 concurrent-grading drill): unlike
+# the build-once /tmp caches (flock-serialized check-and-rebuild), these
+# dirs are REWRITTEN by their query fns on every run — two concurrent
+# graders sharing a fixed path raced each other's mode("overwrite"), and
+# one grader's oracle globbed a directory the other had just deleted
+# ("No files found") or half-rewritten (hash mismatch). A pid-suffixed
+# path makes each grading process self-consistent (its query fn and its
+# oracle SQL — interpolated below — see the same private dir) and makes
+# concurrent graders collision-free by construction. Dead siblings are
+# garbage-collected at import.
+_CSV_SCAN_DIR = f"/tmp/nf2pq_csv_customer_{os.getpid()}"
+_JSON_SCAN_DIR = f"/tmp/nf2pq_json_events_{os.getpid()}"
+
+
+def _gc_stale_scan_dirs() -> None:
+    """Best-effort removal of per-process S4 dirs (and their lock files)
+    whose owning pid is gone — plus the legacy un-suffixed shared names.
+    Only trees older than an hour are touched, so a recycled pid cannot
+    delete a LIVE concurrent grader's dir out from under it."""
+    import glob as _glob
+    import time as _time
+
+    cutoff = _time.time() - 3600.0
+    for base in ("/tmp/nf2pq_csv_customer", "/tmp/nf2pq_json_events"):
+        for p in _glob.glob(base + "_*") + [base]:
+            if p.endswith(".lock") or p in (_CSV_SCAN_DIR, _JSON_SCAN_DIR):
+                continue
+            suffix = p.rsplit("_", 1)[-1]
+            if suffix.isdigit():
+                try:
+                    os.kill(int(suffix), 0)
+                    continue  # pid alive — not ours to touch
+                except ProcessLookupError:
+                    pass
+                except PermissionError:
+                    continue  # alive, other user
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
+                if os.path.exists(p + ".lock"):
+                    os.remove(p + ".lock")
+            except OSError:
+                pass
+
+
+_gc_stale_scan_dirs()
+
 # deterministic flow synthesis from event_id (oracle-expressible arithmetic;
 # the same scheme as f7_flownet)
 _FLOW_SQL = """
@@ -273,13 +321,13 @@ def s5b_capture_datasource(spark, sf_dir):
 
 @register(
     "s4_csv_scan",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS sum_bal
-    FROM read_csv('/tmp/nf2pq_csv_customer/*.csv', header=true,
-                  columns={'c_custkey':'BIGINT','c_name':'VARCHAR',
+    FROM read_csv('{_CSV_SCAN_DIR}/*.csv', header=true,
+                  columns={{'c_custkey':'BIGINT','c_name':'VARCHAR',
                            'c_nationkey':'INT','c_acctbal':'DOUBLE',
-                           'c_mktsegment':'VARCHAR'})
+                           'c_mktsegment':'VARCHAR'}})
     GROUP BY c_mktsegment
     """,
     description="CSV ingest with explicit schema (S4): fixture exported to "
@@ -290,7 +338,7 @@ def s5b_capture_datasource(spark, sf_dir):
     tags=("S4",),
 )
 def s4_csv_scan(spark, sf_dir):
-    out = "/tmp/nf2pq_csv_customer"
+    out = _CSV_SCAN_DIR
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     c.write.mode("overwrite").option("header", True).csv(out)
@@ -587,14 +635,14 @@ def _mark_seed_dir(dst: str, sf_dir: str, table: str) -> None:
 
 _seed_dir_fixture(
     "/root/testdata/sf0.01/customer.parquet",
-    "/tmp/nf2pq_csv_customer", "seed.csv",
+    _CSV_SCAN_DIR, "seed.csv",
     "COPY (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
     "FROM read_parquet('{src}') ORDER BY c_custkey) "
     "TO '{dst}' (FORMAT CSV, HEADER, DELIMITER ',')",
 )
 _seed_dir_fixture(
     "/root/testdata/sf0.01/events.parquet",
-    "/tmp/nf2pq_json_events", "seed.json",
+    _JSON_SCAN_DIR, "seed.json",
     "COPY (SELECT event_id, user_id, event_type, value "
     "FROM read_parquet('{src}') ORDER BY event_id) "
     "TO '{dst}' (FORMAT JSON)",
@@ -603,14 +651,14 @@ _seed_dir_fixture(
 
 @register(
     "s4b_json_scan",
-    oracle="""
+    oracle=f"""
     SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
            MAX(user_id) AS max_user
-    FROM read_json('/tmp/nf2pq_json_events/*.json',
+    FROM read_json('{_JSON_SCAN_DIR}/*.json',
                    format='newline_delimited',
-                   columns={'event_id':'BIGINT','user_id':'BIGINT',
-                            'event_type':'VARCHAR','value':'DOUBLE'})
+                   columns={{'event_id':'BIGINT','user_id':'BIGINT',
+                            'event_type':'VARCHAR','value':'DOUBLE'}})
     GROUP BY event_type
     """,
     description="newline-delimited JSON ingest with explicit schema (S4): "
@@ -621,7 +669,7 @@ _seed_dir_fixture(
     tags=("S4",),
 )
 def s4b_json_scan(spark, sf_dir):
-    out = "/tmp/nf2pq_json_events"
+    out = _JSON_SCAN_DIR
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value")
     ev.write.mode("overwrite").json(out)

@@ -77,5 +77,14 @@ checkpoint = {ckpt}
     assert sorted(r.hour for r in rows) == [1, 2, 3, 4]
     assert {r.date.isoformat() for r in rows} == {"1970-01-02"}
     assert rows[0].sa == "10.0.0.0" and rows[3].sp == 3
-    hour_dirs = {d for d in os.listdir(str(tmp_path / "flows") + "/date=1970-01-02")}
+    # replay-idempotent layout (r8): each micro-batch owns a batch_id=N
+    # dir, date/hour partitioning nested inside it
+    flows_dir = str(tmp_path / "flows")
+    batch_dirs = [d for d in os.listdir(flows_dir) if d.startswith("batch_id=")]
+    assert batch_dirs, "collector output must be batch_id-partitioned"
+    hour_dirs = {
+        d
+        for b in batch_dirs
+        for d in os.listdir(os.path.join(flows_dir, b, "date=1970-01-02"))
+    }
     assert {"hour=1", "hour=2", "hour=3", "hour=4"} <= hour_dirs
