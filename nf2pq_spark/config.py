@@ -138,3 +138,29 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
         spark, cfg.capture_dir, deliver, cfg.checkpoint,
         available_now=available_now,
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``nf2pq-collector <conf> [--drain]`` console entry point (the
+    installed-package spelling of the module docstring's two-liner).
+    ``--drain`` runs the availableNow backfill mode: decode the existing
+    capture backlog, write it, exit — the operational catch-up command.
+    Without it the collector runs continuously until interrupted."""
+    import argparse
+
+    from .session import get_spark
+
+    parser = argparse.ArgumentParser(
+        prog="nf2pq-collector",
+        description="capture files -> decode -> partitioned parquet "
+                    "(+ optional ClickHouse), from one nf2pq.conf")
+    parser.add_argument("conf", help="path to the INI config file")
+    parser.add_argument("--drain", action="store_true",
+                        help="drain the existing backlog and exit "
+                             "(availableNow trigger)")
+    args = parser.parse_args(argv)
+    spark = get_spark("nf2pq-collector")
+    q = run_collector(spark, load_config(args.conf),
+                      available_now=args.drain)
+    q.awaitTermination()
+    return 0

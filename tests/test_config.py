@@ -88,3 +88,53 @@ checkpoint = {ckpt}
         for d in os.listdir(os.path.join(flows_dir, b, "date=1970-01-02"))
     }
     assert {"hour=1", "hour=2", "hour=3", "hour=4"} <= hour_dirs
+
+
+def test_packaging_entry_point_resolves(tmp_path, spark):
+    """r7 verdict item 8: the pyproject console entry must resolve to a
+    working CLI. The sandbox lacks the `wheel` package (and network), so
+    `pip install -e .` cannot run here — this pins the same contract
+    directly: the declared target imports, parses args, and a --drain
+    invocation against a real capture dir runs the full pipeline.
+    (main() reuses the active session via get_spark's getOrCreate.)"""
+    import contextlib
+    import io
+    import tomllib
+
+    from nf2pq_spark.sources.ipfix import encode_netflow_v5, write_capture_file
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "pyproject.toml"), "rb") as fh:
+        meta = tomllib.load(fh)
+    mod_name, fn_name = meta["project"]["scripts"]["nf2pq-collector"].split(":")
+    import importlib
+
+    target = getattr(importlib.import_module(mod_name), fn_name)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        try:
+            target(["--help"])
+        except SystemExit as e:
+            assert e.code == 0
+    assert "--drain" in buf.getvalue()
+
+    cap = tmp_path / "caps"
+    os.makedirs(cap)
+    flows = [{"sa_int": (10 << 24) + i, "da_int": 2, "sp": i, "dp": 80,
+              "pr": 6, "flg": 16, "ipkt": 1, "ibyt": 100,
+              "ts_ms": 90_000_000 + i, "te_ms": 90_000_500 + i,
+              "sas": 0, "das": 0} for i in range(3)]
+    write_capture_file(str(cap / "cap_0.bin"), encode_netflow_v5(flows))
+    conf = tmp_path / "nf2pq.conf"
+    conf.write_text(f"""
+[collector]
+capture_dir = {cap}
+
+[parquet]
+path = {tmp_path / 'flows'}
+checkpoint = {tmp_path / 'ckpt'}
+""")
+    assert target([str(conf), "--drain"]) == 0
+    out = spark.read.parquet(str(tmp_path / "flows"))
+    assert out.count() == 3
