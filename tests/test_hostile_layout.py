@@ -1,0 +1,91 @@
+"""Physical-layout differential regression (r8).
+
+tools/hostile_layout_fixture.py rewrites every fixture table with a
+seeded row PERMUTATION, 997-row row groups, zstd, no dictionary, and
+v2 data pages — the axes a 100 TB deployment's many writers control
+and the clean single-writer fixture never varies. The full 253-query
+sweep over that fixture ran green (r8, plus a spill-pressure
+composition); this bounded variant re-runs the most order-sensitive
+query shapes each suite run so an input-order or decoder dependence
+cannot regress silently.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+#: order-risk shapes: window functions over ties, per-group pandas UDFs
+#: (pandas sees rows in scan order), top-k under equal scores, float
+#: accumulation, array aggregation, session windows, percentile
+#: interpolation, and a decode-heavy scan (v2 pages + zstd + no-dict)
+ORDER_RISK = [
+    "q1_pricing_summary",
+    "w2_lag_lead",
+    "w5_distribution",
+    "a5_percentiles",
+    "a17_distribution_shape",
+    "f4_arrays",
+    "l3_cosine_topk",
+    "x2_apply_in_pandas",
+    "x3_grouped_agg_udf",
+    "t3_session_window",
+]
+
+
+@pytest.fixture(scope="module")
+def layout_sf(tmp_path_factory):
+    from hostile_layout_fixture import build
+
+    return build(src=os.environ.get("NF2PQ_TEST_SF_DIR",
+                                    "/root/testdata/sf0.001"),
+                 dst=str(tmp_path_factory.mktemp("layout") / "sfl"))
+
+
+def test_order_risk_queries_match_oracle_on_permuted_layout(spark, layout_sf):
+    import duckdb
+
+    import __spark_entry__ as em
+    from driver_sim import TABLES, vhash
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{layout_sf}/{t}.parquet')")
+    bad = []
+    for name in ORDER_RISK:
+        try:
+            s = qs[name](spark, layout_sf).toPandas()
+            d = con.execute(oracles[name]).fetchdf()
+            if not (len(s) == len(d)
+                    and sorted(s.columns) == sorted(d.columns)
+                    and vhash(s) == vhash(d)):
+                bad.append(name)
+        except Exception as ex:  # noqa: BLE001 — census, then fail once
+            bad.append(f"{name}: {type(ex).__name__} {str(ex)[:120]}")
+    assert not bad, f"layout-permuted divergence regressed: {bad}"
+
+
+def test_layout_fixture_is_actually_hostile(layout_sf):
+    """The builder must deliver what the sweep claims: permuted rows,
+    many small row groups, no dictionary, zstd."""
+    import pyarrow.parquet as pq
+
+    src = os.environ.get("NF2PQ_TEST_SF_DIR", "/root/testdata/sf0.001")
+    pf = pq.ParquetFile(os.path.join(layout_sf, "lineitem.parquet"))
+    orig = pq.read_table(os.path.join(src, "lineitem.parquet"))
+    assert pf.metadata.num_rows == len(orig)
+    assert pf.metadata.num_row_groups > len(orig) // 1000, (
+        "row groups not shattered")
+    col = pf.metadata.row_group(0).column(0)
+    assert col.compression.lower() == "zstd"
+    # row order actually permuted (first column differs at the head)
+    got = pf.read_row_group(0).column(0).to_pylist()[:50]
+    exp = orig.column(0).to_pylist()[:50]
+    assert got != exp, "rows not permuted"
