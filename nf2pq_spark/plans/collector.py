@@ -36,7 +36,8 @@ _CSV_SCAN_DIR = f"/tmp/nf2pq_csv_customer_{os.getpid()}"
 _JSON_SCAN_DIR = f"/tmp/nf2pq_json_events_{os.getpid()}"
 
 
-def _gc_stale_scan_dirs() -> None:
+def _gc_stale_scan_dirs(bases: tuple[str, ...] = (
+        "/tmp/nf2pq_csv_customer", "/tmp/nf2pq_json_events")) -> None:
     """Best-effort removal of per-process S4 dirs (and their lock files)
     whose owning pid is gone — plus the legacy un-suffixed shared names.
     Only trees older than an hour are touched, so a recycled pid cannot
@@ -45,7 +46,7 @@ def _gc_stale_scan_dirs() -> None:
     import time as _time
 
     cutoff = _time.time() - 3600.0
-    for base in ("/tmp/nf2pq_csv_customer", "/tmp/nf2pq_json_events"):
+    for base in bases:
         for p in _glob.glob(base + "_*") + [base]:
             if p.endswith(".lock") or p in (_CSV_SCAN_DIR, _JSON_SCAN_DIR):
                 continue

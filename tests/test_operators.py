@@ -1867,3 +1867,39 @@ def test_interval_micros_rejects_malformed_inputs():
                 "1.5 hours", "0 days", "3 fortnights"):
         with pytest.raises(ValueError, match="bucket"):
             _interval_micros(bad)
+
+
+def test_gc_stale_scan_dirs_rules(tmp_path):
+    """r8 concurrent-drill follow-up: the per-process S4 dir GC must
+    remove only dirs that are BOTH old (>1h) and not owned by a live
+    pid — a recycled pid or a fresh tree must never be deleted out from
+    under a live grader."""
+    import os
+    import time
+
+    from nf2pq_spark.plans.collector import _gc_stale_scan_dirs
+
+    base = str(tmp_path / "nf2pq_csv_customer")
+    old = 2 * 3600.0
+
+    def mk(name, age_s):
+        d = f"{base}_{name}" if name else base
+        os.makedirs(d)
+        (open(os.path.join(d, "x.csv"), "w")).write("a\n")
+        t = time.time() - age_s
+        os.utime(d, (t, t))
+        return d
+
+    live = mk(str(os.getpid()), old)          # our own pid — alive
+    dead_pid = str(2**31 - 1)  # beyond any real pid -> ESRCH for sure
+    dead_old = mk(dead_pid, old)              # dead pid, old -> GC'd
+    dead_young = mk(str(2**31 - 2), 60.0)     # dead pid, young -> kept
+    legacy_old = mk("", old)                  # un-suffixed legacy -> GC'd
+    open(dead_old + ".lock", "w").close()
+
+    _gc_stale_scan_dirs(bases=(base,))
+    assert os.path.exists(live)
+    assert os.path.exists(dead_young)
+    assert not os.path.exists(dead_old)
+    assert not os.path.exists(dead_old + ".lock")
+    assert not os.path.exists(legacy_old)
