@@ -24,6 +24,14 @@ order/decoder dependence in a QUERY, not an ingestion artifact.
 
     python tools/hostile_layout_fixture.py [dst]     # build, print dst
     NF2PQ_VERIFY_SF_DIR=<dst> python tools/driver_sim.py --all
+
+One file per table (not a multi-file dir): the oracle views read
+``read_parquet('<sf>/<t>.parquet')``, which must stay a single file —
+the multi-file/listing-order axis is exercised by the conf sweep's
+shattered_scans profile instead (many input splits per file). Composes
+with hostile_corpus_fixture: build the corpus tails first, then point
+``src`` here at that directory for adversarial rows in adversarial
+files.
 """
 
 from __future__ import annotations
