@@ -51,8 +51,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     """events.parquet as a bounded file-source stream (the fixture stands in
     for the collector's decoded flow stream).
 
-    Spark's file stream source requires a *directory*, so the fixture file is
-    symlinked into a fresh temp dir (the fixture tree is read-only).
+    Spark's file stream source requires a *directory*. A single-file
+    fixture (the driver's layout) is symlinked into a fresh temp dir
+    (the fixture tree is read-only); a DIRECTORY table (many-writer
+    layouts — the r8 multi-file fixture) streams in place: symlinking
+    the dir under a scratch dir would nest it one level down, where the
+    file source does not look (it does not recurse into non-partition
+    subdirs), yielding an empty stream with a schema-inference error.
     """
     from ..sources.tables import normalize_events_ts
 
@@ -60,8 +65,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     # abspath: a RELATIVE sf_dir would make the symlink target resolve
     # against the temp dir (broken link, empty stream)
     path = os.path.abspath(f"{sf_dir}/events.parquet")
-    stream_dir = _scratch_dir("events_stream_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    if os.path.isdir(path):
+        stream_dir = path
+    else:
+        stream_dir = _scratch_dir("events_stream_")
+        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -72,6 +72,29 @@ def test_order_risk_queries_match_oracle_on_permuted_layout(spark, layout_sf):
     assert not bad, f"layout-permuted divergence regressed: {bad}"
 
 
+def test_events_stream_reads_directory_tables(spark, tmp_path):
+    """r8 multi-file sweep find: read_events_stream symlinked the table
+    PATH into a scratch dir — correct for the driver's single-file
+    fixture, but a DIRECTORY table (many-writer layout) ended up nested
+    one level down where the file source never looks, so 12 streaming
+    queries died with an empty-stream schema error. A directory table
+    must stream in place and see every part file."""
+    from hostile_layout_fixture import build
+
+    from nf2pq_spark.sources.tables import load_table
+    from nf2pq_spark.streaming.jobs import read_events_stream, run_available_now
+
+    src = os.environ.get("NF2PQ_TEST_SF_DIR", "/root/testdata/sf0.001")
+    mf = build(src=src, dst=str(tmp_path / "mf"), n_files=3)
+    assert os.path.isdir(os.path.join(mf, "events.parquet"))
+    stream = read_events_stream(spark, mf)
+    import pyspark.sql.functions as F
+
+    sp, name = run_available_now(stream.agg(F.count(F.lit(1)).alias("n")))
+    got = sp.table(name).collect()[0].n
+    assert got == load_table(spark, src, "events").count()
+
+
 def test_layout_fixture_is_actually_hostile(layout_sf):
     """The builder must deliver what the sweep claims: permuted rows,
     many small row groups, no dictionary, zstd."""

@@ -76,8 +76,14 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # a table may be a single file (the driver's fixtures) or a
+        # DIRECTORY of part files (the multi-file layout fixture, where
+        # file-listing order is the axis under test) — Spark reads both
+        # spellings natively, DuckDB needs the glob for the dir form
+        p = f"{SF}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
+                    f"read_parquet('{src}')")
     bad = []
     t0 = time.time()
     for name in names:

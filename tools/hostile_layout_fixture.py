@@ -25,11 +25,13 @@ order/decoder dependence in a QUERY, not an ingestion artifact.
     python tools/hostile_layout_fixture.py [dst]     # build, print dst
     NF2PQ_VERIFY_SF_DIR=<dst> python tools/driver_sim.py --all
 
-One file per table (not a multi-file dir): the oracle views read
-``read_parquet('<sf>/<t>.parquet')``, which must stay a single file —
-the multi-file/listing-order axis is exercised by the conf sweep's
-shattered_scans profile instead (many input splits per file). Composes
-with hostile_corpus_fixture: build the corpus tails first, then point
+``n_files=1`` (default) writes each table as a single file;
+``n_files>1`` writes ``<t>.parquet/`` as a DIRECTORY of part files,
+with rows dealt round-robin across files and file NAMES chosen so the
+listing order disagrees with the logical order — the file-listing /
+scan-task-ordering axis a many-writer deployment always has
+(driver_sim's oracle views read the dir via a glob). Composes with
+hostile_corpus_fixture: build the corpus tails first, then point
 ``src`` here at that directory for adversarial rows in adversarial
 files.
 """
@@ -45,22 +47,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def build(src: str = "/root/testdata/sf0.01",
           dst: str = "/tmp/nf2pq_hostile_layout",
-          seed: int = 1337, row_group_rows: int = 997) -> str:
+          seed: int = 1337, row_group_rows: int = 997,
+          n_files: int = 1) -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
+    opts = dict(row_group_size=row_group_rows, compression="zstd",
+                use_dictionary=False, data_page_version="2.0")
     for i, t in enumerate(TABLES):
         table = pq.read_table(os.path.join(src, f"{t}.parquet"))
         perm = np.random.RandomState(seed + i).permutation(len(table))
-        pq.write_table(
-            table.take(perm),
-            os.path.join(dst, f"{t}.parquet"),
-            row_group_size=row_group_rows,
-            compression="zstd",
-            use_dictionary=False,
-            data_page_version="2.0",
-        )
+        out = os.path.join(dst, f"{t}.parquet")
+        if n_files <= 1 or len(table) < n_files:
+            pq.write_table(table.take(perm), out, **opts)
+            continue
+        os.makedirs(out, exist_ok=True)
+        for k in range(n_files):
+            # round-robin slices, and REVERSED file numbering so the
+            # lexicographic listing order disagrees with both logical
+            # order and write order
+            pq.write_table(table.take(perm[k::n_files]),
+                           os.path.join(out,
+                                        f"part-{n_files - 1 - k:03d}.parquet"),
+                           **opts)
     return dst
 
 
