@@ -89,13 +89,11 @@ def test_caught_queries_match_oracle_on_hostile_corpus(spark, hostile_sf):
     import duckdb
 
     import __spark_entry__ as em
-    from driver_sim import TABLES, vhash
+    from driver_sim import register_oracle_views, vhash
 
     qs, oracles = em.queries(), em.oracle_sql()
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{hostile_sf}/{t}.parquet')")
+    register_oracle_views(con, hostile_sf)
     bad = []
     for name in CAUGHT:
         s = qs[name](spark, hostile_sf).toPandas()  # must not crash

@@ -51,13 +51,11 @@ def test_order_risk_queries_match_oracle_on_permuted_layout(spark, layout_sf):
     import duckdb
 
     import __spark_entry__ as em
-    from driver_sim import TABLES, vhash
+    from driver_sim import register_oracle_views, vhash
 
     qs, oracles = em.queries(), em.oracle_sql()
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{layout_sf}/{t}.parquet')")
+    register_oracle_views(con, layout_sf)
     bad = []
     for name in ORDER_RISK:
         try:

@@ -33,6 +33,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 SF = os.environ.get("NF2PQ_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
+def register_oracle_views(con, sf: str) -> None:
+    """Create the ten table views on a DuckDB connection. A table may be
+    a single file (the driver's fixtures) or a DIRECTORY of part files
+    (the multi-file layout fixture, where file-listing order is the
+    axis under test) — Spark reads both spellings natively, DuckDB
+    needs the glob for the dir form. ONE definition for every sweep
+    (driver_sim, hostile_conf_sim, the suite's differential tests), so
+    dir support cannot drift between them."""
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{src}')")
+
+
 def vhash(pdf) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
@@ -75,15 +90,7 @@ def main() -> int:
         names = list(plans.CURATED_PREFIX)
 
     con = duckdb.connect()
-    for t in TABLES:
-        # a table may be a single file (the driver's fixtures) or a
-        # DIRECTORY of part files (the multi-file layout fixture, where
-        # file-listing order is the axis under test) — Spark reads both
-        # spellings natively, DuckDB needs the glob for the dir form
-        p = f"{SF}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{src}')")
+    register_oracle_views(con, SF)
     bad = []
     t0 = time.time()
     for name in names:

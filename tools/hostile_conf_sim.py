@@ -30,7 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.driver_sim import SF, TABLES, vhash  # noqa: E402
+from tools.driver_sim import (SF, TABLES, register_oracle_views,  # noqa: E402
+                              vhash)
 
 #: name -> (master, static+runtime confs, extra env). Values chosen to be
 #: maximally unlike the tested local[16]/local[32] x 32-partition layouts:
@@ -149,9 +150,7 @@ def run_profile(profile: str, names: list[str] | None) -> int:
     names = names or sorted(qs)
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
+    register_oracle_views(con, SF)
     # the spill profile must PROVE the spill paths fired, else it is
     # vacuous green — track the per-query delta of the stage-level
     # spill counters and require both a nonzero total and a spread of
