@@ -105,32 +105,39 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
     existing capture backlog and stops (operationally: catch-up/backfill
     mode; also how tests run it hermetically).
 
-    Delivery is REPLAY-IDEMPOTENT (r8 crash soak): foreachBatch commits
-    the checkpoint AFTER the sink runs, so a kill between the parquet
-    write and the checkpoint commit redelivers the batch on restart — a
-    blind ``mode("append")`` then duplicated every row of the replayed
-    batch (the soak reproduced this immediately). Each batch therefore
-    lands in its own ``batch_id=N`` partition with mode=overwrite
-    (:func:`streaming.sinks.idempotent_parquet_batch_writer`'s recipe,
-    composed with the date/hour layout): a replay replaces itself. The
-    table layout gains a leading ``batch_id`` partition column;
-    date/hour pruning still works (partition discovery reads all three
-    levels), and ``operators.compact.compact_partitions`` folds the
-    batch dirs away on the maintenance path."""
+    The PARQUET leg is REPLAY-IDEMPOTENT (r8 crash soak): foreachBatch
+    commits the checkpoint AFTER the sink runs, so a kill between the
+    parquet write and the checkpoint commit redelivers the batch on
+    restart — a blind ``mode("append")`` then duplicated every row of
+    the replayed batch (the soak reproduced this immediately). Each
+    batch lands via
+    :func:`streaming.sinks.idempotent_parquet_batch_writer` (its own
+    ``batch_id=N`` dir, mode=overwrite, date/hour nested inside): a
+    replay replaces itself; pruning on date/hour works across batch
+    dirs, and ``streaming.sinks.compact_partitions`` folds the batch
+    dirs away on the maintenance path (note it repartitions to
+    (date, hour) — batch_id becomes a plain column in the compacted
+    copy). The CLICKHOUSE leg stays AT-LEAST-ONCE: a JDBC append
+    cannot replace itself, so a replayed batch inserts twice unless
+    the server deduplicates — production tables need
+    ReplacingMergeTree or an insert-dedup token keyed on batch_id (the
+    recipe named in the idempotent writer's docstring); the soak
+    verifies the parquet leg only."""
     from .sources.ipfix import stream_flow_files
-    from .streaming.sinks import jdbc_batch_writer, with_partition_columns
+    from .streaming.sinks import (idempotent_parquet_batch_writer,
+                                  jdbc_batch_writer, with_partition_columns)
 
     ch_writer = (
         jdbc_batch_writer(cfg.clickhouse.url, cfg.clickhouse.table,
                           cfg.clickhouse.jdbc_properties)
         if cfg.clickhouse else None
     )
+    pq_writer = idempotent_parquet_batch_writer(
+        cfg.parquet_path, partition_by=["date", "hour"])
 
     def deliver(flows: DataFrame, batch_id: int) -> None:
         typed = flows.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
-        out = with_partition_columns(typed, "ts")
-        (out.write.mode("overwrite").partitionBy("date", "hour")
-            .parquet(f"{cfg.parquet_path}/batch_id={int(batch_id)}"))
+        pq_writer(with_partition_columns(typed, "ts"), batch_id)
         if ch_writer is not None:
             ch_writer(typed, batch_id)
 

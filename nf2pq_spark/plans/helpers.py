@@ -35,6 +35,20 @@ from pyspark.sql import functions as F
 #: exact money type: fixture values < 10^8 with ≤2 decimals
 MONEY = "decimal(10,2)"
 
+#: Integer-format gate applied to a STRING before a string→bigint cast,
+#: on BOTH engines, so both route through identical cast semantics:
+#: DuckDB TRY_CAST rounds decimal strings ('1.5' → 2) where Spark
+#: try_cast yields NULL, and the two trim DIFFERENT whitespace (Spark's
+#: cast trims every control char ≤ 0x20; DuckDB only [\t\n\f\r ], and
+#: Java-regex \s vs RE2 \s ALSO disagree — Java includes \x0B).
+#: Hence an EXPLICIT character class, identical under Java regex
+#: (Spark rlike) and RE2 (DuckDB regexp_matches), whose members both
+#: casts demonstrably trim. Values padded with any OTHER control char
+#: fail the gate and degrade to NULL on both engines. ONE definition —
+#: interpolated into every oracle and applied via rlike on every Spark
+#: side — so the semantics cannot drift between queries (r8 review).
+INT_GATE_RE = r"^[ \t\n\f\r]*[+-]?[0-9]+[ \t\n\f\r]*$"
+
 
 def m(col: Column | str) -> Column:
     """Exact decimal view of a money/value column (boundary-free cast)."""

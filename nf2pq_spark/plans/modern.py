@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, register_views
-from .helpers import ocents
+from .helpers import INT_GATE_RE, ocents
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -191,18 +191,18 @@ def f2d_calendar_functions(spark, sf_dir):
 
 @register(
     "v1_variant_json",
-    oracle="""
+    oracle=f"""
     WITH j AS (
       -- json_valid + TRY_CAST mirror the Spark side's try_parse_json +
       -- try_variant_get: malformed props or a non-numeric k degrade to
       -- NULL instead of aborting the job (r7 hostile-corpus find).
-      -- The integer-format regex gate mirrors Spark's string->bigint
-      -- cast exactly: DuckDB TRY_CAST ROUNDS decimal strings
-      -- ('1.5' -> 2) where Spark try_cast yields NULL (r8: wrong-typed
-      -- {"k": 1.5}/{"k": true} fixture rows caught this)
+      -- helpers.INT_GATE_RE (applied on BOTH engines) routes both
+      -- through identical string->bigint semantics: DuckDB TRY_CAST
+      -- ROUNDS decimal strings ('1.5' -> 2) where Spark try_cast
+      -- yields NULL, and the two trim different whitespace (r8)
       SELECT event_type,
              TRY_CAST(CASE WHEN regexp_matches(k_str,
-                      '^\\s*[+-]?[0-9]+\\s*$') THEN k_str END
+                      '{INT_GATE_RE}') THEN k_str END
                       AS BIGINT) AS k
       FROM (
         -- CASE (not AND) guards the extract: json_extract_string
@@ -238,8 +238,10 @@ def f2d_calendar_functions(spark, sf_dir):
 )
 def v1_variant_json(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("try_cast(try_variant_get(try_parse_json(props), '$.k', "
-               "'string') as long)")
+    k_str = F.expr("try_variant_get(try_parse_json(props), '$.k', 'string')")
+    # the SAME gate the oracle applies (helpers.INT_GATE_RE): inside it
+    # both casts agree; outside it both engines degrade to NULL
+    k = F.when(k_str.rlike(INT_GATE_RE), k_str).try_cast("long")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),

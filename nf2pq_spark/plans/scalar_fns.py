@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..functions import flownet
 from ..functions.vectors import EMBEDDING_VALID_SQL
 from ..sources.tables import load_table
+from .helpers import INT_GATE_RE
 from .registry import register
 
 #: DuckDB spelling of the embedding validity contract (kept in one
@@ -247,7 +248,7 @@ def f4b_explode_wordcount(spark, sf_dir):
 
 @register(
     "f6_json",
-    oracle="""
+    oracle=f"""
     WITH j AS (
       -- json_valid guard + TRY_CAST: DuckDB's json_extract_string THROWS
       -- on malformed JSON and CAST('v' AS BIGINT) throws on non-numeric
@@ -259,17 +260,17 @@ def f4b_explode_wordcount(spark, sf_dir):
       FROM events WHERE event_type = 'click'
     )
     SELECT event_id, k_str,
-           -- integer-format gate BEFORE the cast: DuckDB TRY_CAST
-           -- ROUNDS decimal strings ('1.5' -> 2) where Spark's
-           -- try_cast yields NULL — the regex (optional whitespace,
-           -- sign, digits only, Spark's accepted shape) routes both
-           -- engines through identical string->bigint semantics
-           -- (r8: wrong-typed {"k": 1.5} fixture rows caught this)
+           -- helpers.INT_GATE_RE on BOTH engines (also applied via
+           -- rlike on the Spark side): DuckDB TRY_CAST ROUNDS decimal
+           -- strings ('1.5' -> 2) where Spark's try_cast yields NULL,
+           -- and the two trim DIFFERENT whitespace — inside the gate
+           -- both casts agree, outside it both degrade to NULL
+           -- (r8: wrong-typed {{"k": 1.5}} fixture rows caught this)
            TRY_CAST(CASE WHEN regexp_matches(k_str,
-                    '^\\s*[+-]?[0-9]+\\s*$') THEN k_str END
+                    '{INT_GATE_RE}') THEN k_str END
                     AS BIGINT) AS k,
            TRY_CAST(CASE WHEN regexp_matches(k_str,
-                    '^\\s*[+-]?[0-9]+\\s*$') THEN k_str END
+                    '{INT_GATE_RE}') THEN k_str END
                     AS BIGINT) % 10 AS k_mod
     FROM j
     """,
@@ -280,14 +281,17 @@ def f4b_explode_wordcount(spark, sf_dir):
 def f6_json(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     k_str = F.get_json_object("props", "$.k")
+    # the SAME gate the oracle applies (helpers.INT_GATE_RE), then
+    # try_cast: a non-numeric "k" value is legal JSON; a plain cast
+    # aborts under ANSI (CAST_INVALID_INPUT) where the oracle degrades
+    # to NULL, and an UNGATED try_cast trims control chars the oracle's
+    # regex rejects (r8 review)
+    k = F.when(k_str.rlike(INT_GATE_RE), k_str).try_cast("long")
     return ev.select(
         "event_id",
         k_str.alias("k_str"),
-        # try_cast: a non-numeric "k" value is legal JSON; a plain cast
-        # aborts under ANSI (CAST_INVALID_INPUT) where the oracle
-        # degrades to NULL
-        k_str.try_cast("long").alias("k"),
-        (k_str.try_cast("long") % 10).alias("k_mod"),
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
     )
 
 

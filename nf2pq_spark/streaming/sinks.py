@@ -144,16 +144,25 @@ def foreach_batch_sink(stream: DataFrame, fn: Callable[[DataFrame, int], None],
     return writer.start()
 
 
-def idempotent_parquet_batch_writer(base: str) -> Callable[[DataFrame, int], None]:
+def idempotent_parquet_batch_writer(
+        base: str, partition_by: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
     """foreachBatch body with EXACTLY-ONCE delivery to an at-least-once
     sink: each micro-batch lands in its own ``batch_id=N`` directory with
     mode=overwrite, so a redelivered batch (failure between sink write and
     checkpoint commit — foreachBatch's documented delivery gap) replaces
     itself instead of duplicating. This is the file-sink analogue of the
     ClickHouse ReplacingMergeTree / insert-dedup-token recipe the JDBC
-    writer needs in production."""
+    writer needs in production. ``partition_by`` nests further partition
+    columns INSIDE the batch dir (``base/batch_id=N/date=…/hour=…``) —
+    pruning on them works across batch dirs, and the recipe stays in
+    this one place for every caller (run_collector composes it with the
+    date/hour layout; r8 review)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
+        w = batch_df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{base}/batch_id={int(batch_id)}")
 
     return write_batch

@@ -82,9 +82,13 @@ checkpoint = {ckpt}
     flows_dir = str(tmp_path / "flows")
     batch_dirs = [d for d in os.listdir(flows_dir) if d.startswith("batch_id=")]
     assert batch_dirs, "collector output must be batch_id-partitioned"
+    # guard the per-batch date dir: with multiple micro-batches each
+    # batch holds only a subset of dates, and a bare listdir would
+    # crash instead of failing the layout assertion
     hour_dirs = {
         d
         for b in batch_dirs
+        if os.path.isdir(os.path.join(flows_dir, b, "date=1970-01-02"))
         for d in os.listdir(os.path.join(flows_dir, b, "date=1970-01-02"))
     }
     assert {"hour=1", "hour=2", "hour=3", "hour=4"} <= hour_dirs

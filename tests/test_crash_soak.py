@@ -28,9 +28,13 @@ def test_crash_soak_small(spark, tmp_path):
     summary = soak(str(tmp_path), cycles=2, datagrams=300,
                    rate_per_s=400.0, seed=8)
     # lossless + duplicate-free is asserted inside soak(); here pin the
-    # soak itself was not vacuous: traffic flowed, and at least one
-    # crash was injected into the streaming stages overall
+    # soak itself was not vacuous: traffic flowed, and crashes were
+    # injected. The >=3 bound is DETERMINISTIC, not timing-dependent:
+    # each stage's first kill fires at 3s — inside JVM startup on any
+    # host — so fast machines cannot turn the soak vacuous (and slow
+    # ones cannot flake it red; r8 review).
     assert summary["committed"] > 100
     assert summary["table_rows"] == summary["committed"]
-    assert (summary["drains_killed"] + summary["rollups_killed"]
-            + summary["compacts_killed"]) >= 1
+    assert summary["drains_killed"] >= 1
+    assert summary["rollups_killed"] >= 1
+    assert summary["compacts_killed"] >= 1

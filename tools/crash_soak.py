@@ -156,7 +156,14 @@ def _run_with_random_kill(args: list[str], kill_after: float) -> bool:
 
 def _run_to_completion(args: list[str], timeout: float = 300.0) -> None:
     p = _spawn(args)
-    rc = p.wait(timeout=timeout)
+    try:
+        rc = p.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        # kill the whole group before propagating: a wedged child's JVM
+        # (own session per _spawn) would otherwise outlive the soak,
+        # keep writing to the workdir, and steal cores from the caller
+        _kill9(p)
+        raise
     if rc != 0:
         raise RuntimeError(f"clean run {args} exited {rc}")
 
@@ -223,12 +230,18 @@ def soak(workdir: str, cycles: int = 3, datagrams: int = 1500,
     # -- phase B: collector drain churn ------------------------------------
     # the bridge nests files under <exporter-ip>/ and Spark's binaryFile
     # source does not recurse into non-partition subdirs — the glob form
-    # is how a deployment points the collector at a bridge out_dir
+    # is how a deployment points the collector at a bridge out_dir.
+    # The FIRST kill of each churn loop fires at 3s — inside JVM startup
+    # on any host, so at least one injection per stage is DETERMINISTIC
+    # regardless of machine speed (a fast host otherwise finishes every
+    # child before its random kill timer and the soak goes vacuous);
+    # later cycles use the random window to also hit mid-work states.
     cap_glob = os.path.join(cap, "*")
     drains_killed = 0
-    for _ in range(cycles):
+    for i in range(cycles):
+        kill_after = 3.0 if i == 0 else rng.uniform(8.0, 18.0)
         if _run_with_random_kill(["--drain", cap_glob, pq, ckpt],
-                                 kill_after=rng.uniform(8.0, 18.0)):
+                                 kill_after=kill_after):
             break  # finished before the kill — backlog already drained
         drains_killed += 1
     _run_to_completion(["--drain", cap_glob, pq, ckpt])  # final clean drain
@@ -238,16 +251,18 @@ def soak(workdir: str, cycles: int = 3, datagrams: int = 1500,
     # past the job duration injects nothing — the summary counts make a
     # kill-free (vacuous) phase visible to the caller
     rollups_killed = 0
-    for _ in range(max(1, cycles - 1)):
+    for i in range(max(1, cycles - 1)):
+        kill_after = 3.0 if i == 0 else rng.uniform(5.0, 10.0)
         if _run_with_random_kill(["--rollup", pq, rollup, rckpt],
-                                 kill_after=rng.uniform(5.0, 10.0)):
+                                 kill_after=kill_after):
             break
         rollups_killed += 1
     _run_to_completion(["--rollup", pq, rollup, rckpt])
     compacts_killed = 0
-    for _ in range(max(1, cycles - 1)):
+    for i in range(max(1, cycles - 1)):
+        kill_after = 3.0 if i == 0 else rng.uniform(5.0, 9.0)
         if _run_with_random_kill(["--compact", rollup],
-                                 kill_after=rng.uniform(5.0, 9.0)):
+                                 kill_after=kill_after):
             break
         compacts_killed += 1
     _run_to_completion(["--compact", rollup])

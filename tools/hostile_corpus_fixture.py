@@ -270,6 +270,13 @@ def _relational_tails(src: str, dst: str) -> None:
         {"event_id": ek + 18, "ts": _dt("2024-06-01 12:00:11"),
          "user_id": 777004, "event_type": "click", "value": 10.0,
          "props": '{"k": " 5"}'},
+        # control-char-padded digits: Spark's raw cast trims every char
+        # <= 0x20 while DuckDB only [\t\n\f\r ] — the shared INT_GATE_RE
+        # (explicit class, applied on BOTH engines) makes this NULL on
+        # both instead of 5-vs-NULL (r8 review find)
+        {"event_id": ek + 19, "ts": _dt("2024-06-01 12:00:12"),
+         "user_id": 777004, "event_type": "click", "value": 11.0,
+         "props": '{"k": "\\u000b5"}'},
         # NULL value on a user with 2+ DISTINCT non-null values: the
         # sharp probe for pandas NULL→NaN conflation inside per-group
         # UDFs (a lone NULL-value user hides behind the std<=0 branch)

@@ -52,6 +52,8 @@ def build(src: str = "/root/testdata/sf0.01",
     import numpy as np
     import pyarrow.parquet as pq
 
+    import shutil
+
     os.makedirs(dst, exist_ok=True)
     opts = dict(row_group_size=row_group_rows, compression="zstd",
                 use_dictionary=False, data_page_version="2.0")
@@ -59,6 +61,14 @@ def build(src: str = "/root/testdata/sf0.01",
         table = pq.read_table(os.path.join(src, f"{t}.parquet"))
         perm = np.random.RandomState(seed + i).permutation(len(table))
         out = os.path.join(dst, f"{t}.parquet")
+        # self-clean: a rebuild into an existing dst with a DIFFERENT
+        # n_files would otherwise leave stale part files next to the
+        # new ones (silently duplicated rows under the glob) or hit a
+        # leftover directory with the single-file write (r8 review)
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        elif os.path.exists(out):
+            os.remove(out)
         if n_files <= 1 or len(table) < n_files:
             pq.write_table(table.take(perm), out, **opts)
             continue
