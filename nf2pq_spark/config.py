@@ -117,19 +117,22 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
     dirs, and ``streaming.sinks.compact_partitions`` folds the batch
     dirs away on the maintenance path (note it repartitions to
     (date, hour) — batch_id becomes a plain column in the compacted
-    copy). The CLICKHOUSE leg stays AT-LEAST-ONCE: a JDBC append
-    cannot replace itself, so a replayed batch inserts twice unless
-    the server deduplicates — production tables need
-    ReplacingMergeTree or an insert-dedup token keyed on batch_id (the
-    recipe named in the idempotent writer's docstring); the soak
-    verifies the parquet leg only."""
+    copy). The CLICKHOUSE leg delegates replay-safety to the SERVER:
+    every INSERT carries a stable per-batch
+    ``insert_deduplication_token`` (see
+    :func:`streaming.sinks.jdbc_batch_writer`), so a redelivered batch
+    is dropped as a duplicate block — PROVIDED the target table meets
+    the dedup prerequisites in that docstring; no ClickHouse server
+    exists in this environment, so the token construction is
+    unit-verified and the crash soak verifies the parquet leg only."""
     from .sources.ipfix import stream_flow_files
     from .streaming.sinks import (idempotent_parquet_batch_writer,
                                   jdbc_batch_writer, with_partition_columns)
 
     ch_writer = (
         jdbc_batch_writer(cfg.clickhouse.url, cfg.clickhouse.table,
-                          cfg.clickhouse.jdbc_properties)
+                          cfg.clickhouse.jdbc_properties,
+                          dedup_token_prefix=f"nf2pq-{cfg.clickhouse.table}")
         if cfg.clickhouse else None
     )
     pq_writer = idempotent_parquet_batch_writer(

@@ -108,16 +108,37 @@ def clickhouse_ddl(df: DataFrame, table: str, order_by: list[str],
     return "\n".join(parts)
 
 
-def jdbc_batch_writer(url: str, table: str, properties: dict | None = None
+def jdbc_batch_writer(url: str, table: str, properties: dict | None = None,
+                      dedup_token_prefix: str | None = None,
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body appending each micro-batch over JDBC (ClickHouse:
     ``jdbc:clickhouse://host:8123/db``; needs the ClickHouse JDBC driver on
-    the executor classpath)."""
+    the executor classpath).
+
+    ``dedup_token_prefix`` makes the append REPLAY-SAFE on the server:
+    each batch's INSERT carries a STABLE
+    ``insert_deduplication_token=<prefix>-<batch_id>`` (via the
+    ClickHouse JDBC driver's documented ``custom_settings`` property),
+    so a batch redelivered after a crash between the INSERT and the
+    checkpoint commit — foreachBatch's delivery gap — carries the SAME
+    token and the server drops it as a duplicate block instead of
+    double-inserting. Server prerequisites (deployment contract, not
+    verifiable here — no ClickHouse server in this environment): the
+    target must be a Replicated*MergeTree, or a plain MergeTree with
+    ``non_replicated_deduplication_window > 0``, and the dedup window
+    must be deeper than the maximum number of batches a restart can
+    replay (Spark replays at most the last uncommitted batch, so any
+    nonzero window suffices for this sink)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         w = batch_df.write.format("jdbc").option("url", url).option("dbtable", table)
         for k, v in (properties or {}).items():
             w = w.option(k, v)
+        if dedup_token_prefix is not None:
+            w = w.option(
+                "custom_settings",
+                f"insert_deduplication_token="
+                f"{dedup_token_prefix}-{int(batch_id)}")
         w.mode("append").save()
 
     return write_batch

@@ -790,3 +790,58 @@ def test_st7_stateful_totals_null_and_negative_values(spark, tmp_path):
     assert got[2].n_events == 2
     assert got[2].sum_value is None
     assert got[2].max_value is None
+
+
+def test_jdbc_batch_writer_dedup_token_is_stable_per_batch():
+    """r8: the ClickHouse leg's replay-safety contract — every INSERT
+    carries insert_deduplication_token=<prefix>-<batch_id> via the JDBC
+    driver's custom_settings, STABLE across redeliveries of the same
+    batch (same batch_id -> same token; the server then drops the
+    duplicate block). JVM-free: a recording stand-in for the DataFrame
+    writer chain."""
+    from nf2pq_spark.streaming.sinks import jdbc_batch_writer
+
+    saved = []
+
+    class FakeWriter:
+        def __init__(self):
+            self.opts = {}
+
+        def format(self, f):
+            self.opts["__format"] = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def mode(self, m):
+            self.opts["__mode"] = m
+            return self
+
+        def save(self):
+            saved.append(dict(self.opts))
+
+    class FakeDF:
+        @property
+        def write(self):
+            return FakeWriter()
+
+    w = jdbc_batch_writer("jdbc:clickhouse://ch:8123/flows", "flows",
+                          {"user": "ingest"}, dedup_token_prefix="nf2pq-flows")
+    w(FakeDF(), 7)
+    w(FakeDF(), 7)   # redelivery: identical token
+    w(FakeDF(), 8)   # next batch: new token
+    assert saved[0]["custom_settings"] == \
+        "insert_deduplication_token=nf2pq-flows-7"
+    assert saved[0] == saved[1]
+    assert saved[2]["custom_settings"] == \
+        "insert_deduplication_token=nf2pq-flows-8"
+    assert saved[0]["__format"] == "jdbc" and saved[0]["__mode"] == "append"
+    assert saved[0]["user"] == "ingest"
+    assert saved[0]["dbtable"] == "flows"
+
+    # without a prefix the writer stays plain (no stray settings)
+    saved.clear()
+    jdbc_batch_writer("jdbc:clickhouse://ch:8123/flows", "flows")(FakeDF(), 1)
+    assert "custom_settings" not in saved[0]
