@@ -45,6 +45,8 @@ CANARIES: tuple[str, ...] = (
 #: already graded simply fall out; ungraded queries not listed here
 #: follow in registry order.
 _ROTATION_PRIORITY: tuple[str, ...] = (
+    "s6k_sequence_gaps",   # r10: new — exporter sequence-gap accounting
+    "s6l_v9_uptime_wrap",  # r10: new — v9 sysUptime-wrap regression query
     "s7b_clickhouse_ddl",  # S7's one testable half — last §2 row with
                            # zero driver evidence (r3 verdict item 2)
     "f3_math", "a15_bitwise_agg", "a16_histogram", "u5_unpivot",

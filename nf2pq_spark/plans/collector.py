@@ -113,6 +113,14 @@ def _flows_records(eid: pd.Series, ts: pd.Series) -> list[dict]:
     eid = eid.reset_index(drop=True)[keep]
     ts_ms = (ts.reset_index(drop=True)[keep]
              .astype("datetime64[us]").astype("int64") // 1000)
+    return _flows_records_ts(eid, ts_ms, ts_ms + 1000)
+
+
+def _flows_records_ts(eid: pd.Series, ts_ms: pd.Series,
+                      te_ms: pd.Series) -> list[dict]:
+    """Core of :func:`_flows_records` with caller-chosen timestamps —
+    the sysUptime-wrap fixture feeds sysUptime-RELATIVE ms here instead
+    of epoch ms, keeping every other field derivation identical."""
     o1 = eid % 223 + 10
     o2 = (eid // 7) % 256
     o3 = (eid // 11) % 256
@@ -126,7 +134,7 @@ def _flows_records(eid: pd.Series, ts: pd.Series) -> list[dict]:
         "sp": eid % 1024, "dp": (eid * 7) % 1024,
         "pr": pr.astype(int), "flg": eid % 64,
         "ipkt": eid % 100 + 1, "ibyt": eid % 5000 + 40,
-        "ts_ms": ts_ms, "te_ms": ts_ms + 1000,
+        "ts_ms": ts_ms, "te_ms": te_ms,
         "sas": eid % 65000, "das": (eid * 3) % 65000,
     })
     return flows.to_dict("records")
@@ -1390,6 +1398,242 @@ def s6j_port_entropy(spark, sf_dir):
             F.count(F.lit(1)).alias("n_ports"),
             F.round(-F.sum(p * F.log(p)), 5).alias("port_entropy"),
         )
+    )
+
+
+# -- exporter sequence-gap accounting (s6k) + sysUptime wrap (s6l) ----------
+
+#: sequence-gap fixture shape: 30 flows per datagram, every datagram whose
+#: index ≡ 3 (mod 7) is "lost in transport" AFTER sequence numbering —
+#: exactly what a UDP drop looks like to the collector. Interpolated into
+#: the oracle, so keep encoder + SQL reading the same constants.
+_GAP_PER_PACKET = 30
+_GAP_DROP_MOD = 7
+_GAP_DROP_RESIDUE = 3
+
+#: sysUptime-wrap fixture clock: exporter up 1 day at export time, so
+#: FIRST/LAST_SWITCHED values above ~2^31 are pre-wrap flows that must
+#: decode BEFORE boot-relative zero (the −2^32 ms correction).
+_WRAP_SYS_UPTIME_MS = 86_400_000
+_WRAP_UNIX_SECS = 1_700_000_000
+_WRAP_BOOT_MS = _WRAP_UNIX_SECS * 1000 - _WRAP_SYS_UPTIME_MS
+_WRAP_MIX = 2_654_435_761  # Knuth multiplicative hash: spreads rel over u32
+
+
+def _gap_capture_dir(spark, sf_dir: str) -> str:
+    """v5 + v9 captures with KNOWN transport drops, one exporter directory
+    per pack bucket (sequence counters are per-exporter state, so each
+    bucket must be its own exporter — unlike the shared-dir flow fixtures
+    where decode is order/origin-insensitive)."""
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_flows_gap_{tag}"
+    done = os.path.join(out, "_DONE")
+    stamp = source_stamp(sf_dir, "events")
+    with cache_lock(done):
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+
+            def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("event_id")
+                bucket = int(pdf["event_id"].iloc[0]) % _N_PACK_BUCKETS
+                flows = _flows_records(pdf["event_id"], pdf["ts"])
+                for kind, enc in (("v5", encode_netflow_v5),
+                                  ("v9", encode_netflow_v9)):
+                    dgrams = enc(flows, per_packet=_GAP_PER_PACKET)
+                    kept = [d for m, d in enumerate(dgrams)
+                            if m % _GAP_DROP_MOD != _GAP_DROP_RESIDUE]
+                    d = os.path.join(out, kind, f"exp_{bucket:02d}")
+                    os.makedirs(d, exist_ok=True)
+                    write_capture_file(os.path.join(d, "cap_00000.bin"),
+                                       kept)
+                return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
+
+            ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+            status = (
+                ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
+                .applyInPandas(pack_group, schema="bucket int, n long")
+            )
+            if status.count() == 0:
+                raise RuntimeError(f"gap-capture synthesis packed 0 buckets"
+                                   f" at {out}")
+            write_cache_marker(done, stamp)
+    return out
+
+
+def _wrap_capture_dir(spark, sf_dir: str) -> str:
+    """v9 capture whose FIRST/LAST_SWITCHED span a sysUptime counter wrap:
+    rel ms are spread over the full uint32 range by a multiplicative hash
+    of event_id while the header clock says the exporter has been up one
+    day — every rel beyond the wrap threshold is a flow that started
+    before the counter wrapped."""
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_flows_wrap_{tag}"
+    done = os.path.join(out, "_DONE")
+    stamp = source_stamp(sf_dir, "events")
+    with cache_lock(done):
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+
+            def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("event_id")
+                bucket = int(pdf["event_id"].iloc[0]) % _N_PACK_BUCKETS
+                eid = pdf["event_id"].reset_index(drop=True).astype("int64")
+                rel = (eid * _WRAP_MIX) % 2**32
+                flows = _flows_records_ts(eid, rel, (rel + 1000) % 2**32)
+                dgrams = encode_netflow_v9(
+                    flows, sys_uptime=_WRAP_SYS_UPTIME_MS,
+                    unix_secs=_WRAP_UNIX_SECS)
+                write_capture_file(
+                    os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
+                return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
+
+            ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+            status = (
+                ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
+                .applyInPandas(pack_group, schema="bucket int, n long")
+            )
+            if status.count() == 0:
+                raise RuntimeError(f"wrap-capture synthesis packed 0 buckets"
+                                   f" at {out}")
+            write_cache_marker(done, stamp)
+    return out
+
+
+@register(
+    "s6k_sequence_gaps",
+    oracle=f"""
+    WITH nn AS (
+      SELECT event_id % {_N_PACK_BUCKETS} AS b,
+             CAST((ROW_NUMBER() OVER (PARTITION BY event_id % {_N_PACK_BUCKETS}
+                                      ORDER BY event_id) - 1)
+                  // {_GAP_PER_PACKET} AS BIGINT) AS m
+      FROM events WHERE ts IS NOT NULL
+    ), msgs AS (
+      SELECT b, m, COUNT(*) AS nf FROM nn GROUP BY b, m
+    ), mx AS (
+      SELECT b, MAX(m) FILTER (WHERE m % {_GAP_DROP_MOD} <> {_GAP_DROP_RESIDUE})
+               AS last_recv
+      FROM msgs GROUP BY b
+    ), j AS (
+      SELECT msgs.b, msgs.m, msgs.nf, mx.last_recv
+      FROM msgs JOIN mx ON msgs.b = mx.b
+    ), per AS (
+      SELECT b,
+             COUNT(*) FILTER (WHERE m % {_GAP_DROP_MOD} <> {_GAP_DROP_RESIDUE})
+               AS n_msgs,
+             COUNT(*) FILTER (WHERE m % {_GAP_DROP_MOD} = {_GAP_DROP_RESIDUE}
+                              AND m < last_recv) AS fails,
+             COALESCE(SUM(nf) FILTER (WHERE m % {_GAP_DROP_MOD} = {_GAP_DROP_RESIDUE}
+                                      AND m < last_recv), 0) AS lost_flows
+      FROM j GROUP BY b
+    )
+    SELECT 'v5' AS fmt, CAST(b AS INT) AS exporter_id,
+           CAST(n_msgs AS BIGINT) AS n_msgs,
+           CAST(fails AS BIGINT) AS seq_failures,
+           CAST(lost_flows AS BIGINT) AS lost_units
+    FROM per
+    UNION ALL
+    SELECT 'v9', CAST(b AS INT), CAST(n_msgs AS BIGINT),
+           CAST(fails AS BIGINT), CAST(fails AS BIGINT)
+    FROM per
+    """,
+    description="exporter sequence-gap / lost-flow accounting (nfdump's "
+    "'sequence failures' health metric): per-datagram header sequence "
+    "counters, previously parsed and discarded, are differenced per "
+    "(exporter, version) against the version's unit semantics — v5 "
+    "flow_sequence counts FLOWS (expected next = seq + count), v9 "
+    "sequenceNumber counts PACKETS (expected next = seq + 1); the two "
+    "legs are NOT comparable unit-wise and stay separate rows. The "
+    "fixture drops every 7th-ish datagram after sequence numbering, so "
+    "the oracle recomputes the exact loss from the packing arithmetic. "
+    "A dropped TAIL datagram is invisible to gap detection (no successor) "
+    "— modeled on both sides. Scale: header-only parse, O(datagrams) "
+    "rows, window over tiny per-exporter partitions.",
+    tags=("S5", "S6"),
+)
+def s6k_sequence_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..sources.ipfix import read_message_headers
+
+    path = _gap_capture_dir(spark, sf_dir)
+    h = read_message_headers(spark, f"{path}/*/exp_*")
+    w = Window.partitionBy("version", "exporter").orderBy("seq")
+    expected = (F.when(F.col("version") == 5, F.col("seq") + F.col("nrec"))
+                .otherwise(F.col("seq") + 1))
+    g = h.select(
+        "version", "exporter",
+        (F.lead("seq").over(w) - expected).alias("gap"))
+    return (
+        g.groupBy(
+            F.when(F.col("version") == 5, F.lit("v5"))
+             .otherwise(F.lit("v9")).alias("fmt"),
+            F.regexp_extract("exporter", r"exp_(\d+)$", 1)
+             .cast("int").alias("exporter_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.count_if(F.col("gap") > 0).alias("seq_failures"),
+            F.coalesce(F.sum(F.when(F.col("gap") > 0, F.col("gap"))),
+                       F.lit(0)).cast("bigint").alias("lost_units"))
+    )
+
+
+@register(
+    "s6l_v9_uptime_wrap",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 6
+                  WHEN event_id % 3 = 1 THEN 17 ELSE 1 END AS pr,
+             (event_id * {_WRAP_MIX}) % 4294967296 AS rel
+      FROM events
+    ), d AS (
+      SELECT pr,
+             {_WRAP_BOOT_MS} + rel
+               - CASE WHEN rel - {_WRAP_SYS_UPTIME_MS} > 2147483648
+                      THEN 4294967296 ELSE 0 END AS ts_ms,
+             {_WRAP_BOOT_MS} + ((rel + 1000) % 4294967296)
+               - CASE WHEN ((rel + 1000) % 4294967296)
+                             - {_WRAP_SYS_UPTIME_MS} > 2147483648
+                      THEN 4294967296 ELSE 0 END AS te_ms
+      FROM r
+    )
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(MIN(ts_ms) AS BIGINT) AS first_ms,
+           CAST(MAX(ts_ms) AS BIGINT) AS last_ms,
+           CAST(SUM(ts_ms) AS BIGINT) AS sum_ts,
+           CAST(SUM(te_ms) AS BIGINT) AS sum_te,
+           COUNT(*) FILTER (WHERE ts_ms < {_WRAP_BOOT_MS}) AS n_prewrap
+    FROM d GROUP BY pr
+    """,
+    description="NetFlow v9 sysUptime 2^32-ms wraparound (RFC 3954; "
+    "nfdump's correction): the capture's header says the exporter has "
+    "been up one day while FIRST/LAST_SWITCHED spread over the whole "
+    "uint32 range — every rel past sysUptime + 2^31 is a flow that "
+    "started BEFORE the counter wrapped and must decode 2^32 ms earlier, "
+    "i.e. before the boot epoch (n_prewrap counts them). The oracle "
+    "recomputes the corrected absolute ms arithmetically per event. "
+    "Exercises both the vectorized rel_abs path and (via the shared "
+    "formula) the scalar twin that the differential tests pin to it.",
+    tags=("S5", "S6"),
+)
+def s6l_v9_uptime_wrap(spark, sf_dir):
+    path = _wrap_capture_dir(spark, sf_dir)
+    flows = read_flow_files(spark, path)
+    return flows.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.min("ts_ms").alias("first_ms"),
+        F.max("ts_ms").alias("last_ms"),
+        F.sum("ts_ms").cast("bigint").alias("sum_ts"),
+        F.sum("te_ms").cast("bigint").alias("sum_te"),
+        F.count_if(F.col("ts_ms") < F.lit(_WRAP_BOOT_MS)).alias("n_prewrap"),
     )
 
 

@@ -215,15 +215,33 @@ def encode_ipfix(flows: list[dict], per_packet: int = 30,
     return out
 
 
+#: fixture exporter clock: boot epoch exactly 0 (unixSecs*1000 ==
+#: sysUptime) so 32-bit-truncated absolute ms round-trip unchanged
+#: through the uptime arithmetic — AND sysUptime sits ~2^32, so the
+#: decoder's wraparound correction (fires when FIRST/LAST_SWITCHED
+#: exceeds sysUptime by more than 2^31) is provably inert for EVERY
+#: 4-byte value this encoder can emit (max excess is 295 ms < 2^31).
+#: The old (100000, 100) header also had boot 0 but put almost half the
+#: uint32 range past the wrap threshold, which a wrap-correct decoder
+#: must treat as pre-wrap flows.
+_V9_FIXTURE_SYSUPTIME = 4_294_967_000
+_V9_FIXTURE_UNIXSECS = 4_294_967
+
+
 def encode_netflow_v9(flows: list[dict], per_packet: int = 30,
-                      template_every: int = 10) -> list[bytes]:
+                      template_every: int = 10,
+                      sys_uptime: int = _V9_FIXTURE_SYSUPTIME,
+                      unix_secs: int = _V9_FIXTURE_UNIXSECS) -> list[bytes]:
     """Pack flow dicts into NetFlow v9 datagrams (RFC 3954).
 
     Template FlowSet (id 0) is re-sent every ``template_every`` packets.
     Timestamps go out as FIRST/LAST_SWITCHED — uint32 ms relative to
-    sysUptime; the header carries (sysUptime=100000ms, unixSecs=100) so the
-    exporter boot epoch is exactly 0 and 32-bit-truncated absolute ms
-    round-trip through the uptime arithmetic.
+    sysUptime; the default header (see ``_V9_FIXTURE_SYSUPTIME``) keeps
+    the exporter boot epoch exactly 0 so 32-bit-truncated absolute ms
+    round-trip through the uptime arithmetic. Pass a small
+    ``sys_uptime`` (with ``unix_secs`` the wall clock at export) to
+    synthesize a capture whose flows span a sysUptime counter wrap —
+    the case the decoder's −2^32 ms correction exists for.
     """
     fields = _V9_TEMPLATE_FIELDS
     tmpl_body = struct.pack(">HH", _V9_TEMPLATE_ID, len(fields))
@@ -242,7 +260,7 @@ def encode_netflow_v9(flows: list[dict], per_packet: int = 30,
         data_set = struct.pack(">HH", _V9_TEMPLATE_ID, 4 + len(recs)) + recs
         body = (tmpl_set if msg_i % template_every == 0 else b"") + data_set
         n_sets = (2 if msg_i % template_every == 0 else 1)
-        header = _V9_HEADER.pack(9, n_sets, 100_000, 100, seq, 1)
+        header = _V9_HEADER.pack(9, n_sets, sys_uptime, unix_secs, seq, 1)
         out.append(header + body)
         seq += 1
     return out
@@ -460,13 +478,15 @@ class _VecAccumulator:
     """
 
     def __init__(self):
-        #: (fields, v9?) → [(arr, exporter, boot_ms), ...]
+        #: (fields, v9?) → [(arr, exporter, boot_ms, sys_uptime_ms), ...]
         self._groups: dict[tuple, list] = {}
 
     def add(self, fields: list[tuple[int, int]], arr: np.ndarray,
-            exporter: str, boot_ms: int | None) -> None:
+            exporter: str, boot_ms: int | None,
+            sys_uptime: int | None = None) -> None:
         key = (tuple(fields), boot_ms is not None)
-        self._groups.setdefault(key, []).append((arr, exporter, boot_ms))
+        self._groups.setdefault(key, []).append(
+            (arr, exporter, boot_ms, sys_uptime))
 
     def frames(self) -> list[pd.DataFrame]:
         out = []
@@ -509,8 +529,26 @@ class _VecAccumulator:
                        # (152/153) — the scalar reference prefers those
                 boot = np.repeat(
                     np.array([c[2] for c in chunks], dtype="int64"), reps)
-                ts = col(152) if 152 in first_pos else boot + col(22)
-                te = col(153) if 153 in first_pos else boot + col(21)
+                sysup = np.repeat(
+                    np.array([c[3] for c in chunks], dtype="int64"), reps)
+
+                def rel_abs(ie: int) -> np.ndarray:
+                    # sysUptime wraparound (RFC 3954): both sysUptime and
+                    # FIRST/LAST_SWITCHED are uint32 ms wrapping every
+                    # ~49.7 days. A flow stamped before a wrap but exported
+                    # after it has rel >> sysUptime; uncorrected it decodes
+                    # ~49.7 days in the future (nfdump applies the same
+                    # −2^32 fix). The cut is at half the counter range so a
+                    # small positive export skew (flow stamped microseconds
+                    # after the header uptime was latched) is NOT a wrap.
+                    # All arithmetic stays in wrapping int64 — the scalar
+                    # twin folds through _i64 at each step to match.
+                    rel = col(ie)
+                    wrapped = (rel - sysup) > 0x80000000
+                    return boot + np.where(wrapped, rel - 0x100000000, rel)
+
+                ts = col(152) if 152 in first_pos else rel_abs(22)
+                te = col(153) if 153 in first_pos else rel_abs(21)
             else:      # IPFIX absolute ms IEs
                 ts, te = col(152), col(153)
             out.append(pd.DataFrame({
@@ -560,7 +598,7 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
     version = struct.unpack_from(">H", buf, 0)[0]
     if version == 10:
         length = struct.unpack_from(">H", buf, 2)[0]
-        off, tmpl_id, boot_ms = 16, 2, None
+        off, tmpl_id, boot_ms, sys_up = 16, 2, None, None
     else:
         _v, _c, sys_up, unix_s, _seq, _src = _V9_HEADER.unpack_from(buf, 0)
         length, off, tmpl_id = len(buf), _V9_HEADER.size, 0
@@ -654,7 +692,7 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
                 if n:
                     acc.add(fields,
                             np.frombuffer(buf, dtype=dt, count=n, offset=p),
-                            exporter, boot_ms)
+                            exporter, boot_ms, sys_up)
         off = set_end
     return []
 
@@ -892,6 +930,76 @@ def read_exporter_options(spark, path: str) -> DataFrame:
     return raw.mapInPandas(_options_pandas, OPTIONS_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# message-header statistics (sequence-gap / lost-flow accounting)
+# ---------------------------------------------------------------------------
+#
+# Every collector in the nfdump family reports "sequence failures": the
+# header sequence counters expose datagrams the UDP transport dropped.
+# The units differ per version and MUST NOT be mixed (RFC 1157-era v5 vs
+# RFC 3954 vs RFC 7011 semantics):
+#   v5   `flow_sequence`  counts FLOWS     → expected next = seq + count
+#   v9   `sequenceNumber` counts PACKETS   → expected next = seq + 1
+#   v10  `sequenceNumber` counts DATA RECORDS — the 16-byte header carries
+#        no record count, so per-message units need the decode pass;
+#        nrec is -1 here and gap math pairs seq deltas with decoded counts.
+
+MESSAGE_HEADER_SCHEMA = StructType([
+    StructField("exporter", StringType()),
+    StructField("version", IntegerType()),
+    StructField("seq", LongType()),       # header sequence counter (u32)
+    StructField("nrec", LongType()),      # v5: flow records in datagram;
+                                          # v9: FlowSet count; v10: -1
+    StructField("export_s", LongType()),  # exporter wall clock, unix secs
+])
+
+
+def _headers_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """binaryFile batches → one row per well-formed datagram header.
+
+    Header-only parse: O(datagrams), no template state, no record walk —
+    the health-statistics scan stays cheap even when the flow decode is
+    the expensive leg. Malformed datagrams are dropped exactly like the
+    flow decoder drops them (collector invariant: drop the packet, never
+    the pipeline).
+    """
+    cols = [f.name for f in MESSAGE_HEADER_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            exporter = _exporter_of(path)
+            for buf in iter_datagrams(bytes(content)):
+                try:
+                    version = struct.unpack_from(">H", buf, 0)[0]
+                    if version == 5:
+                        (_, count, _up, unix_s, _ns, seq, _et, _eid,
+                         _smp) = _V5_HEADER.unpack_from(buf, 0)
+                        rows.append((exporter, 5, seq, count, unix_s))
+                    elif version == 9:
+                        (_, count, _up, unix_s, seq,
+                         _src) = _V9_HEADER.unpack_from(buf, 0)
+                        rows.append((exporter, 9, seq, count, unix_s))
+                    elif version == 10:
+                        _, _ln, exp_s, seq, _dom = struct.unpack_from(
+                            ">HHIII", buf, 0)
+                        rows.append((exporter, 10, seq, -1, exp_s))
+                except (struct.error, IndexError, ValueError):
+                    continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_message_headers(spark, path: str) -> DataFrame:
+    """Capture files → per-datagram header rows (version, seq, counts).
+
+    The substrate for exporter sequence-gap accounting (nfdump's
+    "sequence failures" health metric): downstream queries window per
+    (exporter, version) over ``seq`` and difference consecutive headers
+    against the version's unit semantics (see module comment above).
+    """
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(_headers_pandas, MESSAGE_HEADER_SCHEMA)
+
+
 def _decode_v9(buf: bytes, exporter: str,
                templates: dict[tuple[str, int], list[tuple[int, int]]]) -> list[tuple]:
     """NetFlow v9 datagram → flow tuples (RFC 3954).
@@ -953,9 +1061,19 @@ def _decode_v9(buf: bytes, exporter: str,
                         p += ln
                     # _i64 folds both the absolute-ms IEs and the
                     # boot+uptime sum exactly like the vectorized path's
-                    # int64 arithmetic (numpy wraps silently on overflow)
-                    ts = _i64(vals.get(152, boot_ms + vals.get(22, 0)))
-                    te = _i64(vals.get(153, boot_ms + vals.get(21, 0)))
+                    # int64 arithmetic (numpy wraps silently on overflow).
+                    # The sysUptime-wrap correction (see frames()'s
+                    # rel_abs) folds through _i64 at every step the
+                    # vectorized path wraps in int64, so the differential
+                    # property holds on arbitrary widths too.
+                    def _rel_abs(ie: int) -> int:
+                        rel = _i64(vals.get(ie, 0))
+                        if _i64(rel - sys_uptime) > 0x80000000:
+                            rel -= 0x100000000
+                        return _i64(boot_ms + rel)
+
+                    ts = _i64(vals[152]) if 152 in vals else _rel_abs(22)
+                    te = _i64(vals[153]) if 153 in vals else _rel_abs(21)
                     # dual-stack: v6 address IEs (27/28) take precedence,
                     # mirroring _decode_ipfix and the vectorized path — a
                     # v9 IPv6 template that falls back to this scalar

@@ -576,3 +576,67 @@ def test_capture_read_paths_hostile_differential(spark, tmp_path):
     # (sidecar) absent on BOTH paths
     assert "0.0.2.88" not in sas and "0.0.2.188" not in sas
     assert len(via_ds) == 3 + 4 + 3 + 3 + 3 + 3 + 3
+
+
+# -- NetFlow v9 sysUptime wraparound (RFC 3954; nfdump's correction) -------
+
+
+def test_v9_sysuptime_wrap_corrects_pre_wrap_flows():
+    """sysUptime and FIRST/LAST_SWITCHED are uint32 ms wrapping every
+    ~49.7 days. A flow that STARTED before the counter wrap but is
+    exported after it carries FIRST_SWITCHED ≈ 2^32 while the header's
+    sysUptime is small; without the −2^32 ms correction it decoded ~49.7
+    days in the future. Golden absolute ms pinned on both decode paths,
+    plus the two non-wrap regimes: normal (rel ≤ sysUptime) and small
+    positive export skew (rel barely above sysUptime — NOT a wrap)."""
+    from nf2pq_spark.sources.ipfix import encode_netflow_v9
+
+    sys_up, unix_s = 60_000, 1_800_000_000       # exporter up 1 minute
+    boot = unix_s * 1000 - sys_up
+    rels = [2**32 - 5_000,   # started 5 s before the wrap → −2^32 fires
+            30_000,          # normal: 30 s after boot, before export
+            60_400]          # 400 ms past header uptime: skew, no wrap
+    flows = [{"sa_int": (10 << 24) + i, "da_int": (20 << 24), "sp": i,
+              "dp": 53, "pr": 17, "flg": 0, "ipkt": 1, "ibyt": 100,
+              "ts_ms": r, "te_ms": (r + 1_000) % 2**32, "sas": 1, "das": 2}
+             for i, r in enumerate(rels)]
+    (dgram,) = encode_netflow_v9(flows, sys_uptime=sys_up,
+                                 unix_secs=unix_s)
+    golden_ts = [boot - 5_000, boot + 30_000, boot + 60_400]
+    # te = rel + 1000: the first flow's end (2^32 − 4000) is still
+    # pre-wrap → same correction applies
+    golden_te = [boot - 4_000, boot + 31_000, boot + 61_400]
+
+    scalar = sorted(_decode_v9(dgram, "e1", {}))
+    vec = _vec_rows(dgram)
+    got_vec = sorted(tuple(r) for r in vec.itertuples(index=False))
+    assert scalar == got_vec
+    by_sp = {r[4]: r for r in scalar}
+    for i in range(3):
+        assert by_sp[i][0] == golden_ts[i], (i, by_sp[i][0], golden_ts[i])
+        assert by_sp[i][1] == golden_te[i]
+
+
+def test_v9_fixture_header_keeps_wrap_correction_inert():
+    """The default fixture header pins boot epoch 0 AND sysUptime ≈ 2^32,
+    so the wrap correction can never fire on encoder-produced captures:
+    decoded ts_ms == ts_ms mod 2^32 for ANY input ms — including
+    pre-epoch (negative) timestamps — exactly what the s6c oracle's
+    double-mod models."""
+    from nf2pq_spark.sources.ipfix import (_V9_FIXTURE_SYSUPTIME,
+                                           _V9_FIXTURE_UNIXSECS,
+                                           encode_netflow_v9)
+
+    assert _V9_FIXTURE_UNIXSECS * 1000 == _V9_FIXTURE_SYSUPTIME  # boot 0
+    assert 2**32 - _V9_FIXTURE_SYSUPTIME < 2**31  # max excess below cut
+    ms = [0, 1, 2**31 + 100_001, 2**32 - 1, 1_700_000_000_123, -5_000]
+    flows = [{"sa_int": 1, "da_int": 2, "sp": i, "dp": 1, "pr": 6,
+              "flg": 0, "ipkt": 1, "ibyt": 1, "ts_ms": m, "te_ms": m,
+              "sas": 0, "das": 0} for i, m in enumerate(ms)]
+    (dgram,) = encode_netflow_v9(flows)
+    rows = {r[4]: r for r in _decode_v9(dgram, "e1", {})}
+    for i, m in enumerate(ms):
+        assert rows[i][0] == m % 2**32
+    vec = _vec_rows(dgram)
+    got = {int(sp): int(t) for sp, t in zip(vec["sp"], vec["ts_ms"])}
+    assert got == {i: m % 2**32 for i, m in enumerate(ms)}

@@ -1903,3 +1903,39 @@ def test_gc_stale_scan_dirs_rules(tmp_path):
     assert not os.path.exists(dead_old)
     assert not os.path.exists(dead_old + ".lock")
     assert not os.path.exists(legacy_old)
+
+
+def test_read_message_headers_units_and_gap_detection(spark, tmp_path):
+    """Header sequence counters survive the scan with per-version unit
+    semantics (v5 flow_sequence counts FLOWS, v9 sequenceNumber counts
+    PACKETS, v10 counts DATA RECORDS with no in-header record count) and
+    a dropped datagram shows up as exactly its unit gap. Malformed
+    datagrams drop per-packet, like the flow decoder."""
+    import os
+
+    from nf2pq_spark.sources.ipfix import (encode_ipfix, encode_netflow_v5,
+                                           encode_netflow_v9,
+                                           read_message_headers,
+                                           write_capture_file)
+
+    flows = [{"sa_int": 1, "da_int": 2, "sp": i, "dp": 2, "pr": 6, "flg": 0,
+              "ipkt": 1, "ibyt": 10, "ts_ms": 0, "te_ms": 1,
+              "sas": 0, "das": 0} for i in range(25)]
+    out = str(tmp_path / "caps")
+    v5 = encode_netflow_v5(flows, per_packet=10)    # seq 0,10,20 (flows)
+    v9 = encode_netflow_v9(flows, per_packet=10)    # seq 0,1,2   (packets)
+    v10 = encode_ipfix(flows, per_packet=10)        # seq 0,10,20 (records)
+    os.makedirs(f"{out}/e1")
+    # drop the MIDDLE datagram of each stream + splice in garbage
+    write_capture_file(f"{out}/e1/cap.bin",
+                       [v5[0], b"\x00\x09junk", v5[2], v9[0], v9[2],
+                        v10[0], v10[2]])
+    h = read_message_headers(spark, f"{out}/e1").toPandas()
+    by_v = {v: sorted(zip(g["seq"], g["nrec"]))
+            for v, g in h.groupby("version")}
+    assert by_v[5] == [(0, 10), (20, 5)]     # gap: 20 - (0+10) = 10 flows
+    assert by_v[9][0][0] == 0 and by_v[9][1][0] == 2   # gap: 2-0-1 = 1 pkt
+    assert [s for s, _ in by_v[10]] == [0, 20]         # records-based seq
+    assert all(n == -1 for _, n in by_v[10])           # no count in header
+    # exporter identity is the directory, like the flow decoder
+    assert set(h["exporter"].map(lambda p: p.rsplit("/", 1)[-1])) == {"e1"}

@@ -101,6 +101,24 @@ PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
         "spark.ui.port": "0",
         "spark.ui.retainedStages": "100000",
     }, {}),
+    # REAL multi-JVM execution: every sweep before r10 ran ONE JVM
+    # (local[N]), where "shuffle" is an in-process byte copy and
+    # "broadcast" never crosses a socket. local-cluster forks 2 real
+    # executor JVMs (standalone master/worker in-process, executors as
+    # child processes): network shuffle fetch, serializer round-trips,
+    # broadcast over the wire, Python DataSource / mapInPandas workers
+    # living under executor JVMs that must import the package via
+    # executorEnv.PYTHONPATH (the driver's sys.path.insert does NOT
+    # propagate — exactly the class of bug this profile exists to
+    # catch). run_profile guards against vacuous green by requiring
+    # >= 2 non-driver executors via the REST API.
+    "local_cluster": ("local-cluster[2,8,4096]", {
+        "spark.executor.memory": "4g",
+        "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "0",
+    }, {}),
     # every knob at once: single-axis green does not prove the axes
     # don't INTERACT (e.g. a locale-sensitive format under an offset
     # zone inside a tiny Arrow batch) — one combined profile closes that
@@ -160,6 +178,32 @@ def run_profile(profile: str, names: list[str] | None) -> int:
     prev_spill = _spilled_bytes(spark) if check_spill else (0, 0)
     bad = []
     t0 = time.time()
+    if master.startswith("local-cluster"):
+        # vacuous-guard: the whole point is multi-JVM execution — prove
+        # the executors are real separate processes, not the driver.
+        # Executors register asynchronously; poll briefly.
+        import json
+        import urllib.request
+
+        sc = spark.sparkContext
+        n_exec = 0
+        for _ in range(60):
+            with urllib.request.urlopen(
+                    f"{sc.uiWebUrl}/api/v1/applications/"
+                    f"{sc.applicationId}/executors", timeout=30) as resp:
+                n_exec = sum(1 for e in json.load(resp)
+                             if e["id"] != "driver")
+            if n_exec >= 2:
+                break
+            time.sleep(1)
+        worker_pids = set(sc.parallelize(range(8), 8).mapPartitions(
+            lambda _: [__import__("os").getpid()]).collect())
+        if n_exec < 2 or os.getpid() in worker_pids:
+            bad.append(f"VACUOUS: not multi-JVM (executors={n_exec}, "
+                       f"driver pid in workers={os.getpid() in worker_pids})")
+        else:
+            print(f"[{profile}] multi-JVM proven: {n_exec} executors, "
+                  f"{len(worker_pids)} worker pids distinct from driver")
     for name in names:
         try:
             s = qs[name](spark, SF).toPandas()
