@@ -151,6 +151,53 @@ def _spilled_bytes(spark) -> tuple[int, int]:
             sum(s.get("diskBytesSpilled", 0) for s in stages))
 
 
+#: node metrics that prove a spill/fallback path fired in that operator
+_ENGAGEMENT_METRICS = ("spill size", "number of sort fallback tasks")
+
+
+def _metric_engaged(value: str) -> bool:
+    """True iff a REST metric display string is nonzero. Values come as
+    '4', '645.0 MiB', or 'total (min, med, max (stageId: taskId))\\n7.9
+    GiB (...)' — the leading numeric token of the LAST line is the
+    total."""
+    import re
+
+    head = value.splitlines()[-1].split("(", 1)[0].strip()
+    m = re.match(r"([0-9][0-9.]*)", head)
+    return bool(m) and float(m.group(1)) > 0
+
+
+def _sql_spill_attribution(spark, min_id: int):
+    """Per-OPERATOR spill/fallback engagement from the SQL REST endpoint
+    (stage counters say THAT something spilled; the per-node metrics say
+    WHERE). Returns (next_min_id, {operator -> set of engaged metric
+    names}) over executions with id >= min_id."""
+    import json
+    import urllib.request
+
+    sc = spark.sparkContext
+    try:
+        with urllib.request.urlopen(
+                f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+                f"/sql?details=true&length=100000", timeout=30) as resp:
+            sqls = json.load(resp)
+    except Exception:  # noqa: BLE001 — diagnostics never fail the sweep
+        return min_id, {}
+    ops: dict[str, set[str]] = {}
+    nxt = min_id
+    for ex in sqls:
+        if ex.get("id", -1) < min_id:
+            continue
+        nxt = max(nxt, ex["id"] + 1)
+        for node in ex.get("nodes", []):
+            for met in node.get("metrics", []):
+                if (met["name"] in _ENGAGEMENT_METRICS
+                        and _metric_engaged(met["value"])):
+                    ops.setdefault(node["nodeName"].split("(")[0].strip(),
+                                   set()).add(met["name"])
+    return nxt, ops
+
+
 def run_profile(profile: str, names: list[str] | None) -> int:
     """Run the oracle sweep under one profile (in THIS process)."""
     import duckdb
@@ -176,6 +223,10 @@ def run_profile(profile: str, names: list[str] | None) -> int:
     check_spill = profile == "spill_pressure"
     spilled_queries: list[str] = []
     prev_spill = _spilled_bytes(spark) if check_spill else (0, 0)
+    #: operator -> (metric names seen engaged, # queries it engaged in)
+    op_engaged: dict[str, set[str]] = {}
+    op_queries: dict[str, int] = {}
+    sql_cursor = 0
     bad = []
     t0 = time.time()
     if master.startswith("local-cluster"):
@@ -221,14 +272,35 @@ def run_profile(profile: str, names: list[str] | None) -> int:
             if cur != prev_spill:
                 spilled_queries.append(name)
             prev_spill = cur
+            # attribute the engagement to OPERATORS, not just stages:
+            # which physical nodes actually took a spill/fallback path
+            # during this query's executions (r8 carried item — the
+            # stage counters proved THAT the paths fire, this records
+            # WHERE)
+            sql_cursor, ops = _sql_spill_attribution(spark, sql_cursor)
+            for op, mets in ops.items():
+                op_engaged.setdefault(op, set()).update(mets)
+                op_queries[op] = op_queries.get(op, 0) + 1
     if check_spill:
         mem, disk = prev_spill
         print(f"[{profile}] spill engagement: {len(spilled_queries)} "
               f"queries spilled, {mem / 1e6:.0f} MB memory / "
               f"{disk / 1e6:.0f} MB disk total")
+        for op in sorted(op_queries, key=op_queries.get, reverse=True):
+            print(f"[{profile}]   {op}: engaged in {op_queries[op]} "
+                  f"queries ({', '.join(sorted(op_engaged[op]))})")
+        agg_fallback = any("number of sort fallback tasks" in m
+                           for op, m in op_engaged.items()
+                           if op.startswith("HashAggregate"))
         if disk <= 0 or len(spilled_queries) < 5:
             bad.append(f"VACUOUS: spill never engaged (disk={disk}, "
                        f"queries={len(spilled_queries)})")
+        elif not agg_fallback:
+            # the TungstenAggregate test hook is configured — its
+            # absence from every execution means the hook silently
+            # stopped engaging (A/B-proven to fire in r8)
+            bad.append("VACUOUS: hash-agg sort fallback never attributed "
+                       "to a HashAggregate node")
     status = "OK" if not bad else "BAD"
     print(f"[{profile}] {status}: {len(names)} queries in "
           f"{time.time() - t0:.0f}s" + (f"; failures: {bad}" if bad else ""))
