@@ -941,8 +941,11 @@ def read_exporter_options(spark, path: str) -> DataFrame:
 #   v5   `flow_sequence`  counts FLOWS     → expected next = seq + count
 #   v9   `sequenceNumber` counts PACKETS   → expected next = seq + 1
 #   v10  `sequenceNumber` counts DATA RECORDS — the 16-byte header carries
-#        no record count, so per-message units need the decode pass;
-#        nrec is -1 here and gap math pairs seq deltas with decoded counts.
+#        no record count, so the reader computes it from the template
+#        cache (two-phase harvest, like read_flow_files): per data set,
+#        (set bytes - 4) // record width. A data set whose template is
+#        unknown at that position, withdrawn, or variable-length makes
+#        the whole message's count UNKNOWN (-1) rather than a guess.
 
 MESSAGE_HEADER_SCHEMA = StructType([
     StructField("exporter", StringType()),
@@ -954,38 +957,87 @@ MESSAGE_HEADER_SCHEMA = StructType([
 ])
 
 
-def _headers_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """binaryFile batches → one row per well-formed datagram header.
+def _v10_record_count(buf: bytes, exporter: str, templates: dict) -> int:
+    """Data records in one IPFIX message, from fixed-width templates.
 
-    Header-only parse: O(datagrams), no template state, no record walk —
-    the health-statistics scan stays cheap even when the flow decode is
-    the expensive leg. Malformed datagrams are dropped exactly like the
-    flow decoder drops them (collector invariant: drop the packet, never
-    the pipeline).
+    Maintains the position-sensitive template view (in-message
+    announcements so far overlay the cross-file cache, exactly like the
+    vectorized pre-scan) so a mid-message re-announcement counts with
+    the layout in effect at each data set. Returns -1 — UNKNOWN, never a
+    guess — when any data set's template is absent, withdrawn, or has a
+    variable-length field (record count is not length-derivable there).
     """
-    cols = [f.name for f in MESSAGE_HEADER_SCHEMA.fields]
-    for pdf in batches:
-        rows = []
-        for path, content in zip(pdf["path"], pdf["content"]):
-            exporter = _exporter_of(path)
-            for buf in iter_datagrams(bytes(content)):
-                try:
-                    version = struct.unpack_from(">H", buf, 0)[0]
-                    if version == 5:
-                        (_, count, _up, unix_s, _ns, seq, _et, _eid,
-                         _smp) = _V5_HEADER.unpack_from(buf, 0)
-                        rows.append((exporter, 5, seq, count, unix_s))
-                    elif version == 9:
-                        (_, count, _up, unix_s, seq,
-                         _src) = _V9_HEADER.unpack_from(buf, 0)
-                        rows.append((exporter, 9, seq, count, unix_s))
-                    elif version == 10:
-                        _, _ln, exp_s, seq, _dom = struct.unpack_from(
-                            ">HHIII", buf, 0)
-                        rows.append((exporter, 10, seq, -1, exp_s))
-                except (struct.error, IndexError, ValueError):
-                    continue
-        yield pd.DataFrame(rows, columns=cols)
+    length = struct.unpack_from(">H", buf, 2)[0]
+    local: dict = {}
+    n = 0
+    off = 16
+    while off + 4 <= length:
+        set_id, set_len = struct.unpack_from(">HH", buf, off)
+        if set_len < 4:
+            break
+        set_end = min(off + set_len, length)
+        if set_id == 2:
+            _parse_template_records(buf, off + 4, set_end, exporter, local)
+        elif set_id >= 256:
+            key = (exporter, set_id)
+            fields = (local[key] if key in local
+                      else templates.get(key)) or None
+            if not fields or any(ln == _VARLEN for _, ln in fields):
+                return -1
+            rec_len = sum(ln for _, ln in fields)
+            if rec_len == 0:
+                return -1
+            n += (set_end - off - 4) // rec_len
+        off = set_end
+    return n
+
+
+def make_header_parser(initial_templates: dict | None = None):
+    """Build a mapInPandas body yielding one row per datagram header.
+
+    Header-only parse for v5/v9: O(datagrams), no record walk. v10
+    messages additionally walk their SET headers (not records) against
+    the seeded template cache to derive the data-record count the wire
+    header omits. Malformed datagrams are dropped exactly like the flow
+    decoder drops them (collector invariant: drop the packet, never the
+    pipeline).
+    """
+    seed = dict(initial_templates or {})
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates = dict(seed)
+        cols = [f.name for f in MESSAGE_HEADER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                exporter = _exporter_of(path)
+                for buf in iter_datagrams(bytes(content)):
+                    try:
+                        # format strings, not the module-level Struct
+                        # objects: cloudpickle ships this NESTED function
+                        # by value, and a referenced _struct.Struct
+                        # global is unpicklable (the top-level decoders
+                        # never hit this — only closures do)
+                        version = struct.unpack_from(">H", buf, 0)[0]
+                        if version == 5:
+                            (_, count, _up, unix_s, _ns, seq, _et, _eid,
+                             _smp) = struct.unpack_from(">HHIIIIBBH", buf, 0)
+                            rows.append((exporter, 5, seq, count, unix_s))
+                        elif version == 9:
+                            (_, count, _up, unix_s, seq,
+                             _src) = struct.unpack_from(">HHIIII", buf, 0)
+                            rows.append((exporter, 9, seq, count, unix_s))
+                        elif version == 10:
+                            _, _ln, exp_s, seq, _dom = struct.unpack_from(
+                                ">HHIII", buf, 0)
+                            nrec = _v10_record_count(buf, exporter,
+                                                     templates)
+                            rows.append((exporter, 10, seq, nrec, exp_s))
+                    except (struct.error, IndexError, ValueError):
+                        continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return parse
 
 
 def read_message_headers(spark, path: str) -> DataFrame:
@@ -995,9 +1047,15 @@ def read_message_headers(spark, path: str) -> DataFrame:
     "sequence failures" health metric): downstream queries window per
     (exporter, version) over ``seq`` and difference consecutive headers
     against the version's unit semantics (see module comment above).
+    v10 record counts use the same two-phase template harvest as
+    :func:`read_flow_files`, so file/partition placement of template
+    sets cannot change the counts.
     """
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    return raw.mapInPandas(_headers_pandas, MESSAGE_HEADER_SCHEMA)
+    tmpl_rows = raw.mapInPandas(_extract_templates_pandas,
+                                _TEMPLATE_SCHEMA).collect()
+    return raw.mapInPandas(make_header_parser(_merge_template_rows(tmpl_rows)),
+                           MESSAGE_HEADER_SCHEMA)
 
 
 def _decode_v9(buf: bytes, exporter: str,

@@ -1935,7 +1935,40 @@ def test_read_message_headers_units_and_gap_detection(spark, tmp_path):
             for v, g in h.groupby("version")}
     assert by_v[5] == [(0, 10), (20, 5)]     # gap: 20 - (0+10) = 10 flows
     assert by_v[9][0][0] == 0 and by_v[9][1][0] == 2   # gap: 2-0-1 = 1 pkt
-    assert [s for s, _ in by_v[10]] == [0, 20]         # records-based seq
-    assert all(n == -1 for _, n in by_v[10])           # no count in header
+    # v10: the header omits the record count — it is derived from the
+    # two-phase template harvest (set bytes // record width), so the
+    # data-only third message counts even though its template set lives
+    # in the (dropped) first message's announcement replayed by phase 1
+    assert by_v[10] == [(0, 10), (20, 5)]    # gap: 20 - (0+10) = 10 recs
     # exporter identity is the directory, like the flow decoder
     assert set(h["exporter"].map(lambda p: p.rsplit("/", 1)[-1])) == {"e1"}
+
+
+def test_v10_record_count_unknown_for_varlen_or_unknown_template():
+    """An IPFIX message whose data set rides a variable-length or
+    never-announced template reports nrec = -1 (UNKNOWN), never a guess
+    — sequence accounting must not invent record counts."""
+    import struct
+
+    from nf2pq_spark.sources.ipfix import _v10_record_count
+
+    def msg(*sets: bytes) -> bytes:
+        body = b"".join(sets)
+        return struct.pack(">HHIII", 10, 16 + len(body), 0, 0, 1) + body
+
+    def tset(tid, fields):
+        rec = struct.pack(">HH", tid, len(fields)) + b"".join(
+            struct.pack(">HH", ie, ln) for ie, ln in fields)
+        return struct.pack(">HH", 2, 4 + len(rec)) + rec
+
+    dset = struct.pack(">HH", 300, 4 + 8) + b"\x00" * 8
+    # known fixed template: 2 records of 4 bytes
+    m = msg(tset(300, [(7, 2), (11, 2)]), dset)
+    assert _v10_record_count(m, "e", {}) == 2
+    # never-announced template
+    assert _v10_record_count(msg(dset), "e", {}) == -1
+    # varlen field (0xFFFF width): length-derived counting impossible
+    m = msg(tset(300, [(84, 0xFFFF)]), dset)
+    assert _v10_record_count(m, "e", {}) == -1
+    # a template-set-only message has 0 data records
+    assert _v10_record_count(msg(tset(300, [(7, 2)])), "e", {}) == 0
