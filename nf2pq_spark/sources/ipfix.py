@@ -138,13 +138,27 @@ def _ip_str(v: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def encode_netflow_v5(flows: list[dict], per_packet: int = 30) -> list[bytes]:
+#: fixture exporter clock for v5, same trick as the v9 twin below: boot
+#: epoch exactly 0 (unixSecs*1000 == sysUptime, nsecs 0) so raw
+#: truncated ms round-trip through the uptime arithmetic, AND sysUptime
+#: ~2^32 so the wraparound correction is provably inert for every
+#: 4-byte first/last this encoder can emit.
+_V5_FIXTURE_SYSUPTIME = 4_294_967_000
+_V5_FIXTURE_UNIXSECS = 4_294_967
+
+
+def encode_netflow_v5(flows: list[dict], per_packet: int = 30,
+                      sys_uptime: int = _V5_FIXTURE_SYSUPTIME,
+                      unix_secs: int = _V5_FIXTURE_UNIXSECS) -> list[bytes]:
     """Pack flow dicts into NetFlow v5 datagrams (≤30 records each, like
-    real exporters)."""
+    real exporters). first/last go out as sysUptime-relative uint32 ms
+    (the v5 wire semantics); the default header keeps the boot epoch at
+    exactly 0. flow_sequence counts FLOWS (the v5 unit)."""
     out = []
     for i in range(0, len(flows), per_packet):
         chunk = flows[i:i + per_packet]
-        header = _V5_HEADER.pack(5, len(chunk), 0, 0, 0, i, 0, 0, 0)
+        header = _V5_HEADER.pack(5, len(chunk), sys_uptime, unix_secs,
+                                 0, i, 0, 0, 0)
         try:
             recs = b"".join(
                 _V5_RECORD.pack(
@@ -285,12 +299,21 @@ _V5_NP = np.dtype([
 assert _V5_NP.itemsize == 48
 
 
-def _decode_v5_array(buf: bytes) -> np.ndarray:
-    """One datagram → structured record array (vectorized v5 decode)."""
-    count = _V5_HEADER.unpack_from(buf, 0)[1]
+def _decode_v5_array(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """One datagram → (structured record array, boot_ms, sysUptime).
+
+    v5 first/last are sysUptime-relative uint32 ms (RFC-era semantics
+    shared with v9): the exporter boot epoch is
+    ``unixSecs*1000 + unixNsecs//1e6 − sysUptime`` and rides along so
+    :func:`_v5_frame` can reconstruct absolute ms with the same
+    wraparound correction as the v9 path.
+    """
+    _, count, sys_up, unix_s, unix_ns, *_ = _V5_HEADER.unpack_from(buf, 0)
     if len(buf) < _V5_HEADER.size + count * _V5_NP.itemsize:
         raise struct.error("truncated v5 datagram")
-    return np.frombuffer(buf, dtype=_V5_NP, count=count, offset=_V5_HEADER.size)
+    boot_ms = unix_s * 1000 + unix_ns // 1_000_000 - sys_up
+    return (np.frombuffer(buf, dtype=_V5_NP, count=count,
+                          offset=_V5_HEADER.size), boot_ms, sys_up)
 
 
 #: octet → text lookup tables; indexing + object-array string adds run a
@@ -326,13 +349,31 @@ def _i32(v: int) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
-def _v5_frame(arrs: list[np.ndarray], exporters: list[str]) -> pd.DataFrame:
+def _v5_frame(chunks: list[tuple[np.ndarray, int, int]],
+              exporters: list[str]) -> pd.DataFrame:
+    """(record array, boot_ms, sysUptime) chunks → one flow frame.
+
+    Absolute ms = boot + first/last, with the identical sysUptime
+    wraparound correction as the v9 ``rel_abs`` (cut at half the uint32
+    range so export skew is not a wrap); the scalar :func:`_decode_v5`
+    folds the same formula through ``_i64`` and the two are
+    equality-tested.
+    """
+    arrs = [c[0] for c in chunks]
     a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
-    exp = np.repeat(np.array(exporters, dtype=object),
-                    [len(x) for x in arrs])
+    reps = [len(x) for x in arrs]
+    exp = np.repeat(np.array(exporters, dtype=object), reps)
+    boot = np.repeat(np.array([c[1] for c in chunks], dtype="int64"), reps)
+    sysup = np.repeat(np.array([c[2] for c in chunks], dtype="int64"), reps)
+
+    def rel_abs(col: str) -> np.ndarray:
+        rel = a[col].astype("int64")
+        wrapped = (rel - sysup) > 0x80000000
+        return boot + np.where(wrapped, rel - 0x100000000, rel)
+
     return pd.DataFrame({
-        "ts_ms": a["first"].astype("int64"),
-        "te_ms": a["last"].astype("int64"),
+        "ts_ms": rel_abs("first"),
+        "te_ms": rel_abs("last"),
         "sa": _ip_strs(a["sa"].astype("uint32")),
         "da": _ip_strs(a["da"].astype("uint32")),
         "sp": a["sp"].astype("int32"),
@@ -348,14 +389,23 @@ def _v5_frame(arrs: list[np.ndarray], exporters: list[str]) -> pd.DataFrame:
 
 
 def _decode_v5(buf: bytes, exporter: str) -> list[tuple]:
-    _, count, *_ = _V5_HEADER.unpack_from(buf, 0)
+    _, count, sys_up, unix_s, unix_ns, *_ = _V5_HEADER.unpack_from(buf, 0)
+    boot_ms = unix_s * 1000 + unix_ns // 1_000_000 - sys_up
     rows = []
     off = _V5_HEADER.size
+
+    def rel_abs(rel: int) -> int:
+        # wraparound twin of _v5_frame's rel_abs — folded through _i64
+        # at every step the vectorized path wraps in int64
+        if _i64(rel - sys_up) > 0x80000000:
+            rel -= 0x100000000
+        return _i64(boot_ms + rel)
+
     for _ in range(count):
         (sa, da, _nh, _inif, _outif, pkts, octets, first, last, sp, dp,
          _p1, flg, pr, _tos, sas, das, _sm, _dm, _p2) = _V5_RECORD.unpack_from(buf, off)
-        rows.append((first, last, _ip_str(sa), _ip_str(da), sp, dp, pr, flg,
-                     pkts, octets, sas, das, exporter))
+        rows.append((rel_abs(first), rel_abs(last), _ip_str(sa), _ip_str(da),
+                     sp, dp, pr, flg, pkts, octets, sas, das, exporter))
         off += _V5_RECORD.size
     return rows
 

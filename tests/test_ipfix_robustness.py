@@ -640,3 +640,37 @@ def test_v9_fixture_header_keeps_wrap_correction_inert():
     vec = _vec_rows(dgram)
     got = {int(sp): int(t) for sp, t in zip(vec["sp"], vec["ts_ms"])}
     assert got == {i: m % 2**32 for i, m in enumerate(ms)}
+
+
+def test_v5_sysuptime_wrap_corrects_pre_wrap_flows():
+    """v5 first/last share the v9 sysUptime-relative uint32-ms semantics
+    (and the same ~49.7-day wrap). Golden absolute ms pinned on both the
+    scalar decoder and the vectorized frame path, plus the inert-fixture
+    property on the default header (boot 0, sysUptime ≈ 2^32 → decoded
+    == raw mod 2^32, which is what every v5 oracle models)."""
+    from nf2pq_spark.sources.ipfix import (_decode_v5, _decode_v5_array,
+                                           _v5_frame, encode_netflow_v5)
+
+    sys_up, unix_s = 60_000, 1_800_000_000
+    boot = unix_s * 1000 - sys_up
+    rels = [2**32 - 5_000, 30_000, 60_400]   # pre-wrap / normal / skew
+    flows = [{"sa_int": 1, "da_int": 2, "sp": i, "dp": 53, "pr": 17,
+              "flg": 0, "ipkt": 1, "ibyt": 100, "ts_ms": r,
+              "te_ms": (r + 1_000) % 2**32, "sas": 1, "das": 2}
+             for i, r in enumerate(rels)]
+    (dgram,) = encode_netflow_v5(flows, sys_uptime=sys_up, unix_secs=unix_s)
+    golden = [boot - 5_000, boot + 30_000, boot + 60_400]
+    scalar = {r[4]: r for r in _decode_v5(dgram, "e1")}
+    frame = _v5_frame([_decode_v5_array(dgram)], ["e1"])
+    vec = {int(sp): int(t) for sp, t in zip(frame["sp"], frame["ts_ms"])}
+    for i in range(3):
+        assert scalar[i][0] == golden[i] == vec[i]
+        assert scalar[i][1] == golden[i] + 1_000  # te wraps with it
+    # inert default header: any input ms decodes to ms mod 2^32
+    ms = [0, 2**31 + 100_001, 2**32 - 1, 1_700_000_000_123, -5_000]
+    flows = [{"sa_int": 1, "da_int": 2, "sp": i, "dp": 1, "pr": 6, "flg": 0,
+              "ipkt": 1, "ibyt": 1, "ts_ms": m, "te_ms": m, "sas": 0,
+              "das": 0} for i, m in enumerate(ms)]
+    (dgram,) = encode_netflow_v5(flows)
+    rows = {r[4]: r for r in _decode_v5(dgram, "e1")}
+    assert all(rows[i][0] == m % 2**32 for i, m in enumerate(ms))
