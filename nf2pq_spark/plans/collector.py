@@ -1465,11 +1465,12 @@ def _gap_capture_dir(spark, sf_dir: str) -> str:
 
 
 def _wrap_capture_dir(spark, sf_dir: str) -> str:
-    """v9 capture whose FIRST/LAST_SWITCHED span a sysUptime counter wrap:
+    """v5 + v9 captures whose timestamps span a sysUptime counter wrap:
     rel ms are spread over the full uint32 range by a multiplicative hash
     of event_id while the header clock says the exporter has been up one
     day — every rel beyond the wrap threshold is a flow that started
-    before the counter wrapped."""
+    before the counter wrapped. Both formats carry the same clock and
+    the same rel values, so their decoded absolute ms must agree."""
     from .helpers import (cache_current, cache_lock, source_stamp,
                           write_cache_marker)
 
@@ -1488,11 +1489,14 @@ def _wrap_capture_dir(spark, sf_dir: str) -> str:
                 eid = pdf["event_id"].reset_index(drop=True).astype("int64")
                 rel = (eid * _WRAP_MIX) % 2**32
                 flows = _flows_records_ts(eid, rel, (rel + 1000) % 2**32)
-                dgrams = encode_netflow_v9(
-                    flows, sys_uptime=_WRAP_SYS_UPTIME_MS,
-                    unix_secs=_WRAP_UNIX_SECS)
-                write_capture_file(
-                    os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
+                for kind, enc in (("v5", encode_netflow_v5),
+                                  ("v9", encode_netflow_v9)):
+                    dgrams = enc(flows, sys_uptime=_WRAP_SYS_UPTIME_MS,
+                                 unix_secs=_WRAP_UNIX_SECS)
+                    d = os.path.join(out, kind)
+                    os.makedirs(d, exist_ok=True)
+                    write_capture_file(
+                        os.path.join(d, f"cap_{bucket:05d}.bin"), dgrams)
                 return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
 
             ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
@@ -1605,29 +1609,33 @@ def s6k_sequence_gaps(spark, sf_dir):
                       THEN 4294967296 ELSE 0 END AS te_ms
       FROM r
     )
-    SELECT pr, COUNT(*) AS n_flows,
+    SELECT fmt, pr, COUNT(*) AS n_flows,
            CAST(MIN(ts_ms) AS BIGINT) AS first_ms,
            CAST(MAX(ts_ms) AS BIGINT) AS last_ms,
            CAST(SUM(ts_ms) AS BIGINT) AS sum_ts,
            CAST(SUM(te_ms) AS BIGINT) AS sum_te,
            COUNT(*) FILTER (WHERE ts_ms < {_WRAP_BOOT_MS}) AS n_prewrap
-    FROM d GROUP BY pr
+    FROM d CROSS JOIN (SELECT 'v5' AS fmt UNION ALL SELECT 'v9')
+    GROUP BY fmt, pr
     """,
-    description="NetFlow v9 sysUptime 2^32-ms wraparound (RFC 3954; "
-    "nfdump's correction): the capture's header says the exporter has "
-    "been up one day while FIRST/LAST_SWITCHED spread over the whole "
+    description="sysUptime 2^32-ms wraparound, v5 AND v9 legs (RFC 3954; "
+    "nfdump's correction): each capture's header says the exporter has "
+    "been up one day while the relative timestamps spread over the whole "
     "uint32 range — every rel past sysUptime + 2^31 is a flow that "
     "started BEFORE the counter wrapped and must decode 2^32 ms earlier, "
-    "i.e. before the boot epoch (n_prewrap counts them). The oracle "
-    "recomputes the corrected absolute ms arithmetically per event. "
-    "Exercises both the vectorized rel_abs path and (via the shared "
-    "formula) the scalar twin that the differential tests pin to it.",
+    "i.e. before the boot epoch (n_prewrap counts them). Both formats "
+    "carry identical clocks and rel values, so the oracle computes ONE "
+    "corrected-ms derivation and replicates it per format — any "
+    "divergence between the v5 and v9 decode paths (4 paths total with "
+    "their scalar twins) breaks the hash. The oracle recomputes the "
+    "corrected absolute ms arithmetically per event.",
     tags=("S5", "S6"),
 )
 def s6l_v9_uptime_wrap(spark, sf_dir):
     path = _wrap_capture_dir(spark, sf_dir)
-    flows = read_flow_files(spark, path)
-    return flows.groupBy("pr").agg(
+    v5 = read_flow_files(spark, f"{path}/v5").withColumn("fmt", F.lit("v5"))
+    v9 = read_flow_files(spark, f"{path}/v9").withColumn("fmt", F.lit("v9"))
+    return v5.unionByName(v9).groupBy("fmt", "pr").agg(
         F.count(F.lit(1)).alias("n_flows"),
         F.min("ts_ms").alias("first_ms"),
         F.max("ts_ms").alias("last_ms"),
