@@ -89,15 +89,19 @@ def _decode_capture_file(fname: str):
     import pyarrow as pa
 
     from .ipfix import (_decode_templated_vec, _decode_v5_array,
-                        _iter_template_sets, _v5_frame, _VecAccumulator,
-                        iter_datagrams)
+                        _harvest_boot_rows, _iter_template_sets,
+                        _parse_options_templates, _v5_frame,
+                        _VecAccumulator, iter_datagrams)
 
     exporter = fname.rsplit("/", 1)[0]
     with open(fname, "rb") as fh:
         buf = fh.read()
 
-    # pass 1: in-file template harvest (order-independence within file)
+    # pass 1: in-file template + boot-epoch harvest (order-independence
+    # within file; IE 160 options resolve v10 relative-timestamp
+    # templates, mirroring read_flow_files' phase-1)
     templates = {}
+    opt_cache, boots = {}, {}
     for dgram in iter_datagrams(buf):
         try:
             for tid, fields in _iter_template_sets(dgram):
@@ -105,6 +109,9 @@ def _decode_capture_file(fname: str):
                     templates[(exporter, tid)] = fields
                 else:
                     templates.pop((exporter, tid), None)  # withdrawal
+            _parse_options_templates(dgram, exporter, opt_cache)
+            for odid, boot in _harvest_boot_rows(dgram, exporter, opt_cache):
+                boots[(exporter, odid)] = boot  # latest announcement wins
         except (struct.error, IndexError, ValueError, KeyError):
             continue
 
@@ -122,7 +129,7 @@ def _decode_capture_file(fname: str):
                 v5_exps.append(exporter)
             elif version in (9, 10):
                 frames.extend(_decode_templated_vec(
-                    dgram, exporter, templates, acc))
+                    dgram, exporter, templates, acc, boots))
         except (struct.error, IndexError, ValueError, KeyError):
             continue  # drop the datagram, never the partition
 

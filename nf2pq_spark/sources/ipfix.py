@@ -200,10 +200,14 @@ _V9_TEMPLATE_ID = 300
 def encode_ipfix(flows: list[dict], per_packet: int = 30,
                  template_every: int = 10,
                  template_fields: list[tuple[int, int]] | None = None,
-                 template_id: int = _IPFIX_TEMPLATE_ID) -> list[bytes]:
+                 template_id: int = _IPFIX_TEMPLATE_ID,
+                 export_time: int = 0, odid: int = 1) -> list[bytes]:
     """Pack flow dicts into IPFIX messages; the template set is re-sent every
     ``template_every`` messages (in-band template refresh, RFC 7011 §8).
-    16-byte IEs take raw ``bytes`` values (IPv6 addresses)."""
+    16-byte IEs take raw ``bytes`` values (IPv6 addresses).
+    ``export_time`` (header unix secs) and ``odid`` matter only to
+    templates with sysUpTime-relative IEs 21/22, whose decode resolves
+    the exporter boot epoch per (exporter, odid) from IE 160 options."""
     fields = template_fields or _IPFIX_TEMPLATE_FIELDS
     tmpl_body = struct.pack(">HH", template_id, len(fields))
     tmpl_body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
@@ -223,7 +227,8 @@ def encode_ipfix(flows: list[dict], per_packet: int = 30,
                     recs += struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
         data_set = struct.pack(">HH", template_id, 4 + len(recs)) + recs
         body = (tmpl_set if msg_i % template_every == 0 else b"") + data_set
-        header = struct.pack(">HHIII", 10, 16 + len(body), 0, seq, 1)
+        header = struct.pack(">HHIII", 10, 16 + len(body), export_time,
+                             seq, odid)
         out.append(header + body)
         seq += len(chunk)
     return out
@@ -411,9 +416,19 @@ def _decode_v5(buf: bytes, exporter: str) -> list[tuple]:
 
 
 def _decode_ipfix(buf: bytes, exporter: str,
-                  templates: dict[tuple[str, int], list[tuple[int, int]]]) -> list[tuple]:
-    version, length, _, _, domain = struct.unpack_from(">HHIII", buf, 0)
+                  templates: dict[tuple[str, int], list[tuple[int, int]]],
+                  boots: dict[tuple[str, int], int] | None = None) -> list[tuple]:
+    version, length, export_s, _, domain = struct.unpack_from(">HHIII", buf, 0)
     assert version == 10
+    # exporter clock for sysUpTime-relative templates (IEs 21/22): IPFIX
+    # headers carry no sysUptime, so the boot epoch resolves from IE 160
+    # options per (exporter, odid); era-folded so the SAME rel_abs wrap
+    # arithmetic as the v9 path applies (see _v10_era_clock)
+    clk = None
+    if boots:
+        b = boots.get((exporter, domain))
+        if b is not None:
+            clk = _v10_era_clock(b, export_s * 1000)
     rows = []
     off = 16
     while off + 4 <= length:
@@ -477,8 +492,28 @@ def _decode_ipfix(buf: bytes, exporter: str,
                     sa, da = vals.get(27), vals.get(28)
                     sa = sa if isinstance(sa, str) else _ip_str(vals.get(8, 0))
                     da = da if isinstance(da, str) else _ip_str(vals.get(12, 0))
+
+                    # absolute-ms IEs (152/153) win when the template
+                    # carries them; otherwise the relative IEs (22/21)
+                    # decode through the era clock — same formula and
+                    # _i64 folds as _decode_v9's _rel_abs, so the
+                    # vectorized twin (frames()' rel_abs) stays
+                    # equality-testable. Without a known boot epoch the
+                    # relative IEs are undecodable and stay 0 (the
+                    # pre-IE-160 behavior, pinned by tests).
+                    def _rel_abs(ie: int) -> int:
+                        era_boot, sys32 = clk
+                        rel = _i64(vals.get(ie, 0))
+                        if _i64(rel - sys32) > 0x80000000:
+                            rel -= 0x100000000
+                        return _i64(era_boot + rel)
+
+                    ts = (_i64(vals[152]) if 152 in vals
+                          else _rel_abs(22) if clk else 0)
+                    te = (_i64(vals[153]) if 153 in vals
+                          else _rel_abs(21) if clk else 0)
                     rows.append((
-                        _i64(vals.get(152, 0)), _i64(vals.get(153, 0)), sa, da,
+                        ts, te, sa, da,
                         _i32(vals.get(7, 0)), _i32(vals.get(11, 0)),
                         _i32(vals.get(4, 0)), _i32(vals.get(6, 0)),
                         _i64(vals.get(2, 0)), _i64(vals.get(1, 0)),
@@ -528,7 +563,10 @@ class _VecAccumulator:
     """
 
     def __init__(self):
-        #: (fields, v9?) → [(arr, exporter, boot_ms, sys_uptime_ms), ...]
+        #: (fields, has exporter clock?) →
+        #:     [(arr, exporter, boot_ms, sys_uptime_ms), ...]
+        #: the clock is the v9 header's (boot, sysUptime) or a v10
+        #: IE 160 era clock (_v10_era_clock) — same rel_abs arithmetic
         self._groups: dict[tuple, list] = {}
 
     def add(self, fields: list[tuple[int, int]], arr: np.ndarray,
@@ -540,7 +578,7 @@ class _VecAccumulator:
 
     def frames(self) -> list[pd.DataFrame]:
         out = []
-        for (fields, is_v9), chunks in self._groups.items():
+        for (fields, has_clock), chunks in self._groups.items():
             a = (np.concatenate([c[0] for c in chunks])
                  if len(chunks) > 1 else chunks[0][0])
             reps = [len(c[0]) for c in chunks]
@@ -574,9 +612,11 @@ class _VecAccumulator:
                                for x in a[f"p{i28}"]], dtype=object)
             else:
                 da = _ip_strs(col(12).astype("uint32"))
-            if is_v9:  # sysUptime-relative FIRST/LAST_SWITCHED per message,
-                       # unless the template exports the absolute ms IEs
-                       # (152/153) — the scalar reference prefers those
+            if has_clock:  # sysUptime-relative FIRST/LAST_SWITCHED against
+                           # the per-message clock (v9 header, or v10 IE
+                           # 160 era clock), unless the template exports
+                           # the absolute ms IEs (152/153) — the scalar
+                           # reference prefers those
                 boot = np.repeat(
                     np.array([c[2] for c in chunks], dtype="int64"), reps)
                 sysup = np.repeat(
@@ -599,7 +639,9 @@ class _VecAccumulator:
 
                 ts = col(152) if 152 in first_pos else rel_abs(22)
                 te = col(153) if 153 in first_pos else rel_abs(21)
-            else:      # IPFIX absolute ms IEs
+            else:      # IPFIX absolute ms IEs; relative IEs without a
+                       # known boot epoch (no IE 160 seen) are
+                       # undecodable and stay 0 — pinned by tests
                 ts, te = col(152), col(153)
             out.append(pd.DataFrame({
                 "ts_ms": ts, "te_ms": te, "sa": sa, "da": da,
@@ -637,18 +679,28 @@ def _parse_template_records(buf: bytes, p: int, set_end: int, exporter: str,
 
 
 def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
-                          acc: _VecAccumulator) -> list["pd.DataFrame"]:
+                          acc: _VecAccumulator,
+                          boots: dict[tuple[str, int], int] | None = None,
+                          ) -> list["pd.DataFrame"]:
     """v9 / IPFIX datagram → record-array chunks into ``acc`` (vectorized).
 
     Templates are harvested in document order (in-band announcement before
     use within a message works). Returns scalar-fallback frames for
     messages whose template has widths the dtype path can't express
-    (normally empty).
+    (normally empty). ``boots`` maps (exporter, odid) → IE 160 boot epoch
+    so v10 templates exporting the relative IEs 21/22 decode through the
+    same era clock as v9 headers (None clock → relative IEs stay 0).
     """
     version = struct.unpack_from(">H", buf, 0)[0]
     if version == 10:
-        length = struct.unpack_from(">H", buf, 2)[0]
+        _v, length, export_s, _seq, odid = struct.unpack_from(">HHIII", buf, 0)
         off, tmpl_id, boot_ms, sys_up = 16, 2, None, None
+        if boots:
+            b = boots.get((exporter, odid))
+            if b is not None:
+                clk = _v10_era_clock(b, export_s * 1000)
+                if clk is not None:
+                    boot_ms, sys_up = clk
     else:
         _v, _c, sys_up, unix_s, _seq, _src = _V9_HEADER.unpack_from(buf, 0)
         length, off, tmpl_id = len(buf), _V9_HEADER.size, 0
@@ -704,9 +756,9 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
         # walk is correct here. It starts from the pre-message cache
         # (msg_templates was never merged) and leaves the cache in the
         # same end state.
-        scalar = (_decode_ipfix if version == 10 else _decode_v9)
-        return [pd.DataFrame(scalar(buf, exporter, templates),
-                             columns=cols)]
+        rows = (_decode_ipfix(buf, exporter, templates, boots)
+                if version == 10 else _decode_v9(buf, exporter, templates))
+        return [pd.DataFrame(rows, columns=cols)]
     for key, fields in msg_templates.items():
         if fields:
             templates[key] = fields
@@ -722,9 +774,10 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
             fields = templates.get((exporter, set_id))
             if fields is not None and _np_dtype_for(fields) is None:
                 # exotic widths → scalar path for the WHOLE message
-                scalar = (_decode_ipfix if version == 10 else _decode_v9)
-                return [pd.DataFrame(scalar(buf, exporter, templates),
-                                     columns=cols)]
+                rows = (_decode_ipfix(buf, exporter, templates, boots)
+                        if version == 10
+                        else _decode_v9(buf, exporter, templates))
+                return [pd.DataFrame(rows, columns=cols)]
         scan = set_end
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
@@ -779,13 +832,19 @@ OPTIONS_SCHEMA = StructType([
 
 
 def encode_ipfix_options(option_records: list[dict],
-                         template_id: int = 400) -> bytes:
+                         template_id: int = 400,
+                         extra_option_fields: list[tuple[int, int]] | None = None,
+                         export_time: int = 0, odid: int = 1) -> bytes:
     """Pack options records into one IPFIX message (options template set
     id 3 + data set). Each record maps IE id → value; samplerName (84)
-    is emitted variable-length (RFC 7011 §7)."""
+    is emitted variable-length (RFC 7011 §7). ``extra_option_fields``
+    appends further fixed-width option IEs — e.g. ``[(160, 8)]`` for
+    systemInitTimeMilliseconds, the boot-epoch announcement relative
+    timestamp templates need."""
     scope_fields = [(_IE_OBS_DOMAIN, 4)]
     option_fields = [(_IE_SAMPLING_INTERVAL, 4), (_IE_SAMPLING_ALGO, 1),
                      (_IE_SAMPLER_NAME, _VARLEN)]
+    option_fields += list(extra_option_fields or [])
     fields = scope_fields + option_fields
     body = struct.pack(">HHH", template_id, len(fields), len(scope_fields))
     body += b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields)
@@ -805,7 +864,8 @@ def encode_ipfix_options(option_records: list[dict],
                 recs += struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
     data_set = struct.pack(">HH", template_id, 4 + len(recs)) + recs
     payload = tmpl_set + data_set
-    return struct.pack(">HHIII", 10, 16 + len(payload), 0, 0, 1) + payload
+    return struct.pack(">HHIII", 10, 16 + len(payload), export_time, 0,
+                       odid) + payload
 
 
 def encode_netflow_v9_options(option_records: list[dict],
@@ -885,10 +945,11 @@ def _opt_num(vals: dict, ie: int, default: int, fold=_i64) -> int:
     return fold(v) if isinstance(v, int) else fold(default)
 
 
-def _decode_ipfix_options(buf: bytes, exporter: str,
-                          cache: dict) -> list[tuple]:
-    """Decode options data records of one IPFIX or NetFlow v9 message
-    (varlen-aware; varlen only occurs on the IPFIX wire)."""
+def _iter_options_vals(buf: bytes, exporter: str, cache: dict):
+    """Yield the raw ``{ie: value}`` dict of every options data record in
+    one IPFIX or NetFlow v9 message (varlen-aware; varlen only occurs on
+    the IPFIX wire). Shared substrate for the sampling-config reader and
+    the IE 160 boot-epoch harvest."""
     version = struct.unpack_from(">H", buf, 0)[0]
     if version == 10:
         length = struct.unpack_from(">H", buf, 2)[0]
@@ -896,8 +957,7 @@ def _decode_ipfix_options(buf: bytes, exporter: str,
     elif version == 9:
         length, off = len(buf), _V9_HEADER.size
     else:
-        return []
-    rows = []
+        return
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
         if set_len < 4:
@@ -932,15 +992,66 @@ def _decode_ipfix_options(buf: bytes, exporter: str,
                     else:
                         vals[ie] = int.from_bytes(buf[p:p + ln], "big")
                         p += ln
-                rows.append((
-                    exporter,
-                    _opt_num(vals, _IE_OBS_DOMAIN, 0),
-                    _opt_num(vals, _IE_SAMPLING_INTERVAL, 1),
-                    _opt_num(vals, _IE_SAMPLING_ALGO, 0, _i32),
-                    str(vals.get(_IE_SAMPLER_NAME, "")),
-                ))
+                yield vals
         off = set_end
-    return rows
+
+
+def _decode_ipfix_options(buf: bytes, exporter: str,
+                          cache: dict) -> list[tuple]:
+    """Decode options data records of one IPFIX or NetFlow v9 message
+    into OPTIONS_SCHEMA rows (sampling config per exporter)."""
+    return [(
+        exporter,
+        _opt_num(vals, _IE_OBS_DOMAIN, 0),
+        _opt_num(vals, _IE_SAMPLING_INTERVAL, 1),
+        _opt_num(vals, _IE_SAMPLING_ALGO, 0, _i32),
+        str(vals.get(_IE_SAMPLER_NAME, "")),
+    ) for vals in _iter_options_vals(buf, exporter, cache)]
+
+
+#: systemInitTimeMilliseconds (RFC 7012) — absolute unix ms the exporter
+#: booted, announced via options. IPFIX headers carry no sysUpTime, so a
+#: v10 template exporting the relative IEs 21/22 is only decodable once
+#: this (per observation domain) is known.
+_IE_SYSTEM_INIT = 160
+
+
+def _v10_era_clock(boot_ms: int, export_ms: int) -> tuple[int, int] | None:
+    """(IE 160 boot epoch, header exportTime ms) → the (era_boot,
+    sysUptime32) pair that routes v10 relative timestamps through the
+    SAME rel_abs wrap arithmetic as the v9 header clock.
+
+    True uptime at export may exceed uint32 (routers up >49.7 days)
+    while the relative stamps wrap mod 2^32, so fold the export clock
+    into the stamp's era: sys32 = uptime & 0xFFFFFFFF and era_boot =
+    export_ms − sys32 (= true boot + k·2^32, the virtual boot of the
+    current wrap era — exactly what a v9 header's unixSecs*1000 −
+    sysUptime yields on a long-uptime exporter). Returns None when the
+    pair is inconsistent (boot claimed in the future)."""
+    up = export_ms - boot_ms
+    if up < 0:
+        return None
+    sys32 = up & 0xFFFFFFFF
+    return export_ms - sys32, sys32
+
+
+def _harvest_boot_rows(dgram: bytes, exporter: str,
+                       opt_cache: dict) -> list[tuple[int, int]]:
+    """v10 options records carrying IE 160 → [(odid, boot_ms)].
+
+    The observation domain comes from the MESSAGE header (RFC 7011: the
+    scope of exporter-clock metadata), not the scope field. v9 never
+    needs IE 160 — its header carries sysUptime — so non-v10 datagrams
+    yield nothing."""
+    if len(dgram) < 16 or struct.unpack_from(">H", dgram, 0)[0] != 10:
+        return []
+    odid = struct.unpack_from(">HHIII", dgram, 0)[4]
+    out = []
+    for vals in _iter_options_vals(dgram, exporter, opt_cache):
+        boot = vals.get(_IE_SYSTEM_INIT)
+        if isinstance(boot, int):  # a VARLEN-declared 160 decodes to str
+            out.append((odid, _i64(boot)))
+    return out
 
 
 def _options_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1242,7 +1353,9 @@ def _iter_template_sets(buf: bytes):
 
 
 def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Phase-1 mapInPandas body: harvest IPFIX template sets only.
+    """Phase-1 mapInPandas body: harvest IPFIX template sets AND exporter
+    boot epochs (IE 160 options records, emitted as ``tid == -1`` rows
+    with ``sig = "odid:boot_ms"``).
 
     One row per template ANNOUNCEMENT carrying the full serialized field
     list — merging whole announcements can never mix two layouts, which
@@ -1252,9 +1365,16 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
     (``src`` = file path, ``seq`` = announcement index within the file):
     the rotation bridge names files monotonically (sorted == arrival
     order), so (src, seq) totally orders an exporter's announcements and
-    the merge can honor latest-announcement-wins."""
+    the merge can honor latest-announcement-wins.
+
+    The options-template cache for the boot harvest is per BATCH (like
+    :func:`_options_pandas`): an options template and its IE 160 data
+    record normally travel in the same message (the fixture encoder and
+    real exporters both bundle them), so partition placement cannot
+    split them."""
     for pdf in batches:
         rows = []
+        opt_cache: dict = {}
         for path, content in zip(pdf["path"], pdf["content"]):
             exporter = _exporter_of(path)
             seq = 0
@@ -1270,6 +1390,15 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
                 for tid, fields in announced:
                     sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
                     rows.append((exporter, tid, sig, path, seq))
+                    seq += 1
+                try:
+                    _parse_options_templates(dgram, exporter, opt_cache)
+                    boot_rows = _harvest_boot_rows(dgram, exporter,
+                                                   opt_cache)
+                except (struct.error, IndexError, ValueError, KeyError):
+                    boot_rows = []
+                for odid, boot in boot_rows:
+                    rows.append((exporter, -1, f"{odid}:{boot}", path, seq))
                     seq += 1
         yield pd.DataFrame(rows,
                            columns=["exporter", "tid", "sig", "src", "seq"])
@@ -1296,6 +1425,8 @@ def _merge_template_rows(tmpl_rows) -> dict:
     order — and never a position-wise mixture of two layouts."""
     latest: dict[tuple[str, int], tuple[tuple[str, int], str]] = {}
     for r in tmpl_rows:
+        if r.tid < 0:
+            continue  # boot-epoch row (see _merge_boot_rows)
         key = (r.exporter, r.tid)
         order = (r.src, r.seq)
         prev = latest.get(key)
@@ -1311,14 +1442,42 @@ def _merge_template_rows(tmpl_rows) -> dict:
     return cache
 
 
-def make_decoder(initial_templates: dict | None = None):
-    """Build a mapInPandas decode body seeded with a template cache.
+def _merge_boot_rows(tmpl_rows) -> dict[tuple[str, int], int]:
+    """Boot-epoch harvest rows (``tid == -1``, sig ``"odid:boot_ms"``) →
+    ``{(exporter, odid): boot_ms}``. Latest announcement wins under the
+    same (src, seq) arrival ordering as the template merge — an exporter
+    that reboots mid-capture re-announces IE 160 and the new epoch takes
+    over; ties break to the smallest boot for determinism."""
+    latest: dict[tuple[str, int], tuple[tuple[str, int], int]] = {}
+    for r in tmpl_rows:
+        if r.tid >= 0:
+            continue
+        odid_s, boot_s = r.sig.split(":", 1)
+        key = (r.exporter, int(odid_s))
+        order = (r.src, r.seq)
+        boot = int(boot_s)
+        prev = latest.get(key)
+        if prev is None or order > prev[0] or (order == prev[0]
+                                               and boot < prev[1]):
+            latest[key] = (order, boot)
+    return {key: boot for key, (_order, boot) in latest.items()}
 
-    The cache is additionally updated from in-band template sets, so a
-    single-exporter in-order stream (the streaming collector path) works
-    without the phase-1 harvest.
+
+def make_decoder(initial_templates: dict | None = None,
+                 boot_epochs: dict[tuple[str, int], int] | None = None):
+    """Build a mapInPandas decode body seeded with a template cache and
+    an (exporter, odid) → IE 160 boot-epoch map (see _merge_boot_rows).
+
+    The template cache is additionally updated from in-band template
+    sets, so a single-exporter in-order stream (the streaming collector
+    path) works without the phase-1 harvest. Boot epochs are NOT
+    harvested in-band — v10 relative-timestamp templates need the
+    two-phase readers (read_flow_files / stream_flow_files), which is
+    where real collectors resolve them too (options arrive on their own
+    schedule, not necessarily before the flows they describe).
     """
     seed = dict(initial_templates or {})
+    boots = dict(boot_epochs or {})
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         templates = dict(seed)
@@ -1338,7 +1497,7 @@ def make_decoder(initial_templates: dict | None = None):
                             v5_exps.append(exporter)
                         elif version in (9, 10):
                             frames.extend(_decode_templated_vec(
-                                buf, exporter, templates, acc))
+                                buf, exporter, templates, acc, boots))
                         # unknown versions skipped, matching collector behavior
                     except (struct.error, IndexError, ValueError, KeyError):
                         # truncated/garbled datagram (np.frombuffer raises
@@ -1367,7 +1526,8 @@ def read_flow_files(spark, path: str) -> DataFrame:
     """
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
     tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
-    return raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows)),
+    return raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows),
+                                        _merge_boot_rows(tmpl_rows)),
                            FLOW_SCHEMA)
 
 
@@ -1386,7 +1546,8 @@ def stream_flow_files(spark, path: str, process, checkpoint: str,
     def decode_batch(batch_df: DataFrame, batch_id: int) -> None:
         raw = batch_df.select("path", "content")
         tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
-        process(raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows)),
+        process(raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows),
+                                             _merge_boot_rows(tmpl_rows)),
                                 FLOW_SCHEMA), batch_id)
 
     stream = (spark.readStream.format("binaryFile")

@@ -38,10 +38,11 @@ def _dset(tid: int, payload: bytes) -> bytes:
     return struct.pack(">HH", tid, 4 + len(payload)) + payload
 
 
-def _vec_rows(msg: bytes, templates: dict | None = None) -> pd.DataFrame:
+def _vec_rows(msg: bytes, templates: dict | None = None,
+              boots: dict | None = None) -> pd.DataFrame:
     templates = {} if templates is None else templates
     acc = _VecAccumulator()
-    frames = _decode_templated_vec(msg, "e1", templates, acc)
+    frames = _decode_templated_vec(msg, "e1", templates, acc, boots)
     frames.extend(acc.frames())
     frames = [f for f in frames if len(f)]
     if not frames:
@@ -674,3 +675,172 @@ def test_v5_sysuptime_wrap_corrects_pre_wrap_flows():
     (dgram,) = encode_netflow_v5(flows)
     rows = {r[4]: r for r in _decode_v5(dgram, "e1")}
     assert all(rows[i][0] == m % 2**32 for i, m in enumerate(ms))
+
+
+# -- IPFIX v10 relative timestamps via IE 160 boot epoch -------------------
+#
+# IPFIX headers carry no sysUptime, so a v10 template exporting the
+# sysUpTime-relative IEs 21/22 is only decodable once the exporter's
+# systemInitTimeMilliseconds (IE 160, RFC 7012) arrives via options.
+# The decode folds (boot, exportTime) into the stamp's wrap era
+# (_v10_era_clock) and then applies the SAME rel_abs arithmetic as the
+# v9 header clock — including on exporters up longer than one uint32
+# wrap (~49.7 days), which a v9 header can't even express but IE 160 can.
+
+
+def _rel_flow(i, rel):
+    return {"sa_int": (10 << 24) + i, "da_int": (20 << 24), "sp": i,
+            "dp": 53, "pr": 17, "flg": 0, "ipkt": 1, "ibyt": 100,
+            "ts_ms": rel, "te_ms": (rel + 1_000) % 2**32,
+            "sas": 1, "das": 2}
+
+
+def _boots_of(opt_msg: bytes, exporter: str = "e1") -> dict:
+    from nf2pq_spark.sources.ipfix import (_harvest_boot_rows,
+                                           _parse_options_templates)
+    cache: dict = {}
+    _parse_options_templates(opt_msg, exporter, cache)
+    return {(exporter, odid): boot
+            for odid, boot in _harvest_boot_rows(opt_msg, exporter, cache)}
+
+
+def _ie160_options_msg(boot_ms: int, export_time: int, odid: int) -> bytes:
+    from nf2pq_spark.sources.ipfix import encode_ipfix_options
+    return encode_ipfix_options(
+        [{149: odid, 34: 1, 35: 0, 84: "s0", 160: boot_ms}],
+        extra_option_fields=[(160, 8)], export_time=export_time, odid=odid)
+
+
+def test_v10_relative_ies_decode_via_ie160_boot():
+    """Exporter up 10 minutes (era 0): golden absolute ms pinned on both
+    decode paths for the pre-wrap / normal / skew regimes, identical to
+    the v9 golden-triple shape."""
+    from nf2pq_spark.sources.ipfix import (_V9_TEMPLATE_FIELDS,
+                                           _decode_ipfix, encode_ipfix)
+
+    boot = 1_700_000_000_000
+    export_s = (boot + 600_000) // 1000          # up exactly 10 min
+    rels = [2**32 - 5_000, 30_000, 600_400]      # pre-wrap/normal/skew
+    flows = [_rel_flow(i, r) for i, r in enumerate(rels)]
+    (msg,) = encode_ipfix(flows, template_fields=_V9_TEMPLATE_FIELDS,
+                          template_id=310, export_time=export_s, odid=7)
+    boots = _boots_of(_ie160_options_msg(boot, export_s, 7))
+    assert boots == {("e1", 7): boot}
+
+    golden = [boot - 5_000, boot + 30_000, boot + 600_400]
+    scalar = sorted(_decode_ipfix(msg, "e1", {}, boots))
+    vec = _vec_rows(msg, boots=boots)
+    assert scalar == sorted(tuple(r) for r in vec.itertuples(index=False))
+    by_sp = {r[4]: r for r in scalar}
+    for i in range(3):
+        assert by_sp[i][0] == golden[i], (i, by_sp[i][0], golden[i])
+        assert by_sp[i][1] == golden[i] + 1_000
+
+
+def test_v10_ie160_long_uptime_era():
+    """Exporter up ~49.7 days + 10 minutes (era 1 — inexpressible in a
+    v9 header): stamps land in the CURRENT era, and a pre-wrap stamp
+    still corrects into the previous one."""
+    from nf2pq_spark.sources.ipfix import (_V9_TEMPLATE_FIELDS,
+                                           _decode_ipfix, encode_ipfix)
+
+    boot = 1_700_000_000_000
+    up = 2**32 + 600_704                          # boot+up lands on a whole
+    export_s = (boot + up) // 1000                # second (header has secs)
+    era_boot = boot + 2**32
+    rels = [30_000, 2**32 - 5_000]
+    flows = [_rel_flow(i, r) for i, r in enumerate(rels)]
+    (msg,) = encode_ipfix(flows, template_fields=_V9_TEMPLATE_FIELDS,
+                          template_id=310, export_time=export_s, odid=7)
+    boots = _boots_of(_ie160_options_msg(boot, export_s, 7))
+
+    golden = [era_boot + 30_000, era_boot - 5_000]
+    scalar = sorted(_decode_ipfix(msg, "e1", {}, boots))
+    vec = _vec_rows(msg, boots=boots)
+    assert scalar == sorted(tuple(r) for r in vec.itertuples(index=False))
+    by_sp = {r[4]: r for r in scalar}
+    for i in range(2):
+        assert by_sp[i][0] == golden[i], (i, by_sp[i][0], golden[i])
+
+
+def test_v10_relative_ies_without_boot_stay_zero():
+    """No IE 160 seen (or a boot claimed in the future): relative IEs are
+    undecodable — both paths pin the pre-IE-160 behavior (0), never a
+    guess."""
+    from nf2pq_spark.sources.ipfix import (_V9_TEMPLATE_FIELDS,
+                                           _decode_ipfix, _v10_era_clock,
+                                           encode_ipfix)
+
+    (msg,) = encode_ipfix([_rel_flow(0, 30_000)],
+                          template_fields=_V9_TEMPLATE_FIELDS,
+                          template_id=310, export_time=1_700_000, odid=7)
+    for boots in ({}, None, {("e1", 99): 123}):   # absent / None / odid miss
+        scalar = _decode_ipfix(msg, "e1", {}, boots)
+        assert scalar[0][0] == 0 and scalar[0][1] == 0
+        vec = _vec_rows(msg, boots=boots)
+        assert int(vec["ts_ms"][0]) == 0
+    # boot in the future → inconsistent clock → None, same 0 path
+    assert _v10_era_clock(2_000_000_000_000, 1_999_999_999_999) is None
+    future = {("e1", 7): 1_700_000 * 1000 + 1}
+    assert _decode_ipfix(msg, "e1", {}, future)[0][0] == 0
+
+
+def test_v10_absolute_ies_win_over_era_clock():
+    """A template carrying flowStart/EndMilliseconds (152/153) decodes
+    absolute even when a boot epoch is known — mirror of
+    test_v9_absolute_timestamp_ies_preferred."""
+    from nf2pq_spark.sources.ipfix import _decode_ipfix, encode_ipfix
+
+    ts = 1_704_067_200_123
+    flows = [{"sa_int": 1, "da_int": 2, "sp": 0, "dp": 1, "pr": 6,
+              "flg": 0, "ipkt": 1, "ibyt": 1, "ts_ms": ts,
+              "te_ms": ts + 1, "sas": 0, "das": 0}]
+    (msg,) = encode_ipfix(flows, export_time=1_800_000_000, odid=7)
+    boots = {("e1", 7): 1_700_000_000_000}
+    scalar = _decode_ipfix(msg, "e1", {}, boots)
+    assert scalar[0][0] == ts and scalar[0][1] == ts + 1
+    vec = _vec_rows(msg, boots=boots)
+    assert int(vec["ts_ms"][0]) == ts
+
+
+def test_boot_rows_ride_the_template_harvest(spark, tmp_path):
+    """End-to-end: one capture file holding the IE 160 options message
+    plus relative-template flow messages → read_flow_files resolves the
+    boot epoch through the phase-1 harvest (tid == -1 rows) and decodes
+    absolute ms; the template merge must skip the boot rows."""
+    import os
+
+    from nf2pq_spark.sources.ipfix import (_V9_TEMPLATE_FIELDS,
+                                           _extract_templates_pandas,
+                                           _merge_boot_rows,
+                                           _merge_template_rows,
+                                           encode_ipfix, read_flow_files,
+                                           write_capture_file)
+
+    boot = 1_700_000_000_000
+    export_s = (boot + 600_000) // 1000
+    rels = [2**32 - 5_000, 30_000, 600_400]
+    flows = [_rel_flow(i, r) for i, r in enumerate(rels)]
+    msgs = encode_ipfix(flows, per_packet=2,
+                        template_fields=_V9_TEMPLATE_FIELDS,
+                        template_id=310, export_time=export_s, odid=7)
+    opt = _ie160_options_msg(boot, export_s, 7)
+
+    out = str(tmp_path / "relcaps")
+    os.makedirs(out)
+    write_capture_file(os.path.join(out, "cap_0.bin"), [opt] + msgs)
+
+    # the harvest itself: boot rows present, template merge unpolluted
+    pdf = pd.DataFrame({"path": [f"{out}/cap_0.bin"],
+                        "content": [open(f"{out}/cap_0.bin", "rb").read()]})
+    rows = pd.concat(list(_extract_templates_pandas(iter([pdf]))))
+    rows = list(rows.itertuples(index=False))
+    assert _merge_boot_rows(rows) == {(out, 7): boot}
+    merged = _merge_template_rows(rows)
+    assert (out, 310) in merged
+    assert all(tid >= 0 for (_e, tid) in merged)
+
+    golden = {0: boot - 5_000, 1: boot + 30_000, 2: boot + 600_400}
+    decoded = {r.sp: r for r in read_flow_files(spark, out).collect()}
+    assert {sp: r.ts_ms for sp, r in decoded.items()} == golden
+    assert decoded[0].te_ms == boot - 4_000
