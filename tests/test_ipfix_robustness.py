@@ -844,3 +844,42 @@ def test_boot_rows_ride_the_template_harvest(spark, tmp_path):
     decoded = {r.sp: r for r in read_flow_files(spark, out).collect()}
     assert {sp: r.ts_ms for sp, r in decoded.items()} == golden
     assert decoded[0].te_ms == boot - 4_000
+
+
+def test_v10_era_clock_differential_property():
+    """Hypothesis differential for the IE 160 path: for ANY boot epoch,
+    export clock, odid (hit or miss), template widths of the relative
+    IEs (including the exotic 8-byte forms), and record payloads, the
+    scalar reference and the vectorized path produce identical rows —
+    the same equality contract the v9 header clock carries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.sources.ipfix import _decode_ipfix
+
+    widths = st.sampled_from([1, 2, 4, 8])
+    fields_s = st.lists(
+        st.tuples(st.sampled_from([22, 21, 152, 153, 7, 2]), widths),
+        min_size=1, max_size=5)
+
+    @given(fields=fields_s, n_recs=st.integers(0, 3),
+           boot=st.integers(0, 2**45), up=st.integers(0, 2**36),
+           hit=st.booleans(), data=st.data())
+    @settings(max_examples=300, deadline=None)
+    def run(fields, n_recs, boot, up, hit, data):
+        rec_len = sum(ln for _, ln in fields)
+        payload = data.draw(st.binary(min_size=rec_len * n_recs,
+                                      max_size=rec_len * n_recs))
+        dset = struct.pack(">HH", 300, 4 + len(payload)) + payload
+        body = _tset(300, fields) + dset
+        export_s = (boot + up) // 1000
+        msg = struct.pack(">HHIII", 10, 16 + len(body),
+                          export_s & 0xFFFFFFFF, 0, 7) + body
+        boots = {("e1", 7 if hit else 8): boot}
+        t1: dict = {}
+        scalar = _decode_ipfix(msg, "e1", t1, boots)
+        vec = _vec_rows(msg, boots=boots)
+        assert sorted(scalar) == sorted(
+            tuple(r) for r in vec.itertuples(index=False))
+
+    run()
