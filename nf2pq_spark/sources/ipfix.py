@@ -460,7 +460,16 @@ def _decode_ipfix(buf: bytes, exporter: str,
                 # template not yet seen (or withdrawn) — drop the set
                 p = set_end
             else:
-                rec_len = sum(ln for _, ln in fields)
+                # varlen fields (RFC 7011 §7) contribute their 1-byte
+                # minimum to the walk guard; the per-record scan below
+                # advances by the actual prefixed length. Flow columns
+                # are all fixed-width numerics/addresses, so a varlen
+                # value (URLs, sampler names riding a flow template) is
+                # SKIPPED, not stored — previously the 0xFFFF marker was
+                # summed as a literal width and the whole data set
+                # silently dropped.
+                rec_len = sum(1 if ln == _VARLEN else ln
+                              for _, ln in fields)
                 if rec_len == 0:
                     off = set_end
                     continue  # degenerate cached layout: a 0-byte record
@@ -468,6 +477,14 @@ def _decode_ipfix(buf: bytes, exporter: str,
                 while p + rec_len <= set_end:
                     vals = {}
                     for ie, ln in fields:
+                        if ln == _VARLEN:
+                            n = buf[p]
+                            p += 1
+                            if n == 255:  # long form: 255 + u16 length
+                                (n,) = struct.unpack_from(">H", buf, p)
+                                p += 2
+                            p += n  # no flow column takes a string —
+                            continue  # skip the value, keep the frame
                         if ln == 16 and ie in _IPV6_IES:
                             v = _ipv6_str(buf[p:p + 16])
                         elif ln in _IE_UNPACK:
@@ -1121,15 +1138,20 @@ MESSAGE_HEADER_SCHEMA = StructType([
 def _v10_record_count(buf: bytes, exporter: str, templates: dict) -> int:
     """Data records in one IPFIX message, from fixed-width templates.
 
-    Maintains the position-sensitive template view (in-message
-    announcements so far overlay the cross-file cache, exactly like the
-    vectorized pre-scan) so a mid-message re-announcement counts with
-    the layout in effect at each data set. Returns -1 — UNKNOWN, never a
-    guess — when any data set's template is absent, withdrawn, or has a
+    RFC 7011's sequenceNumber counts ALL Data Records — options data
+    records included — so in-message OPTIONS templates (set id 3) join
+    the count alongside flow templates. Maintains the position-sensitive
+    template view (in-message announcements so far overlay the
+    cross-file cache, exactly like the vectorized pre-scan) so a
+    mid-message re-announcement counts with the layout in effect at each
+    data set. Returns -1 — UNKNOWN, never a guess — when any data set's
+    template is absent, withdrawn, announced ambiguously (the same tid
+    via set 2 AND set 3 — a protocol violation), or has a
     variable-length field (record count is not length-derivable there).
     """
     length = struct.unpack_from(">H", buf, 2)[0]
     local: dict = {}
+    opt_local: dict[int, list[tuple[int, int]]] = {}
     n = 0
     off = 16
     while off + 4 <= length:
@@ -1139,10 +1161,27 @@ def _v10_record_count(buf: bytes, exporter: str, templates: dict) -> int:
         set_end = min(off + set_len, length)
         if set_id == 2:
             _parse_template_records(buf, off + 4, set_end, exporter, local)
+        elif set_id == 3:
+            # options template records: (tid, field count, scope count)
+            # then (ie, len) pairs — only the widths matter here
+            p = off + 4
+            while p + 6 <= set_end:
+                tid, n_fields, _n_scope = struct.unpack_from(">HHH", buf, p)
+                p += 6
+                fields = []
+                for _ in range(n_fields):
+                    ie, ln = struct.unpack_from(">HH", buf, p)
+                    p += 4
+                    fields.append((ie, ln))
+                opt_local[tid] = fields
         elif set_id >= 256:
             key = (exporter, set_id)
-            fields = (local[key] if key in local
-                      else templates.get(key)) or None
+            flow_fields = (local[key] if key in local
+                           else templates.get(key)) or None
+            opt_fields = opt_local.get(set_id)
+            if flow_fields is not None and opt_fields is not None:
+                return -1  # ambiguous announcement — never guess
+            fields = flow_fields if flow_fields is not None else opt_fields
             if not fields or any(ln == _VARLEN for _, ln in fields):
                 return -1
             rec_len = sum(ln for _, ln in fields)

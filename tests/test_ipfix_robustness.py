@@ -883,3 +883,57 @@ def test_v10_era_clock_differential_property():
             tuple(r) for r in vec.itertuples(index=False))
 
     run()
+
+
+def test_varlen_flow_template_decodes_fixed_fields():
+    """A flow template carrying a variable-length IE (RFC 7011 §7 — a
+    URL or sampler name riding alongside the numerics) must decode the
+    fixed-width fields around it. Previously the 0xFFFF marker was
+    summed as a literal record width and the whole data set was
+    silently dropped. No flow column takes a string, so the varlen
+    VALUE is skipped; short- and long-form length prefixes both
+    advance correctly. The vectorized path routes such templates to
+    the scalar fallback, so the paths agree by construction — asserted
+    anyway."""
+    fields = [(7, 2), (650, 0xFFFF), (11, 2)]
+    rec1 = struct.pack(">H", 1001) + bytes([3]) + b"abc" + \
+        struct.pack(">H", 53)
+    rec2 = struct.pack(">H", 1002) + bytes([255]) + \
+        struct.pack(">H", 300) + b"x" * 300 + struct.pack(">H", 443)
+    msg = _ipfix_msg(_tset(256, fields), _dset(256, rec1 + rec2))
+    scalar = _decode_ipfix(msg, "e1", {})
+    assert [(r[4], r[5]) for r in scalar] == [(1001, 53), (1002, 443)]
+    vec = _vec_rows(msg)
+    assert sorted(scalar) == sorted(
+        tuple(r) for r in vec.itertuples(index=False))
+
+
+def test_v10_record_count_includes_options_records():
+    """RFC 7011 sequenceNumber counts ALL data records — options data
+    records included. A message bundling an options template + data
+    must count them (previously the whole message went UNKNOWN, -1,
+    knocking it out of the sequence-gap math); an ambiguous tid
+    (announced via set 2 AND set 3) stays -1, never a guess."""
+    from nf2pq_spark.sources.ipfix import _v10_record_count
+
+    # options template 400: scope (149,4) + option (34,4) = 8-byte recs
+    otmpl = struct.pack(">HH", 3, 4 + 6 + 8) + \
+        struct.pack(">HHH", 400, 2, 1) + \
+        struct.pack(">HH", 149, 4) + struct.pack(">HH", 34, 4)
+    odata = struct.pack(">HH", 400, 4 + 16) + \
+        struct.pack(">II", 7, 1) + struct.pack(">II", 8, 10)
+    flow = _tset(256, _AB) + _dset(256, struct.pack(">II", 1, 2) * 3)
+    body = otmpl + odata + flow
+    msg = struct.pack(">HHIII", 10, 16 + len(body), 0, 0, 1) + body
+    assert _v10_record_count(msg, "e1", {}) == 2 + 3
+
+    # same tid announced as flow AND options template → ambiguous → -1
+    clash = _tset(400, _AB) + otmpl + odata
+    msg2 = struct.pack(">HHIII", 10, 16 + len(clash), 0, 0, 1) + clash
+    assert _v10_record_count(msg2, "e1", {}) == -1
+
+    # options data whose template lives in a PREVIOUS message: the
+    # header reader's cross-file cache holds flow templates only →
+    # conservative UNKNOWN, unchanged
+    msg3 = struct.pack(">HHIII", 10, 16 + len(odata), 0, 0, 1) + odata
+    assert _v10_record_count(msg3, "e1", {}) == -1
