@@ -243,13 +243,25 @@ def test_decode_surface_survives_fuzzed_bytes():
                   sa6=bytes(range(16)), da6=bytes(range(15, -1, -1)))
              for i in range(4)]
     opts = [{1: 7, 149: 7, 34: 1000, 35: 1, 84: "smp"}]
+    opts160 = [{1: 7, 149: 7, 34: 1000, 35: 1, 84: "smp",
+                160: 1_700_000_000_000}]
     valid = (ix.encode_netflow_v5(flows, per_packet=2)
              + ix.encode_ipfix(flows, per_packet=2, template_every=1)
              + ix.encode_netflow_v9(flows, per_packet=2, template_every=1)
              + ix.encode_ipfix(flows, per_packet=4,
                                template_fields=[(27, 16), (28, 16), (1, 4)])
+             # v10 relative-timestamp template + IE 160 boot options:
+             # mutations of these fuzz the era-clock decode and the
+             # phase-1 boot harvest
+             + ix.encode_ipfix(flows, per_packet=2, template_every=1,
+                               template_fields=ix._V9_TEMPLATE_FIELDS,
+                               template_id=310,
+                               export_time=1_700_000_600, odid=7)
              + [ix.encode_ipfix_options(opts),
-                ix.encode_netflow_v9_options(opts)])
+                ix.encode_netflow_v9_options(opts),
+                ix.encode_ipfix_options(opts160,
+                                        extra_option_fields=[(160, 8)],
+                                        export_time=1_700_000_600, odid=7)])
     flow_cols = [f.name for f in ix.FLOW_SCHEMA.fields]
     opt_cols = [f.name for f in ix.OPTIONS_SCHEMA.fields]
 
@@ -282,6 +294,10 @@ def test_decode_surface_survives_fuzzed_bytes():
             assert list(tf.columns) == [f.name for f in
                                         ix._TEMPLATE_SCHEMA.fields]
         for ff in ix.make_decoder()(iter([pdf.copy()])):
+            assert list(ff.columns) == flow_cols
+        # boot-seeded decoder: the era-clock rel_abs path under fuzz
+        booted = ix.make_decoder(None, {("fz", 7): 1_700_000_000_000})
+        for ff in booted(iter([pdf.copy()])):
             assert list(ff.columns) == flow_cols
         for of in ix._options_pandas(iter([pdf.copy()])):
             assert list(of.columns) == opt_cols
