@@ -909,14 +909,18 @@ def encode_netflow_v9_options(option_records: list[dict],
     return _V9_HEADER.pack(9, 2, 100_000, 100, 0, 1) + tmpl_set + data_set
 
 
-def _parse_options_templates(buf: bytes, exporter: str, cache: dict) -> None:
+def _parse_options_templates(buf: bytes, exporter: str,
+                             cache: dict) -> list[tuple[int, list]]:
     """Harvest options-template sets of one message into
     ``cache[(exporter, tid)] = fields`` ((ie, ln) pairs, scope first).
+    Returns the announcements made by THIS message (for the phase-1
+    harvest's cross-file rows); most callers only want the cache effect.
 
     IPFIX (set id 3, RFC 7011 §3.4.2.2) counts fields; NetFlow v9 (set
     id 1, RFC 3954 §6.1) gives scope/option section lengths in BYTES —
     both shapes normalize to the same flat field list here.
     """
+    announced: list[tuple[int, list]] = []
     version = struct.unpack_from(">H", buf, 0)[0]
     if version == 10:
         length = struct.unpack_from(">H", buf, 2)[0]
@@ -924,7 +928,7 @@ def _parse_options_templates(buf: bytes, exporter: str, cache: dict) -> None:
     elif version == 9:
         length, off, opts_id = len(buf), _V9_HEADER.size, 1
     else:
-        return
+        return announced
     while off + 4 <= length:
         set_id, set_len = struct.unpack_from(">HH", buf, off)
         if set_len < 4:
@@ -949,7 +953,9 @@ def _parse_options_templates(buf: bytes, exporter: str, cache: dict) -> None:
                     p += 4
                     fields.append((ie, ln))
                 cache[(exporter, tid)] = fields
+                announced.append((tid, fields))
         off = set_end
+    return announced
 
 
 def _opt_num(vals: dict, ie: int, default: int, fold=_i64) -> int:
@@ -1135,7 +1141,8 @@ MESSAGE_HEADER_SCHEMA = StructType([
 ])
 
 
-def _v10_record_count(buf: bytes, exporter: str, templates: dict) -> int:
+def _v10_record_count(buf: bytes, exporter: str, templates: dict,
+                      opt_templates: dict | None = None) -> int:
     """Data records in one IPFIX message, from fixed-width templates.
 
     RFC 7011's sequenceNumber counts ALL Data Records — options data
@@ -1148,10 +1155,15 @@ def _v10_record_count(buf: bytes, exporter: str, templates: dict) -> int:
     template is absent, withdrawn, announced ambiguously (the same tid
     via set 2 AND set 3 — a protocol violation), or has a
     variable-length field (record count is not length-derivable there).
+    ``opt_templates`` seeds the options view cross-message (the phase-1
+    harvest ships announcements from earlier files), mirroring what
+    ``templates`` does for flow templates — a standalone options-data
+    message (sampling stats on their own schedule) counts correctly.
     """
     length = struct.unpack_from(">H", buf, 2)[0]
     local: dict = {}
     opt_local: dict[int, list[tuple[int, int]]] = {}
+    opt_seed = opt_templates or {}
     n = 0
     off = 16
     while off + 4 <= length:
@@ -1178,7 +1190,8 @@ def _v10_record_count(buf: bytes, exporter: str, templates: dict) -> int:
             key = (exporter, set_id)
             flow_fields = (local[key] if key in local
                            else templates.get(key)) or None
-            opt_fields = opt_local.get(set_id)
+            opt_fields = (opt_local[set_id] if set_id in opt_local
+                          else opt_seed.get(key))
             if flow_fields is not None and opt_fields is not None:
                 return -1  # ambiguous announcement — never guess
             fields = flow_fields if flow_fields is not None else opt_fields
@@ -1192,17 +1205,20 @@ def _v10_record_count(buf: bytes, exporter: str, templates: dict) -> int:
     return n
 
 
-def make_header_parser(initial_templates: dict | None = None):
+def make_header_parser(initial_templates: dict | None = None,
+                       initial_opt_templates: dict | None = None):
     """Build a mapInPandas body yielding one row per datagram header.
 
     Header-only parse for v5/v9: O(datagrams), no record walk. v10
     messages additionally walk their SET headers (not records) against
-    the seeded template cache to derive the data-record count the wire
-    header omits. Malformed datagrams are dropped exactly like the flow
-    decoder drops them (collector invariant: drop the packet, never the
-    pipeline).
+    the seeded template caches — flow AND options (RFC 7011's
+    sequenceNumber counts options data records too) — to derive the
+    data-record count the wire header omits. Malformed datagrams are
+    dropped exactly like the flow decoder drops them (collector
+    invariant: drop the packet, never the pipeline).
     """
     seed = dict(initial_templates or {})
+    opt_seed = dict(initial_opt_templates or {})
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         templates = dict(seed)
@@ -1231,7 +1247,7 @@ def make_header_parser(initial_templates: dict | None = None):
                             _, _ln, exp_s, seq, _dom = struct.unpack_from(
                                 ">HHIII", buf, 0)
                             nrec = _v10_record_count(buf, exporter,
-                                                     templates)
+                                                     templates, opt_seed)
                             rows.append((exporter, 10, seq, nrec, exp_s))
                     except (struct.error, IndexError, ValueError):
                         continue
@@ -1254,8 +1270,10 @@ def read_message_headers(spark, path: str) -> DataFrame:
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
     tmpl_rows = raw.mapInPandas(_extract_templates_pandas,
                                 _TEMPLATE_SCHEMA).collect()
-    return raw.mapInPandas(make_header_parser(_merge_template_rows(tmpl_rows)),
-                           MESSAGE_HEADER_SCHEMA)
+    return raw.mapInPandas(
+        make_header_parser(_merge_template_rows(tmpl_rows),
+                           _merge_opt_template_rows(tmpl_rows)),
+        MESSAGE_HEADER_SCHEMA)
 
 
 def _decode_v9(buf: bytes, exporter: str,
@@ -1431,11 +1449,22 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
                     rows.append((exporter, tid, sig, path, seq))
                     seq += 1
                 try:
-                    _parse_options_templates(dgram, exporter, opt_cache)
+                    opt_announced = _parse_options_templates(
+                        dgram, exporter, opt_cache)
                     boot_rows = _harvest_boot_rows(dgram, exporter,
                                                    opt_cache)
                 except (struct.error, IndexError, ValueError, KeyError):
-                    boot_rows = []
+                    opt_announced, boot_rows = [], []
+                # options templates ride the harvest as NEGATED tids
+                # (-tid ≤ -256, disjoint from the -1 boot rows): real
+                # exporters announce them at startup and send standalone
+                # options-data messages later, so sequence accounting
+                # needs them cross-file exactly like flow templates
+                for tid, fields in opt_announced:
+                    if tid >= 256:
+                        sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
+                        rows.append((exporter, -tid, sig, path, seq))
+                        seq += 1
                 for odid, boot in boot_rows:
                     rows.append((exporter, -1, f"{odid}:{boot}", path, seq))
                     seq += 1
@@ -1489,7 +1518,7 @@ def _merge_boot_rows(tmpl_rows) -> dict[tuple[str, int], int]:
     over; ties break to the smallest boot for determinism."""
     latest: dict[tuple[str, int], tuple[tuple[str, int], int]] = {}
     for r in tmpl_rows:
-        if r.tid >= 0:
+        if r.tid != -1:
             continue
         odid_s, boot_s = r.sig.split(":", 1)
         key = (r.exporter, int(odid_s))
@@ -1500,6 +1529,27 @@ def _merge_boot_rows(tmpl_rows) -> dict[tuple[str, int], int]:
                                                and boot < prev[1]):
             latest[key] = (order, boot)
     return {key: boot for key, (_order, boot) in latest.items()}
+
+
+def _merge_opt_template_rows(tmpl_rows) -> dict:
+    """Options-template harvest rows (``tid ≤ -256``, negated on the
+    wire's id) → ``{(exporter, tid): fields}`` with the same
+    latest-announcement-wins ordering as the flow-template merge. Feeds
+    sequence accounting only — the flow decoder must never see these
+    (an options data set decoded as flows would be garbage rows)."""
+    latest: dict[tuple[str, int], tuple[tuple[str, int], str]] = {}
+    for r in tmpl_rows:
+        if r.tid > -256:
+            continue
+        key = (r.exporter, -r.tid)
+        order = (r.src, r.seq)
+        prev = latest.get(key)
+        if prev is None or order > prev[0] or (order == prev[0]
+                                               and r.sig < prev[1]):
+            latest[key] = (order, r.sig)
+    return {key: [(int(f.split(":")[0]), int(f.split(":")[1]))
+                  for f in sig.split("|") if f]
+            for key, (_order, sig) in latest.items()}
 
 
 def make_decoder(initial_templates: dict | None = None,

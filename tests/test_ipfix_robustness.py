@@ -953,3 +953,43 @@ def test_v10_record_count_includes_options_records():
     # conservative UNKNOWN, unchanged
     msg3 = struct.pack(">HHIII", 10, 16 + len(odata), 0, 0, 1) + odata
     assert _v10_record_count(msg3, "e1", {}) == -1
+
+
+def test_v10_options_count_resolves_cross_message():
+    """Options templates announce at startup; options DATA messages ride
+    their own schedule (sampling stats every ~30 s). The phase-1 harvest
+    ships options-template announcements cross-file as negated-tid rows,
+    so a standalone options-data message counts its records instead of
+    going UNKNOWN and dropping out of the sequence-gap math."""
+    from nf2pq_spark.sources.ipfix import (_CAPTURE_MAGIC,
+                                           _extract_templates_pandas,
+                                           _merge_boot_rows,
+                                           _merge_opt_template_rows,
+                                           _merge_template_rows,
+                                           make_header_parser)
+
+    otmpl = struct.pack(">HH", 3, 4 + 6 + 8) + \
+        struct.pack(">HHH", 400, 2, 1) + \
+        struct.pack(">HH", 149, 4) + struct.pack(">HH", 34, 4)
+    msg_a = struct.pack(">HHIII", 10, 16 + len(otmpl), 0, 0, 1) + otmpl
+    odata = struct.pack(">HH", 400, 4 + 16) + \
+        struct.pack(">II", 7, 1) + struct.pack(">II", 8, 10)
+    msg_b = struct.pack(">HHIII", 10, 16 + len(odata), 0, 5, 1) + odata
+    blob = _CAPTURE_MAGIC + b"".join(
+        struct.pack(">I", len(m)) + m for m in (msg_a, msg_b))
+    pdf = pd.DataFrame({"path": ["caps/e1_0.bin"], "content": [blob]})
+
+    rows = list(pd.concat(list(_extract_templates_pandas(
+        iter([pdf.copy()])))).itertuples(index=False))
+    opt_seed = _merge_opt_template_rows(rows)
+    assert opt_seed == {("caps", 400): [(149, 4), (34, 4)]}
+    # the negated rows pollute neither the flow merge nor the boot merge
+    assert _merge_template_rows(rows) == {}
+    assert _merge_boot_rows(rows) == {}
+
+    hdr = pd.concat(list(make_header_parser({}, opt_seed)(
+        iter([pdf.copy()]))))
+    assert list(hdr["nrec"]) == [0, 2]
+    # without the cross-message seed: conservative UNKNOWN, as before
+    hdr2 = pd.concat(list(make_header_parser({})(iter([pdf.copy()]))))
+    assert list(hdr2["nrec"]) == [0, -1]
