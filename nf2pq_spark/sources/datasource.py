@@ -97,11 +97,14 @@ def _decode_capture_file(fname: str):
     with open(fname, "rb") as fh:
         buf = fh.read()
 
-    # pass 1: in-file template + boot-epoch harvest (order-independence
-    # within file; IE 160 options resolve v10 relative-timestamp
-    # templates, mirroring read_flow_files' phase-1)
+    # pass 1: in-file template harvest (order-independence within file;
+    # flow AND v10 options templates), then a second walk decodes IE 160
+    # boot records against the COMPLETE options cache — a boot record
+    # preceding its template announcement in the file still resolves,
+    # mirroring read_flow_files' two-sweep phase-1
     templates = {}
     opt_cache, boots = {}, {}
+    saw_v10 = False
     for dgram in iter_datagrams(buf):
         try:
             for tid, fields in _iter_template_sets(dgram):
@@ -109,11 +112,20 @@ def _decode_capture_file(fname: str):
                     templates[(exporter, tid)] = fields
                 else:
                     templates.pop((exporter, tid), None)  # withdrawal
-            _parse_options_templates(dgram, exporter, opt_cache)
-            for odid, boot in _harvest_boot_rows(dgram, exporter, opt_cache):
-                boots[(exporter, odid)] = boot  # latest announcement wins
+            if len(dgram) >= 16 and struct.unpack_from(
+                    ">H", dgram, 0)[0] == 10:
+                saw_v10 = True
+                _parse_options_templates(dgram, exporter, opt_cache)
         except (struct.error, IndexError, ValueError, KeyError):
             continue
+    if saw_v10:
+        for dgram in iter_datagrams(buf):
+            try:
+                for odid, boot in _harvest_boot_rows(dgram, exporter,
+                                                     opt_cache):
+                    boots[(exporter, odid)] = boot  # latest wins
+            except (struct.error, IndexError, ValueError, KeyError):
+                continue
 
     # pass 2: decode — same per-version dispatch as make_decoder
     import pandas as pd

@@ -476,15 +476,36 @@ def _decode_ipfix(buf: bytes, exporter: str,
                               # would loop forever below
                 while p + rec_len <= set_end:
                     vals = {}
+                    bad = False
                     for ie, ln in fields:
                         if ln == _VARLEN:
+                            # every step bounds-checked against set_end:
+                            # an overlong length prefix must discard the
+                            # PARTIAL record and stop this set — never
+                            # decode the next set's bytes as fields, and
+                            # never abort the datagram's other sets
+                            if p >= set_end:
+                                bad = True
+                                break
                             n = buf[p]
                             p += 1
                             if n == 255:  # long form: 255 + u16 length
+                                if p + 2 > set_end:
+                                    bad = True
+                                    break
                                 (n,) = struct.unpack_from(">H", buf, p)
                                 p += 2
+                            if p + n > set_end:
+                                bad = True
+                                break
                             p += n  # no flow column takes a string —
                             continue  # skip the value, keep the frame
+                        if p + ln > set_end:
+                            # only reachable after a varlen field ate
+                            # into the tail (fixed-only templates are
+                            # fully covered by the rec_len guard above)
+                            bad = True
+                            break
                         if ln == 16 and ie in _IPV6_IES:
                             v = _ipv6_str(buf[p:p + 16])
                         elif ln in _IE_UNPACK:
@@ -500,6 +521,8 @@ def _decode_ipfix(buf: bytes, exporter: str,
                         # record decode differently per path
                         vals.setdefault(ie, v)
                         p += ln
+                    if bad:
+                        break  # discard the partial record, end this set
                     # dual-stack: v6 address IEs (27/28) take precedence over
                     # the v4 ones (8/12) when the template carries them at
                     # the 16-byte width (then they decoded to a str above);
@@ -515,9 +538,10 @@ def _decode_ipfix(buf: bytes, exporter: str,
                     # decode through the era clock — same formula and
                     # _i64 folds as _decode_v9's _rel_abs, so the
                     # vectorized twin (frames()' rel_abs) stays
-                    # equality-testable. Without a known boot epoch the
-                    # relative IEs are undecodable and stay 0 (the
-                    # pre-IE-160 behavior, pinned by tests).
+                    # equality-testable. Without a known boot epoch —
+                    # or with NO timestamp IE in the template at all —
+                    # the value is unknowable and stays the 0 sentinel
+                    # (never boot-time), pinned by tests.
                     def _rel_abs(ie: int) -> int:
                         era_boot, sys32 = clk
                         rel = _i64(vals.get(ie, 0))
@@ -526,9 +550,9 @@ def _decode_ipfix(buf: bytes, exporter: str,
                         return _i64(era_boot + rel)
 
                     ts = (_i64(vals[152]) if 152 in vals
-                          else _rel_abs(22) if clk else 0)
+                          else _rel_abs(22) if clk and 22 in vals else 0)
                     te = (_i64(vals[153]) if 153 in vals
-                          else _rel_abs(21) if clk else 0)
+                          else _rel_abs(21) if clk and 21 in vals else 0)
                     rows.append((
                         ts, te, sa, da,
                         _i32(vals.get(7, 0)), _i32(vals.get(11, 0)),
@@ -654,8 +678,12 @@ class _VecAccumulator:
                     wrapped = (rel - sysup) > 0x80000000
                     return boot + np.where(wrapped, rel - 0x100000000, rel)
 
-                ts = col(152) if 152 in first_pos else rel_abs(22)
-                te = col(153) if 153 in first_pos else rel_abs(21)
+                # no timestamp IE in the template → zeros sentinel, not
+                # boot-time (col() of an absent IE is zeros already)
+                ts = (col(152) if 152 in first_pos
+                      else rel_abs(22) if 22 in first_pos else col(152))
+                te = (col(153) if 153 in first_pos
+                      else rel_abs(21) if 21 in first_pos else col(153))
             else:      # IPFIX absolute ms IEs; relative IEs without a
                        # known boot epoch (no IE 160 seen) are
                        # undecodable and stay 0 — pinned by tests
@@ -938,24 +966,34 @@ def _parse_options_templates(buf: bytes, exporter: str,
             p = off + 4
             # a record needs ≥6 bytes of header; trailing padding is shorter
             while p + 6 <= set_end:
-                if version == 10:
-                    tid, n_fields, _n_scope = struct.unpack_from(">HHH", buf, p)
-                    p += 6
-                    n_entries = n_fields
-                else:
-                    tid, scope_bytes, opt_bytes = struct.unpack_from(
-                        ">HHH", buf, p)
-                    p += 6
-                    n_entries = (scope_bytes + opt_bytes) // 4
-                fields = []
-                for _ in range(n_entries):
-                    ie, ln = struct.unpack_from(">HH", buf, p)
-                    p += 4
-                    fields.append((ie, ln))
+                tid, fields, p = _parse_one_opt_template(buf, p, version)
                 cache[(exporter, tid)] = fields
                 announced.append((tid, fields))
         off = set_end
     return announced
+
+
+def _parse_one_opt_template(buf: bytes, p: int,
+                            version: int) -> tuple[int, list, int]:
+    """One options-template record at ``p`` → (tid, fields, new p).
+
+    The single wire-format authority for both harvest sites
+    (:func:`_parse_options_templates` and the position-sensitive walk in
+    :func:`_v10_record_count`): IPFIX headers count FIELDS, v9 headers
+    give scope/option section lengths in BYTES."""
+    if version == 10:
+        tid, n_fields, _n_scope = struct.unpack_from(">HHH", buf, p)
+        n_entries = n_fields
+    else:
+        tid, scope_bytes, opt_bytes = struct.unpack_from(">HHH", buf, p)
+        n_entries = (scope_bytes + opt_bytes) // 4
+    p += 6
+    fields = []
+    for _ in range(n_entries):
+        ie, ln = struct.unpack_from(">HH", buf, p)
+        p += 4
+        fields.append((ie, ln))
+    return tid, fields, p
 
 
 def _opt_num(vals: dict, ie: int, default: int, fold=_i64) -> int:
@@ -1174,24 +1212,19 @@ def _v10_record_count(buf: bytes, exporter: str, templates: dict,
         if set_id == 2:
             _parse_template_records(buf, off + 4, set_end, exporter, local)
         elif set_id == 3:
-            # options template records: (tid, field count, scope count)
-            # then (ie, len) pairs — only the widths matter here
+            # options template records — only the widths matter here
             p = off + 4
             while p + 6 <= set_end:
-                tid, n_fields, _n_scope = struct.unpack_from(">HHH", buf, p)
-                p += 6
-                fields = []
-                for _ in range(n_fields):
-                    ie, ln = struct.unpack_from(">HH", buf, p)
-                    p += 4
-                    fields.append((ie, ln))
+                tid, fields, p = _parse_one_opt_template(buf, p, 10)
                 opt_local[tid] = fields
         elif set_id >= 256:
             key = (exporter, set_id)
             flow_fields = (local[key] if key in local
                            else templates.get(key)) or None
+            # `or None` mirrors the flow side: an explicit options
+            # WITHDRAWAL ([]) must not ambiguate a valid flow template
             opt_fields = (opt_local[set_id] if set_id in opt_local
-                          else opt_seed.get(key))
+                          else opt_seed.get(key)) or None
             if flow_fields is not None and opt_fields is not None:
                 return -1  # ambiguous announcement — never guess
             fields = flow_fields if flow_fields is not None else opt_fields
@@ -1348,8 +1381,14 @@ def _decode_v9(buf: bytes, exporter: str,
                             rel -= 0x100000000
                         return _i64(boot_ms + rel)
 
-                    ts = _i64(vals[152]) if 152 in vals else _rel_abs(22)
-                    te = _i64(vals[153]) if 153 in vals else _rel_abs(21)
+                    # a template with NO timestamp IE keeps the 0
+                    # sentinel — decoding "boot time" for it would be a
+                    # plausible-looking fabrication (same rule on every
+                    # clocked path, so the differential tests hold)
+                    ts = (_i64(vals[152]) if 152 in vals
+                          else _rel_abs(22) if 22 in vals else 0)
+                    te = (_i64(vals[153]) if 153 in vals
+                          else _rel_abs(21) if 21 in vals else 0)
                     # dual-stack: v6 address IEs (27/28) take precedence,
                     # mirroring _decode_ipfix and the vectorized path — a
                     # v9 IPv6 template that falls back to this scalar
@@ -1424,18 +1463,26 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
     order), so (src, seq) totally orders an exporter's announcements and
     the merge can honor latest-announcement-wins.
 
-    The options-template cache for the boot harvest is per BATCH (like
-    :func:`_options_pandas`): an options template and its IE 160 data
-    record normally travel in the same message (the fixture encoder and
-    real exporters both bundle them), so partition placement cannot
-    split them."""
+    Two sweeps per batch, mirroring the flow side's order-independence:
+    sweep 1 harvests flow-template rows AND v10 options templates
+    (cached per batch like :func:`_options_pandas`); sweep 2 decodes
+    IE 160 boot records against the COMPLETE options cache, so a boot
+    record that precedes its template announcement — in the file or in
+    the batch — still resolves. Options parsing is v10-gated: v9 never
+    needs IE 160 (header sysUptime) and its sequence counts packets,
+    so a v9 options template must not leak into the v10 option view
+    (a tid shared across versions would mis-count or spuriously
+    ambiguate v10 data sets)."""
     for pdf in batches:
         rows = []
         opt_cache: dict = {}
+        v10_files: list[tuple[str, str, bytes]] = []
         for path, content in zip(pdf["path"], pdf["content"]):
             exporter = _exporter_of(path)
             seq = 0
-            for dgram in iter_datagrams(bytes(content)):
+            blob = bytes(content)
+            has_v10 = False
+            for dgram in iter_datagrams(blob):
                 try:
                     announced = list(_iter_template_sets(dgram))
                 except (struct.error, IndexError, ValueError, KeyError):
@@ -1448,13 +1495,15 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
                     sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
                     rows.append((exporter, tid, sig, path, seq))
                     seq += 1
+                if len(dgram) < 16 or struct.unpack_from(
+                        ">H", dgram, 0)[0] != 10:
+                    continue
+                has_v10 = True
                 try:
                     opt_announced = _parse_options_templates(
                         dgram, exporter, opt_cache)
-                    boot_rows = _harvest_boot_rows(dgram, exporter,
-                                                   opt_cache)
                 except (struct.error, IndexError, ValueError, KeyError):
-                    opt_announced, boot_rows = [], []
+                    opt_announced = []
                 # options templates ride the harvest as NEGATED tids
                 # (-tid ≤ -256, disjoint from the -1 boot rows): real
                 # exporters announce them at startup and send standalone
@@ -1465,6 +1514,16 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
                         sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
                         rows.append((exporter, -tid, sig, path, seq))
                         seq += 1
+            if has_v10:
+                v10_files.append((path, exporter, blob))
+        for path, exporter, blob in v10_files:
+            seq = 0
+            for dgram in iter_datagrams(blob):
+                try:
+                    boot_rows = _harvest_boot_rows(dgram, exporter,
+                                                   opt_cache)
+                except (struct.error, IndexError, ValueError, KeyError):
+                    continue
                 for odid, boot in boot_rows:
                     rows.append((exporter, -1, f"{odid}:{boot}", path, seq))
                     seq += 1
@@ -1479,77 +1538,69 @@ _TEMPLATE_SCHEMA = StructType([
 ])
 
 
-def _merge_template_rows(tmpl_rows) -> dict:
-    """Announcement rows → template cache: the LATEST announcement per
-    (exporter, tid) wins — collector semantics (RFC 7011 §8: a template
-    re-announcement withdraws the previous definition). "Latest" orders
-    by (src file, in-file seq); the bridge's monotonic file naming makes
-    that arrival order. An exporter that re-announces a tid with a new
-    layout mid-capture therefore seeds the phase-2 cache with the layout
-    in force at the end of the harvest, not whichever variant was
-    announced more often. Ties on the full ordering key (only possible
-    for duplicate rows) break to the lexicographically smallest
-    signature, keeping the merge deterministic regardless of partition
-    order — and never a position-wise mixture of two layouts."""
-    latest: dict[tuple[str, int], tuple[tuple[str, int], str]] = {}
+def _latest_sigs(tmpl_rows, keep, key_of=None) -> dict:
+    """Shared latest-announcement-wins reduction over harvest rows:
+    the LATEST row per (exporter, tid) wins — collector semantics
+    (RFC 7011 §8: a re-announcement withdraws the previous definition).
+    "Latest" orders by (src file, in-file seq); the bridge's monotonic
+    file naming makes that arrival order. Ties on the full ordering key
+    (only possible for duplicate rows) break to the lexicographically
+    smallest signature, keeping the merge deterministic regardless of
+    partition order. ``keep(tid)`` selects the row kind (flow templates
+    ≥ 0, options templates ≤ -256, boot epochs == -1); ``key`` overrides
+    the merge identity when the tid alone doesn't carry it (every boot
+    row shares tid -1 — their identity is the odid inside the sig)."""
+    latest: dict[tuple, tuple[tuple[str, int], str]] = {}
     for r in tmpl_rows:
-        if r.tid < 0:
-            continue  # boot-epoch row (see _merge_boot_rows)
-        key = (r.exporter, r.tid)
+        if not keep(r.tid):
+            continue
+        key = (r.exporter, r.tid) if key_of is None else key_of(r)
         order = (r.src, r.seq)
         prev = latest.get(key)
         if prev is None or order > prev[0] or (order == prev[0]
                                                and r.sig < prev[1]):
             latest[key] = (order, r.sig)
-    cache: dict[tuple[str, int], list[tuple[int, int]]] = {}
-    for key, (_order, sig) in latest.items():
-        cache[key] = [
-            (int(f.split(":")[0]), int(f.split(":")[1]))
-            for f in sig.split("|") if f
-        ]
-    return cache
+    return {key: sig for key, (_order, sig) in latest.items()}
+
+
+def _sig_fields(sig: str) -> list[tuple[int, int]]:
+    """Serialized ``"ie:ln|ie:ln"`` signature → (ie, ln) field list —
+    whole announcements only, never a position-wise mixture of two
+    layouts."""
+    return [(int(f.split(":")[0]), int(f.split(":")[1]))
+            for f in sig.split("|") if f]
+
+
+def _merge_template_rows(tmpl_rows) -> dict:
+    """Flow-template announcement rows (``tid ≥ 0``) → template cache.
+    An exporter that re-announces a tid with a new layout mid-capture
+    therefore seeds the phase-2 cache with the layout in force at the
+    end of the harvest, not whichever variant was announced more
+    often."""
+    return {key: _sig_fields(sig)
+            for key, sig in _latest_sigs(tmpl_rows,
+                                         lambda tid: tid >= 0).items()}
 
 
 def _merge_boot_rows(tmpl_rows) -> dict[tuple[str, int], int]:
     """Boot-epoch harvest rows (``tid == -1``, sig ``"odid:boot_ms"``) →
-    ``{(exporter, odid): boot_ms}``. Latest announcement wins under the
-    same (src, seq) arrival ordering as the template merge — an exporter
-    that reboots mid-capture re-announces IE 160 and the new epoch takes
-    over; ties break to the smallest boot for determinism."""
-    latest: dict[tuple[str, int], tuple[tuple[str, int], int]] = {}
-    for r in tmpl_rows:
-        if r.tid != -1:
-            continue
-        odid_s, boot_s = r.sig.split(":", 1)
-        key = (r.exporter, int(odid_s))
-        order = (r.src, r.seq)
-        boot = int(boot_s)
-        prev = latest.get(key)
-        if prev is None or order > prev[0] or (order == prev[0]
-                                               and boot < prev[1]):
-            latest[key] = (order, boot)
-    return {key: boot for key, (_order, boot) in latest.items()}
+    ``{(exporter, odid): boot_ms}``. Latest announcement wins — an
+    exporter that reboots mid-capture re-announces IE 160 and the new
+    epoch takes over."""
+    sigs = _latest_sigs(
+        tmpl_rows, lambda tid: tid == -1,
+        key_of=lambda r: (r.exporter, int(r.sig.split(":", 1)[0])))
+    return {key: int(sig.split(":", 1)[1]) for key, sig in sigs.items()}
 
 
 def _merge_opt_template_rows(tmpl_rows) -> dict:
     """Options-template harvest rows (``tid ≤ -256``, negated on the
-    wire's id) → ``{(exporter, tid): fields}`` with the same
-    latest-announcement-wins ordering as the flow-template merge. Feeds
-    sequence accounting only — the flow decoder must never see these
-    (an options data set decoded as flows would be garbage rows)."""
-    latest: dict[tuple[str, int], tuple[tuple[str, int], str]] = {}
-    for r in tmpl_rows:
-        if r.tid > -256:
-            continue
-        key = (r.exporter, -r.tid)
-        order = (r.src, r.seq)
-        prev = latest.get(key)
-        if prev is None or order > prev[0] or (order == prev[0]
-                                               and r.sig < prev[1]):
-            latest[key] = (order, r.sig)
-    return {key: [(int(f.split(":")[0]), int(f.split(":")[1]))
-                  for f in sig.split("|") if f]
-            for key, (_order, sig) in latest.items()}
+    wire's id) → ``{(exporter, tid): fields}``. Feeds sequence
+    accounting only — the flow decoder must never see these (an options
+    data set decoded as flows would be garbage rows)."""
+    return {(exporter, -tid): _sig_fields(sig)
+            for (exporter, tid), sig in _latest_sigs(
+                tmpl_rows, lambda tid: tid <= -256).items()}
 
 
 def make_decoder(initial_templates: dict | None = None,

@@ -993,3 +993,114 @@ def test_v10_options_count_resolves_cross_message():
     # without the cross-message seed: conservative UNKNOWN, as before
     hdr2 = pd.concat(list(make_header_parser({})(iter([pdf.copy()]))))
     assert list(hdr2["nrec"]) == [0, -1]
+
+
+def test_varlen_overrun_discards_partial_record_not_datagram():
+    """An overlong varlen length prefix must discard the PARTIAL record
+    and stop that set — never decode the next set's bytes as fields,
+    and never abort the datagram's other sets (review finding: the
+    first varlen walk could run past set_end)."""
+    fields = [(7, 2), (650, 0xFFFF), (11, 2)]
+    good = struct.pack(">H", 1001) + bytes([2]) + b"ok" + \
+        struct.pack(">H", 53)
+    # claims 200 varlen bytes with only a handful left in the set
+    evil = struct.pack(">H", 1002) + bytes([200]) + b"xx"
+    msg = _ipfix_msg(_tset(256, fields), _dset(256, good + evil),
+                     _tset(257, _AB),
+                     _dset(257, struct.pack(">II", 9, 10)))
+    scalar = _decode_ipfix(msg, "e1", {})
+    # the good varlen record and the full second set survive; the evil
+    # partial record is gone
+    assert [(r[4], r[5]) for r in scalar if r[4]] == [(1001, 53)]
+    assert len(scalar) == 2  # + the (257) record
+    vec = _vec_rows(msg)
+    assert sorted(scalar) == sorted(
+        tuple(r) for r in vec.itertuples(index=False))
+
+
+def test_v9_options_template_never_enters_v10_opt_view():
+    """A v9 options template (sequence counts PACKETS — record widths
+    are irrelevant) must not leak into the v10 options view via the
+    phase-1 harvest: a shared tid would mis-count or spuriously
+    ambiguate v10 data sets (review finding)."""
+    from nf2pq_spark.sources.ipfix import (_CAPTURE_MAGIC,
+                                           _extract_templates_pandas,
+                                           _merge_opt_template_rows,
+                                           encode_netflow_v9_options)
+
+    v9_opt = encode_netflow_v9_options([{1: 7, 34: 1000, 35: 1}],
+                                       template_id=400)
+    blob = _CAPTURE_MAGIC + struct.pack(">I", len(v9_opt)) + v9_opt
+    pdf = pd.DataFrame({"path": ["caps/e1_0.bin"], "content": [blob]})
+    rows = list(pd.concat(list(_extract_templates_pandas(
+        iter([pdf])))).itertuples(index=False))
+    assert _merge_opt_template_rows(rows) == {}
+
+
+def test_boot_record_before_its_template_still_resolves():
+    """Two-sweep harvest: an IE 160 options DATA message that precedes
+    its options-template announcement in the file must still resolve
+    (review finding: the single forward sweep missed it)."""
+    from nf2pq_spark.sources.ipfix import (_CAPTURE_MAGIC,
+                                           _extract_templates_pandas,
+                                           _merge_boot_rows)
+
+    boot = 1_700_000_000_000
+    otmpl = struct.pack(">HH", 3, 4 + 6 + 12) + \
+        struct.pack(">HHH", 400, 3, 1) + \
+        struct.pack(">HH", 149, 4) + struct.pack(">HH", 34, 4) + \
+        struct.pack(">HH", 160, 8)
+    odata = struct.pack(">HH", 400, 4 + 16) + \
+        struct.pack(">II", 7, 1) + struct.pack(">Q", boot)
+    msg_data = struct.pack(">HHIII", 10, 16 + len(odata), 0, 0, 7) + odata
+    msg_tmpl = struct.pack(">HHIII", 10, 16 + len(otmpl), 0, 1, 7) + otmpl
+    blob = _CAPTURE_MAGIC + b"".join(
+        struct.pack(">I", len(m)) + m for m in (msg_data, msg_tmpl))
+    pdf = pd.DataFrame({"path": ["caps/e1_0.bin"], "content": [blob]})
+    rows = list(pd.concat(list(_extract_templates_pandas(
+        iter([pdf])))).itertuples(index=False))
+    assert _merge_boot_rows(rows) == {("caps", 7): boot}
+
+
+def test_options_withdrawal_does_not_ambiguate_flow_count():
+    """An explicit options-template WITHDRAWAL (field count 0) for a tid
+    governed by a valid flow template must not flip the message to -1
+    (review finding: [] was not normalized like the flow side)."""
+    from nf2pq_spark.sources.ipfix import _v10_record_count
+
+    withdrawal = struct.pack(">HH", 3, 4 + 6) + struct.pack(">HHH", 256, 0, 0)
+    body = _tset(256, _AB) + withdrawal + \
+        _dset(256, struct.pack(">II", 1, 2) * 2)
+    msg = struct.pack(">HHIII", 10, 16 + len(body), 0, 0, 1) + body
+    assert _v10_record_count(msg, "e1", {}) == 2
+
+
+def test_no_timestamp_template_keeps_zero_sentinel_with_clock():
+    """A template with NO timestamp IE at all decodes ts/te to the 0
+    sentinel even when a clock is known — "boot time" would be a
+    plausible-looking fabrication (review finding). Same rule on v9
+    (header clock) and v10 (IE 160 era clock), both paths."""
+    # v10 with boot known
+    msg = _ipfix_msg(_tset(256, _AB), _dset(256, struct.pack(">II", 1, 2)))
+    boots = {("e1", 1): 1_700_000_000_000}
+    assert _decode_ipfix(msg, "e1", {}, boots)[0][0] == 0
+    assert int(_vec_rows(msg, boots=boots)["ts_ms"][0]) == 0
+    # v9: header clock always present — same sentinel now
+    v9 = _v9_msg(_v9_tset(300, _AB),
+                 _dset(300, struct.pack(">II", 1, 2)))
+    assert _decode_v9(v9, "e1", {})[0][0] == 0
+    assert int(_vec_rows(v9)["ts_ms"][0]) == 0
+
+
+def test_merge_boot_rows_keeps_distinct_odids():
+    """Boot rows all share tid -1 — the merge identity is the odid
+    inside the sig; two observation domains of one exporter must both
+    survive (regression for the consolidation of the merge helpers)."""
+    from collections import namedtuple
+
+    from nf2pq_spark.sources.ipfix import _merge_boot_rows
+
+    Row = namedtuple("Row", "exporter tid sig src seq")
+    rows = [Row("e1", -1, "7:1000", "a", 0), Row("e1", -1, "8:2000", "a", 1),
+            Row("e1", -1, "7:1500", "b", 0)]  # later file re-announces odid 7
+    assert _merge_boot_rows(rows) == {("e1", 7): 1500, ("e1", 8): 2000}
