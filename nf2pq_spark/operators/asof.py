@@ -30,6 +30,54 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _validate_and_tag(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str, right_ts: str, payload: list[str],
+                      how: str, fn: str):
+    """Shared front half of both as-of formulations: argument checks,
+    the NULL-never-matches right filter, side tagging, and the
+    payload/left-column null alignment for the union. One copy — the
+    numeric-bucket precision bug existed precisely because this logic
+    had drifted into two (r10 review).
+
+    NULL rule: a right row with a null key or null timestamp must never
+    be carried (DuckDB ASOF JOIN / pandas merge_asof) —
+    Window.partitionBy groups null keys into a real partition, so
+    without the filter null-key left rows would "match" null-key right
+    rows and diverge from the oracle semantics.
+
+    Clash rule: the union-tag trick nulls payload columns on left rows,
+    so a shared name would silently null the left column AND emit two
+    same-named output columns — callers must alias the payload first.
+    """
+    if how not in ("left", "inner"):
+        # anything else would silently behave as 'left' (the only check
+        # downstream is `how == "inner"`) — reject typos loudly instead
+        raise ValueError(f"{fn}: how must be 'left' or 'inner', got {how!r}")
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"{fn}: payload column(s) {sorted(clash)} also "
+                         "exist on the left side; alias them on the "
+                         "right input first")
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+    lcols = left.columns
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts))
+    for c in payload:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(rtypes[c]))
+    r_tag = right.select(F.col(on), F.col(right_ts).alias("__ts"),
+                         F.lit(0).alias("__side"), *payload)
+    for c in lcols:
+        if c != on:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(ltypes[c]))
+    unioned = (
+        l_tag.select(on, "__ts", "__side",
+                     *[c for c in lcols if c != on], *payload)
+        .unionByName(r_tag.select(on, "__ts", "__side",
+                                  *[c for c in lcols if c != on], *payload)))
+    return right, unioned, lcols, ltypes, rtypes
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,40 +110,15 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: direction must be 'backward' or "
                          f"'forward', got {direction!r}")
-    if how not in ("left", "inner"):
-        # anything else would silently behave as 'left' (the only check
-        # below is `how == "inner"`) — reject typos loudly instead
-        raise ValueError(f"asof_join: how must be 'left' or 'inner', "
-                         f"got {how!r}")
-    # NULL never matches (DuckDB ASOF JOIN / pandas merge_asof): a right
-    # row with a null key or null timestamp must never be carried —
-    # Window.partitionBy groups null keys into a real partition, so
-    # without this filter null-key left rows would "match" null-key
-    # right rows and diverge from the oracle semantics
-    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
-    clash = set(payload) & set(left.columns)
-    if clash:
-        # the union-tag trick nulls payload columns on left rows, so a
-        # shared name would silently null the left column AND emit two
-        # same-named output columns — alias the payload first
-        raise ValueError(f"asof_join: payload column(s) {sorted(clash)} "
-                         "also exist on the left side; alias them on the "
-                         "right input first")
-    lcols = left.columns
-    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    for c in payload:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-
-    r_tag = right.select(
-        F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"), *payload
-    )
-    for c in lcols:
-        if c != on:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-
-    unioned = l_tag.select(on, "__ts", "__side", *[c for c in lcols if c != on], *payload) \
-        .unionByName(r_tag.select(on, "__ts", "__side",
-                                  *[c for c in lcols if c != on], *payload))
+    if tie_break is not None and tie_break not in payload:
+        # a tie_break naming a LEFT column compiles fine but orders every
+        # equal-ts right row by NULL (r_tag nulls all left columns) —
+        # silently restoring the nondeterminism the parameter exists to
+        # remove. Only payload columns carry right-side values.
+        raise ValueError(f"asof_join: tie_break {tie_break!r} must be one "
+                         f"of the payload columns {sorted(payload)}")
+    _right, unioned, lcols, _lt, _rt = _validate_and_tag(
+        left, right, on, left_ts, right_ts, payload, how, "asof_join")
 
     ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
     # at equal ts the right row (side 0) must sort before the left row so
@@ -191,27 +214,12 @@ def asof_join_bucketed(
     Spark interval literal; pick it so a hot key's densest bucket fits
     one task (~100k-1M rows).
     """
-    if how not in ("left", "inner"):
-        raise ValueError(f"asof_join_bucketed: how must be 'left' or "
-                         f"'inner', got {how!r}")
-    clash = set(payload) & set(left.columns)
-    if clash:
-        raise ValueError(f"asof_join_bucketed: payload column(s) "
-                         f"{sorted(clash)} also exist on the left side; "
-                         "alias them on the right input first")
-    # NULL never matches — same rule (and reason) as asof_join
-    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
-    lcols = left.columns
-    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
-    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    for c in payload:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(rtypes[c]))
-    r_tag = right.select(
-        F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"), *payload
-    )
-    for c in lcols:
-        if c != on:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(ltypes[c]))
+    if not isinstance(bucket, str) and bucket <= 0:
+        raise ValueError(f"asof_join_bucketed: numeric bucket must be "
+                         f"positive, got {bucket!r}")
+    right, unioned_raw, lcols, ltypes, rtypes = _validate_and_tag(
+        left, right, on, left_ts, right_ts, payload, how,
+        "asof_join_bucketed")
     # interval string buckets a timestamp axis; an int buckets a numeric
     # one. The timestamp form is epoch-aligned floor ARITHMETIC, not
     # F.window(): Catalyst's TimeWindowing rule injects an
@@ -233,13 +241,15 @@ def asof_join_bucketed(
         micros = F.unix_micros(F.col("__ts"))
         bucket_expr = F.timestamp_micros(micros - F.pmod(micros, F.lit(us)))
     else:
-        bucket_expr = F.floor(F.col("__ts") / F.lit(bucket)).cast("long")
-    unioned = (
-        l_tag.select(on, "__ts", "__side", *[c for c in lcols if c != on], *payload)
-        .unionByName(r_tag.select(on, "__ts", "__side",
-                                  *[c for c in lcols if c != on], *payload))
-        .withColumn("__b", bucket_expr)
-    )
+        # same exact-int64 floor as the timestamp branch: the previous
+        # floor(ts / bucket) ran a DOUBLE division first, so an int64
+        # axis past 2^53 could round across a bucket boundary and land a
+        # boundary-adjacent row in the wrong (key, bucket) partition —
+        # the exact hazard the timestamp branch fixed, left behind in
+        # this copy (r10 review). The bucket KEY is the bucket START
+        # value (x - pmod(x, bucket)), which also IS the phantom __ts.
+        bucket_expr = F.col("__ts") - F.pmod(F.col("__ts"), F.lit(bucket))
+    unioned = unioned_raw.withColumn("__b", bucket_expr)
 
     # per-(key, bucket) summary in ONE pass over the pruned sides: the
     # last right row of the bucket (__v, null when the bucket has no
@@ -279,11 +289,8 @@ def asof_join_bucketed(
     )
     ts_type = dict(unioned.dtypes)["__ts"]
     # phantom __ts = the true bucket START so it sorts before every real
-    # row of its bucket: the window.start timestamp for interval buckets,
-    # __b * bucket for numeric axes (NOT __b itself — on a negative axis
-    # floor(ts/bucket) can exceed the in-bucket ts values)
-    phantom_ts = (F.col("__b") if isinstance(bucket, str)
-                  else F.col("__b") * F.lit(bucket))
+    # row of its bucket — which is exactly the bucket key on BOTH axes
+    # now (timestamp_micros of the floored micros / x - pmod(x, bucket))
     phantom = (
         summary
         .select(on, "__b", "__has_left",
@@ -291,7 +298,7 @@ def asof_join_bucketed(
         .filter((F.col("__has_left") == 1) & F.col("__carry").isNotNull())
         .select(
             F.col(on),
-            phantom_ts.cast(ts_type).alias("__ts"),
+            F.col("__b").cast(ts_type).alias("__ts"),
             F.lit(-1).alias("__side"),
             *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols if c != on],
             *[F.col("__carry").getField(c).alias(c) for c in payload],

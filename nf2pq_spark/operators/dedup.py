@@ -136,11 +136,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.6) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs; keeps pairs ≥ threshold."""
+    """Exact token-set Jaccard over candidate pairs; keeps pairs ≥ threshold.
+
+    Only docs that appear in a candidate pair are tokenized: the
+    candidate set (already bucket-capped) is orders of magnitude smaller
+    than the corpus at scale, so a semi-join on the pair ids beats
+    materializing token arrays for every document (the previous form
+    checkpointed a corpus-sized token table; r10 review)."""
+    # candidates is referenced twice (the id set and the pair join) and
+    # usually sits on top of the whole LSH pipeline — cut it once
+    candidates = candidates.localCheckpoint(eager=True)
+    pair_ids = (candidates.select(F.col("id_a").alias(id_col))
+                .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+                .distinct())
     # materialized: joined twice (id_a and id_b sides partition on
-    # DIFFERENT keys, so no exchange reuse) — without the cut the corpus
-    # scan + tokenize + distinct ran twice per query
-    toks = df.select(
+    # DIFFERENT keys, so no exchange reuse) — without the cut the
+    # candidate-doc scan + tokenize + distinct ran twice per query
+    toks = df.join(pair_ids, id_col, "left_semi").select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__t")
     ).localCheckpoint(eager=True)
     j = (
@@ -159,6 +171,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                          small_graph_edges: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected edge list ``(u, v)`` →
     ``(n, component)`` where component is the minimum node id reachable.
+
+    Node ids must be an INTEGRAL type (validated loudly below): the
+    distributed loop's zero-extra-job convergence probe is an exact
+    decimal SUM of the labels, which has no string analogue — hash
+    text ids to int64 first (``F.xxhash64``, the pipeline's usual id
+    derivation). Both paths enforce the same domain, so data volume
+    never decides which inputs are legal (r10 review).
 
     The graph step a real dedup pipeline needs after candidate pairs:
     near-dup RELATIONS are pairwise, but dedup KEEPS one doc per
@@ -201,6 +220,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     """
     from pyspark.sql import Observation
 
+    types = dict(edges.dtypes)
+    bad = {c: types[c] for c in ("u", "v")
+           if types[c] not in ("tinyint", "smallint", "int", "bigint")}
+    if bad:
+        raise ValueError(
+            f"connected_components: node ids must be integral, got {bad} "
+            "— hash text ids to int64 first (e.g. F.xxhash64)")
+
     # materialize the edge list ONCE — `edges` usually sits on top of the
     # whole LSH candidate pipeline, and without this cut every round's job
     # would re-shingle and re-join the corpus from scratch
@@ -240,8 +267,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                 parent[max(ru, rv)] = min(ru, rv)
         out = pd.DataFrame({"n": list(parent),
                             "component": [find(n) for n in parent]})
+        # schema follows the edge id type — the fast path accepts the
+        # same id domain as the distributed loop (string doc hashes work
+        # in min-label propagation AND in union-find's min/max ordering);
+        # the old hardcoded int64 cast crashed on them, making which
+        # path RAN decide which inputs were legal (r10 review)
+        ntype = dict(sym.dtypes)["u"]
         return edges.sparkSession.createDataFrame(
-            out.astype("int64"), "n long, component long")
+            out, f"n {ntype}, component {ntype}")
 
     labels = (
         sym.select(F.col("u").alias("n")).distinct()

@@ -131,6 +131,13 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     q_cells = (
         queries.crossJoin(F.broadcast(centers_df))
         .withColumn("__d", sq_dist)
+        # a NULL distance (null-element or dimension-mismatched query:
+        # zip_with null-pads, so every cell's __d is NULL) sorted NULLS
+        # FIRST and silently probed cells 0..n_probe-1 — arbitrary
+        # "neighbors" with NULL cosine (r10 review). Degrade such
+        # queries to NO probes instead, the module's null-degradation
+        # contract (one bad record must not kill the job).
+        .filter(F.col("__d").isNotNull())
         .withColumn("__rk", F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.asc("__d"), F.asc("cell"))))
         .filter(F.col("__rk") <= n_probe)

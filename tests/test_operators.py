@@ -1972,3 +1972,101 @@ def test_v10_record_count_unknown_for_varlen_or_unknown_template():
     assert _v10_record_count(m, "e", {}) == -1
     # a template-set-only message has 0 data records
     assert _v10_record_count(msg(tset(300, [(7, 2)])), "e", {}) == 0
+
+
+def test_asof_bucketed_numeric_axis_past_double_precision(spark):
+    """Numeric-axis twin of the timestamp-branch precision fix: an int64
+    axis past 2^53 bucketed via double division rounded across a bucket
+    boundary and could skip a boundary-adjacent right row. The bucket is
+    now the exact-int64 start (x - pmod(x, bucket)); bucketed must equal
+    plain out there."""
+    from nf2pq_spark.operators.asof import asof_join, asof_join_bucketed
+
+    base = 2**62 - 2**31          # far beyond double's 2^53 exactness
+    bucket = 2**31
+    rows_r = [(1, base - 3, 10), (1, base - 1, 20),   # just under boundary
+              (1, base, 30), (1, base + 5, 40)]
+    rows_l = [(i, 1, t) for i, t in enumerate(
+        [base - 2, base - 1, base, base + 4, base + 6])]
+    left = spark.createDataFrame(rows_l, schema="id long, k long, ts long")
+    right = spark.createDataFrame(rows_r, schema="k long, ts long, v long")
+    plain = {(r["id"], r["v"]) for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload=["v"]).collect()}
+    buck = {(r["id"], r["v"]) for r in asof_join_bucketed(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload=["v"], bucket=bucket).collect()}
+    assert plain == buck
+    assert plain == {(0, 10), (1, 20), (2, 30), (3, 30), (4, 40)}
+
+
+def test_asof_tie_break_must_be_payload_column(spark):
+    """A tie_break naming a LEFT column orders equal-ts right rows by
+    NULL — silently nondeterministic; reject it loudly."""
+    import pytest
+
+    from nf2pq_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], schema="k long, ts long")
+    right = spark.createDataFrame([(1, 5, 7)], schema="k long, ts long, v long")
+    with pytest.raises(ValueError, match="tie_break"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  payload=["v"], tie_break="ts")
+    with pytest.raises(ValueError, match="positive"):
+        from nf2pq_spark.operators.asof import asof_join_bucketed
+        asof_join_bucketed(left, right, on="k", left_ts="ts",
+                           right_ts="ts", payload=["v"], bucket=0)
+
+
+def test_connected_components_id_domain_is_path_independent(spark):
+    """Which execution path runs (volume-gated) must never decide which
+    inputs are legal: string ids fail LOUDLY on both paths (the
+    convergence probe is a numeric sum — hash text ids first), and an
+    int32 edge list returns int32 components from both paths (the fast
+    path previously hardcoded int64)."""
+    import pytest
+
+    from nf2pq_spark.operators.dedup import connected_components
+
+    sedges = spark.createDataFrame(
+        [("a", "b")], "u string, v string")
+    for gate in (1_000_000, 0):
+        with pytest.raises(ValueError, match="integral"):
+            connected_components(sedges, small_graph_edges=gate)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "u int, v int")
+    want = {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+    fast = connected_components(edges)
+    dist = connected_components(edges, small_graph_edges=0)
+    assert {(r["n"], r["component"]) for r in fast.collect()} == want
+    assert {(r["n"], r["component"]) for r in dist.collect()} == want
+    assert dict(fast.dtypes) == dict(dist.dtypes) == {
+        "n": "int", "component": "int"}
+
+
+def test_ivf_topk_degenerate_query_degrades_not_garbage(spark):
+    """A dimension-mismatched or null-element query has NULL distance to
+    every centroid; it previously sorted NULLS FIRST and probed
+    arbitrary cells, returning k 'neighbors' with NULL cosine. It must
+    degrade to NO results, leaving valid queries untouched."""
+    from nf2pq_spark.operators.similarity import ivf_topk
+
+    import random
+    rng = random.Random(7)
+    cands = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    candidates = spark.createDataFrame(
+        cands, "c_id long, cv array<double>")
+    queries = spark.createDataFrame(
+        [(100, cands[0][1]),            # valid: 8-dim
+         (101, [1.0, 2.0]),             # dimension mismatch
+         (102, [None] + [0.5] * 7)],    # null element
+        "q_id long, qv array<double>")
+    out = ivf_topk(queries, candidates, k=3, n_cells=4, n_probe=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert 100 in by_q and len(by_q[100]) == 3
+    assert all(r["cos_sim"] is not None for r in by_q[100])
+    assert 101 not in by_q and 102 not in by_q
