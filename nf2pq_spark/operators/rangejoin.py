@@ -40,10 +40,19 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
     dropped, matching the range predicate's semantics.
     """
     bus = bucket_seconds * _US
-    pb = points.withColumn("__bucket", F.floor(F.unix_micros(F.col(ts_col)) / bus))
+    # exact-int64 bucketing (x - pmod(x, bus), the bucket START in
+    # micros): floor(micros / bus) ran a DOUBLE division, exact only to
+    # 2^53 — points or bounds past ~2255 AD (inside the hostile corpus's
+    # 2262 extremes) could round across a bucket boundary, and a
+    # mis-bucketed point misses its interval entirely on the equality
+    # leg. Same fix as the as-of join's bucket axes (r10 review).
+    m_pt = F.unix_micros(F.col(ts_col))
+    pb = points.withColumn("__bucket", m_pt - F.pmod(m_pt, F.lit(bus)))
     iv = intervals.filter(F.col(hi_col) > F.col(lo_col))
-    lo_b = F.floor(F.unix_micros(F.col(lo_col)) / bus)
-    hi_b = F.floor((F.unix_micros(F.col(hi_col)) - 1) / bus)
+    m_lo = F.unix_micros(F.col(lo_col))
+    m_hi = F.unix_micros(F.col(hi_col)) - 1
+    lo_b = m_lo - F.pmod(m_lo, F.lit(bus))
+    hi_b = m_hi - F.pmod(m_hi, F.lit(bus))
     # span guard: one sentinel interval (hi = 9999-12-31, the classic
     # "until further notice" row) would otherwise materialize a
     # multi-million-element bucket array for that single row — executor
@@ -51,11 +60,12 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
     # loudly naming the offender; the fix is a coarser bucket_seconds or
     # clamping open-ended intervals before the join.
     max_span = 100_000
-    span_ok = (hi_b - lo_b) < F.lit(max_span)
+    span_ok = (hi_b - lo_b) < F.lit(max_span * bus)
     ib = iv.withColumn(
         "__bucket",
         F.explode(
-            F.when(span_ok, F.sequence(lo_b, hi_b)).otherwise(F.raise_error(
+            F.when(span_ok,
+                   F.sequence(lo_b, hi_b, F.lit(bus))).otherwise(F.raise_error(
                 F.concat(
                     F.lit("bucketed_range_join: interval spans over "
                           f"{max_span} buckets at bucket_seconds="
@@ -66,10 +76,15 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
                           "intervals"))))
         ),
     )
+    # side-qualified refs (pb[...]/ib[...]): bare F.col() resolves
+    # against the JOINED plan, so a column name shared between the two
+    # inputs (intervals derived from the same event table still carrying
+    # 'ts') raised AMBIGUOUS_REFERENCE despite the docstring promising
+    # both inputs' columns survive (r10 review)
     cond = (
         (pb["__bucket"] == ib["__bucket"])
-        & (F.col(ts_col) >= F.col(lo_col))
-        & (F.col(ts_col) < F.col(hi_col))
+        & (pb[ts_col] >= ib[lo_col])
+        & (pb[ts_col] < ib[hi_col])
     )
     if extra_cond is not None:
         cond = cond & extra_cond

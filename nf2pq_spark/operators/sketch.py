@@ -61,11 +61,21 @@ def top_talkers_cms(df: DataFrame, col: str, k: int = 10, local_m: int = 50,
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     w = Window.partitionBy("__pid").orderBy(F.col("__n").desc(), F.col("__k"))
+    # the per-partition top-m candidates re-aggregate DISTRIBUTED (sum of
+    # observed local counts) and only the best max(10k, local_m) reach
+    # the driver: the previous collect of every distinct candidate grew
+    # with the partition count — partitions × m rows at a 100 TB scan's
+    # ~1e5-1e6 partitions is a multi-GB driver collect (r10 review). The
+    # partial-sum pre-rank also orders candidates by evidence instead of
+    # arbitrarily.
+    cap = max(10 * k, local_m)
     cands = [
         r["__k"]
         for r in local.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= local_m)
-        .select("__k").distinct().collect()
+        .groupBy("__k").agg(F.sum("__n").alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("__k"))
+        .limit(cap).collect()
     ]
     est = sorted(
         ((key, sketch.estimateCount(int(key))) for key in cands),

@@ -1655,20 +1655,25 @@ def make_decoder(initial_templates: dict | None = None,
     return decode
 
 
-def read_flow_files(spark, path: str) -> DataFrame:
-    """Datagram files → typed flow DataFrame (batch).
-
-    Two-phase decode: phase 1 harvests IPFIX template sets (tiny: a few
-    rows per exporter) and ships the resulting cache into the phase-2
-    decoder closure. This removes all ordering/partitioning assumptions —
-    files land in any partition, templates still resolve — which is the
-    property a 1000-executor scan needs.
-    """
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
+def decode_datagram_frame(raw: DataFrame) -> DataFrame:
+    """Two-phase decode of a bounded ``(path, content)`` DataFrame: phase
+    1 harvests template sets and IE 160 boot epochs (tiny: a few rows
+    per exporter) and ships the merged caches into the phase-2 decoder
+    closure. This removes all ordering/partitioning assumptions — rows
+    land in any partition, templates still resolve — which is the
+    property a 1000-executor scan needs. The per-micro-batch building
+    block shared by every front-end (files, streams, Kafka)."""
+    tmpl_rows = raw.mapInPandas(_extract_templates_pandas,
+                                _TEMPLATE_SCHEMA).collect()
     return raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows),
                                         _merge_boot_rows(tmpl_rows)),
                            FLOW_SCHEMA)
+
+
+def read_flow_files(spark, path: str) -> DataFrame:
+    """Datagram files → typed flow DataFrame (batch two-phase decode)."""
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return decode_datagram_frame(raw)
 
 
 def stream_flow_files(spark, path: str, process, checkpoint: str,
@@ -1684,11 +1689,8 @@ def stream_flow_files(spark, path: str, process, checkpoint: str,
     """
 
     def decode_batch(batch_df: DataFrame, batch_id: int) -> None:
-        raw = batch_df.select("path", "content")
-        tmpl_rows = raw.mapInPandas(_extract_templates_pandas, _TEMPLATE_SCHEMA).collect()
-        process(raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows),
-                                             _merge_boot_rows(tmpl_rows)),
-                                FLOW_SCHEMA), batch_id)
+        process(decode_datagram_frame(batch_df.select("path", "content")),
+                batch_id)
 
     stream = (spark.readStream.format("binaryFile")
               .schema("path string, modificationTime timestamp, length long, "

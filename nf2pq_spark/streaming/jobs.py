@@ -72,7 +72,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # `is not None`, not truthiness: an explicit 0 is an invalid
+        # throttle Spark rejects loudly — silently dropping the option
+        # converted the mistake into "unthrottled"
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # one shared normalization with the batch loader (watermarks need
     # session-TZ TimestampType)
@@ -99,30 +102,66 @@ def run_available_now(result: DataFrame, output_mode: str = "complete",
     return result.sparkSession, name
 
 
-def read_kafka_flow_stream(spark: SparkSession, brokers: str, topic: str,
-                           starting_offsets: str = "latest") -> DataFrame:
-    """Kafka as the datagram transport (S5 alternative to the UDP bridge):
-    one datagram per message, keyed by exporter address.
-
-    Decodes with the same mapInPandas decoder as the file path; the Kafka
-    key (exporter) maps to the decoder's exporter field via the path column
-    shim. Requires the spark-sql-kafka package on the classpath and a
-    broker — neither exists in this environment, so this is exercised by
-    construction only (tests skip); the decode plumbing it shares with the
-    file path is fully tested.
-    """
-    from ..sources.ipfix import FLOW_SCHEMA, make_decoder
-
+def _kafka_datagrams(spark: SparkSession, brokers: str, topic: str,
+                     starting_offsets: str) -> DataFrame:
     raw = (spark.readStream.format("kafka")
            .option("kafka.bootstrap.servers", brokers)
            .option("subscribe", topic)
            .option("startingOffsets", starting_offsets)
            .load())
-    dgrams = raw.select(
+    return raw.select(
         F.coalesce(F.col("key").cast("string"), F.lit("kafka")).alias("path"),
         F.col("value").alias("content"),
     )
+
+
+def read_kafka_flow_stream(spark: SparkSession, brokers: str, topic: str,
+                           starting_offsets: str = "latest") -> DataFrame:
+    """Kafka as the datagram transport (S5 alternative to the UDP bridge):
+    one datagram per message, keyed by exporter address — the COMPOSABLE
+    form (returns a streaming DataFrame).
+
+    CONSTRAINT this form cannot lift: the in-band decoder's template
+    cache lives inside one mapInPandas invocation, so templates must be
+    announced within the SAME micro-batch (and partition) as the data
+    they describe. An exporter that re-announces every N minutes against
+    a faster trigger silently drops the in-between batches' records —
+    use :func:`stream_kafka_flows` (per-batch two-phase harvest, the
+    same machinery as the file front-ends) unless the producer bundles
+    templates into every message. IE 160 boot epochs likewise only
+    resolve through the two-phase form. Requires the spark-sql-kafka
+    package and a broker — neither exists in this environment, so this
+    is exercised by construction only (tests skip); the decode plumbing
+    is shared with the fully-tested file path.
+    """
+    from ..sources.ipfix import FLOW_SCHEMA, make_decoder
+
+    dgrams = _kafka_datagrams(spark, brokers, topic, starting_offsets)
     return dgrams.mapInPandas(make_decoder(), FLOW_SCHEMA)
+
+
+def stream_kafka_flows(spark: SparkSession, brokers: str, topic: str,
+                       process, checkpoint: str,
+                       starting_offsets: str = "latest",
+                       available_now: bool = False):
+    """Kafka collector front-end with per-micro-batch TWO-PHASE decode —
+    the correctness-bearing Kafka form (mirrors ``stream_flow_files``):
+    each micro-batch harvests its own templates and IE 160 boot epochs
+    before decoding, so template placement across partitions/offsets
+    cannot lose records and v10 relative timestamps resolve.
+    ``process(flows_df, batch_id)`` receives the decoded typed frame."""
+    from ..sources.ipfix import decode_datagram_frame
+
+    def decode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        process(decode_datagram_frame(batch_df.select("path", "content")),
+                batch_id)
+
+    writer = (_kafka_datagrams(spark, brokers, topic, starting_offsets)
+              .writeStream.foreachBatch(decode_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_rollup(stream: DataFrame, window: str = "1 hour",

@@ -21,6 +21,14 @@ from pyspark.sql.streaming import StreamingQuery
 
 def with_partition_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Add date/hour partition columns for the rotated-file layout."""
+    clash = {"date", "hour"} & set(df.columns)
+    if clash:
+        # withColumn would silently REPLACE the caller's business column
+        # and re-derive it from ts — wrong values in every file written,
+        # with no error anywhere downstream (r10 review)
+        raise ValueError(
+            f"with_partition_columns: column(s) {sorted(clash)} already "
+            "exist on the stream; rename them before the rotated sink")
     return df.withColumn("date", F.to_date(ts_col)).withColumn(
         "hour", F.hour(ts_col).cast("int")
     )
@@ -92,6 +100,14 @@ def clickhouse_ddl(df: DataFrame, table: str, order_by: list[str],
     by (exporter, time) with a daily partition is the canonical flow-table
     layout. Generated (not hand-written per table) so the sink stays in
     lock-step with FLOW_SCHEMA.
+
+    CONTRACT: columns named in ``order_by`` are declared non-Nullable
+    even when the Spark field is nullable — MergeTree sorting keys
+    should not be Nullable (and nullable partition keys are rejected by
+    default). The stream must therefore never produce NULLs in those
+    columns; coalesce them upstream if the source can. A NULL reaching
+    such a column fails the INSERT server-side — loudly, not silently
+    mis-sorted.
     """
     cols = []
     for f in df.schema.fields:
@@ -135,10 +151,14 @@ def jdbc_batch_writer(url: str, table: str, properties: dict | None = None,
         for k, v in (properties or {}).items():
             w = w.option(k, v)
         if dedup_token_prefix is not None:
-            w = w.option(
-                "custom_settings",
-                f"insert_deduplication_token="
-                f"{dedup_token_prefix}-{int(batch_id)}")
+            token = (f"insert_deduplication_token="
+                     f"{dedup_token_prefix}-{int(batch_id)}")
+            # custom_settings is a comma-separated LIST — a caller's own
+            # settings (async_insert, quorum, …) must survive, not be
+            # replaced by the token (r10 review)
+            base = (properties or {}).get("custom_settings")
+            w = w.option("custom_settings",
+                         f"{base},{token}" if base else token)
         w.mode("append").save()
 
     return write_batch
@@ -146,10 +166,21 @@ def jdbc_batch_writer(url: str, table: str, properties: dict | None = None,
 
 def clickhouse_sink(stream: DataFrame, url: str, table: str,
                     checkpoint: str, properties: dict | None = None,
-                    trigger_interval: str = "60 seconds") -> StreamingQuery:
-    """Micro-batch INSERTs into ClickHouse via foreachBatch + JDBC (S7)."""
+                    trigger_interval: str = "60 seconds",
+                    dedup_token_prefix: str | None = None) -> StreamingQuery:
+    """Micro-batch INSERTs into ClickHouse via foreachBatch + JDBC (S7).
+
+    Replay-safe BY DEFAULT: the insert-dedup token (see
+    :func:`jdbc_batch_writer`) defaults to ``nf2pq-<table>`` — the same
+    prefix the config pipeline wires — so a batch redelivered across
+    foreachBatch's delivery gap deduplicates server-side instead of
+    double-inserting. Pass an explicit prefix when several independent
+    queries insert into one table (each needs its own token space)."""
+    writer = jdbc_batch_writer(
+        url, table, properties,
+        dedup_token_prefix=dedup_token_prefix or f"nf2pq-{table}")
     return (
-        stream.writeStream.foreachBatch(jdbc_batch_writer(url, table, properties))
+        stream.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=trigger_interval)
         .start()

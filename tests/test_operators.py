@@ -2070,3 +2070,45 @@ def test_ivf_topk_degenerate_query_degrades_not_garbage(spark):
     assert 100 in by_q and len(by_q[100]) == 3
     assert all(r["cos_sim"] is not None for r in by_q[100])
     assert 101 not in by_q and 102 not in by_q
+
+
+def test_bucketed_range_join_shared_column_names(spark):
+    """Both inputs may share a column name (intervals derived from the
+    same event table still carrying 'ts'): the join condition uses
+    side-qualified refs, so this must analyze and match instead of
+    raising AMBIGUOUS_REFERENCE."""
+    import datetime as dt
+
+    from nf2pq_spark.operators.rangejoin import bucketed_range_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    points = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=30))], "p_id int, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(7, t0, t0 + dt.timedelta(minutes=5), t0)],
+        "i_id int, lo timestamp, hi timestamp, ts timestamp")
+    out = bucketed_range_join(points, intervals, "ts", "lo", "hi")
+    assert [(r.p_id, r.i_id) for r in out.collect()] == [(1, 7)]
+
+
+def test_bucketed_range_join_far_future_precision(spark):
+    """Bucket keys are exact-int64 starts (x - pmod): micros past 2^53
+    (~2255 AD, inside the hostile corpus's 2262 extremes) must bucket
+    consistently on both sides — double floor-division could round a
+    point across a boundary and miss its interval."""
+    import datetime as dt
+
+    from nf2pq_spark.operators.rangejoin import bucketed_range_join
+
+    base = dt.datetime(2260, 1, 1, 0, 0, 0)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s))
+         for i, s in enumerate([0, 59, 60, 3599])],
+        "p_id int, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(minutes=1)),
+         (2, base + dt.timedelta(minutes=1), base + dt.timedelta(hours=1))],
+        "i_id int, lo timestamp, hi timestamp")
+    out = {(r.p_id, r.i_id) for r in bucketed_range_join(
+        points, intervals, "ts", "lo", "hi", bucket_seconds=60).collect()}
+    assert out == {(0, 1), (1, 1), (2, 2), (3, 2)}

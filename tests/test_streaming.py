@@ -845,3 +845,57 @@ def test_jdbc_batch_writer_dedup_token_is_stable_per_batch():
     saved.clear()
     jdbc_batch_writer("jdbc:clickhouse://ch:8123/flows", "flows")(FakeDF(), 1)
     assert "custom_settings" not in saved[0]
+
+
+def test_jdbc_batch_writer_merges_caller_custom_settings():
+    """custom_settings is a comma-separated ClickHouse list: the dedup
+    token must APPEND to a caller's own settings, not replace them
+    (async_insert/quorum silently vanished before; r10 review)."""
+    from nf2pq_spark.streaming.sinks import jdbc_batch_writer
+
+    saved = []
+
+    class FakeWriter:
+        def __init__(self):
+            self.opts = {}
+
+        def format(self, f):
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def mode(self, m):
+            return self
+
+        def save(self):
+            saved.append(dict(self.opts))
+
+    class FakeDF:
+        @property
+        def write(self):
+            return FakeWriter()
+
+    w = jdbc_batch_writer(
+        "jdbc:clickhouse://ch:8123/flows", "flows",
+        {"custom_settings": "async_insert=1,insert_quorum=2"},
+        dedup_token_prefix="nf2pq-flows")
+    w(FakeDF(), 3)
+    assert saved[0]["custom_settings"] == (
+        "async_insert=1,insert_quorum=2,"
+        "insert_deduplication_token=nf2pq-flows-3")
+
+
+def test_with_partition_columns_rejects_clashing_names(spark):
+    """A pre-existing 'date'/'hour' business column would be silently
+    REPLACED by the derived partition value in every file written —
+    reject loudly instead (r10 review)."""
+    import pytest
+
+    from nf2pq_spark.streaming.sinks import with_partition_columns
+
+    df = spark.createDataFrame([("2024-05-05", 1)], "date string, x int") \
+        .withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="date"):
+        with_partition_columns(df, "ts")
