@@ -144,10 +144,34 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
         if ch_writer is not None:
             ch_writer(typed, batch_id)
 
+    # capture_dir/* — NOT capture_dir bare: the bridge writes one
+    # subdirectory per exporter IP (how template streams stay keyed),
+    # and Spark's binaryFile source does not recurse into non-partition
+    # subdirs, so the bare path silently streamed ZERO files from a
+    # bridge-fed layout (r10 review; crash_soak had the same workaround
+    # locally). The glob also matches loose files in a flat layout; a
+    # capture_dir that already carries a glob is used verbatim.
+    import os
+
+    path = cfg.capture_dir
+    if not any(c in path for c in "*?["):
+        path = os.path.join(path, "*")
+
     return stream_flow_files(
-        spark, cfg.capture_dir, deliver, cfg.checkpoint,
+        spark, path, deliver, cfg.checkpoint,
         available_now=available_now,
     )
+
+
+def start_bridge(cfg: CollectorConfig):
+    """Bind the config's UDP listener and return the started bridge —
+    the front half of the §3.3 pipeline the listener fields exist for
+    (previously parsed but never wired; r10 review)."""
+    from .sources.udp_bridge import UdpCaptureBridge
+
+    return UdpCaptureBridge(cfg.listen_host, cfg.listen_port,
+                            cfg.capture_dir,
+                            rotate_seconds=cfg.rotation_seconds).start()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -170,7 +194,15 @@ def main(argv: list[str] | None = None) -> int:
                              "(availableNow trigger)")
     args = parser.parse_args(argv)
     spark = get_spark("nf2pq-collector")
-    q = run_collector(spark, load_config(args.conf),
-                      available_now=args.drain)
-    q.awaitTermination()
+    cfg = load_config(args.conf)
+    # live mode binds the config's UDP listener (the operational surface
+    # the [collector] listen_* fields describe); --drain is pure backfill
+    # of already-captured files and leaves the port alone
+    bridge = None if args.drain else start_bridge(cfg)
+    q = run_collector(spark, cfg, available_now=args.drain)
+    try:
+        q.awaitTermination()
+    finally:
+        if bridge is not None:
+            bridge.stop()
     return 0

@@ -56,14 +56,19 @@ def ip_prefix(ip: Column, bits: int) -> Column:
 
 
 def in_cidr(ip: Column, cidr: str) -> Column:
-    """Boolean: is dotted-quad ``ip`` inside ``cidr`` ('a.b.c.d/len')?"""
-    net, _, length = cidr.partition("/")
-    bits = int(length)
-    mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF
-    net_val = 0
-    for part, w in zip(net.split("."), _OCTET_WEIGHTS):
-        net_val += int(part) * w
-    return ipv4_to_long(ip).bitwiseAND(F.lit(mask)) == F.lit(net_val & mask)
+    """Boolean: is dotted-quad ``ip`` inside ``cidr`` ('a.b.c.d/len')?
+
+    The network constant is validated and normalized driver-side with
+    stdlib ``ipaddress`` (the exact pattern :func:`in_cidr6` uses) — the
+    previous hand-rolled parse silently accepted malformed networks like
+    ``'300.0.0.0/8'`` or ``'10.0.0/8'`` and produced an always-false
+    predicate instead of an error."""
+    import ipaddress
+
+    net = ipaddress.IPv4Network(cidr, strict=False)
+    mask = int(net.netmask)
+    return (ipv4_to_long(ip).bitwiseAND(F.lit(mask))
+            == F.lit(int(net.network_address)))
 
 
 #: nfdump-style flag order: URG ACK PSH RST SYN FIN (high→low bit 5..0).
@@ -71,10 +76,13 @@ _TCP_FLAGS = [(32, "U"), (16, "A"), (8, "P"), (4, "R"), (2, "S"), (1, "F")]
 
 
 def decode_tcp_flags(bits: Column) -> Column:
-    """TCP control-bits byte → nfdump-style string, e.g. 18 → '.A...S.'→'.A..S.'."""
+    """TCP control-bits byte → nfdump-style string, e.g. 18 → '.A..S.'.
+
+    NULL propagates (a missing flags value must not render as '......',
+    indistinguishable from an explicit no-flags packet)."""
     parts = [F.when(bits.bitwiseAND(F.lit(m)) > 0, F.lit(c)).otherwise(F.lit("."))
              for m, c in _TCP_FLAGS]
-    return F.concat(*parts)
+    return F.when(bits.isNotNull(), F.concat(*parts))
 
 
 def ipv6_normalize(ip: Column) -> Column:
@@ -96,7 +104,20 @@ def ipv6_normalize(ip: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
     fill = F.array_repeat(F.lit("0"), F.lit(8) - F.size(left) - F.size(right))
     groups = F.concat(left, fill, right)
-    return F.array_join(F.transform(groups, lambda g: F.lpad(F.lower(g), 4, "0")), "")
+    # malformed input → NULL, matching ipv4_to_long's contract: >8 groups
+    # (negative fill → empty array_repeat → short key), more than one
+    # '::', fewer than 8 groups WITHOUT a '::' to absorb the gap, or
+    # non-hex group content previously produced a wrong-length/garbage
+    # key that could spuriously match prefixes (r10 review)
+    valid = (
+        (F.size(parts) <= 2)
+        & (F.size(left) + F.size(right) <= 8)
+        & ((F.size(parts) == 2) | (F.size(left) == 8))
+        & F.forall(groups, lambda g: g.rlike("^[0-9a-fA-F]{1,4}$"))
+    )
+    norm = F.array_join(
+        F.transform(groups, lambda g: F.lpad(F.lower(g), 4, "0")), "")
+    return F.when(valid, norm)
 
 
 def ipv6_prefix(ip: Column, bits: int) -> Column:
@@ -131,8 +152,11 @@ def in_cidr6(ip: Column, cidr: str) -> Column:
 
 
 def service_class(port: Column) -> Column:
-    """Coarse well-known-port classification for flow rollups."""
-    return (
+    """Coarse well-known-port classification for flow rollups.
+
+    NULL port → NULL (a missing port is unknown, not 'ephemeral' — the
+    bare otherwise() silently classified NULLs; r10 review)."""
+    chain = (
         F.when(port.isin(80, 443, 8080, 8443), "web")
         .when(port.isin(53, 853), "dns")
         .when(port.isin(25, 465, 587, 110, 143, 993, 995), "mail")
@@ -140,3 +164,4 @@ def service_class(port: Column) -> Column:
         .when(port < 1024, "system")
         .otherwise("ephemeral")
     )
+    return F.when(port.isNotNull(), chain)

@@ -51,11 +51,15 @@ def lang_guess(text: Column) -> Column:
     fully oracle-expressible as nested CASE on the same scores.
     """
     s_en, s_de, s_fr = (lang_score(text, l) for l in ("en", "de", "fr"))
-    return (
+    guess = (
         F.when((s_en >= s_de) & (s_en >= s_fr), "en")
         .when(s_de >= s_fr, "de")
         .otherwise("fr")
     )
+    # NULL text → NULL: the bare otherwise() confidently classified a
+    # null document as French (every NULL score comparison skipped its
+    # when(); r10 review) — the oracle mirrors via s_en IS NULL
+    return F.when(text.isNotNull(), guess)
 
 
 def fingerprint(text: Column) -> Column:

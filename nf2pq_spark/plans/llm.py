@@ -800,7 +800,9 @@ def _marker_sql(lang: str) -> str:
       FROM documents
     )
     SELECT doc_id, lang,
-           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+           CASE WHEN s_en IS NULL THEN NULL  -- NULL text stays NULL,
+                                             -- mirroring lang_guess
+                WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS guessed,
            CAST(s_en AS BIGINT) AS s_en

@@ -43,7 +43,10 @@ class UdpCaptureBridge:
         self._stop = threading.Event()
         self._files: dict[str, tuple[object, float, str]] = {}
         self._next_flush = float("inf")  # earliest rotation deadline
+        self._last_name_ms = 0  # per-bridge monotone clamp for file names
         self.datagrams_received = 0
+        self.write_errors = 0
+        self.last_error: Exception | None = None
 
     # -- file management ----------------------------------------------------
 
@@ -60,8 +63,14 @@ class UdpCaptureBridge:
         # WALL-clock ms: the capture stream reader requires lexicographic
         # order == arrival order, which unpadded names break at every
         # digit rollover, and monotonic() resets on reboot (colliding with
-        # — and silently replacing — previously committed files).
-        tmp = os.path.join(d, f".cap_{int(time.time() * 1000):015d}.bin.tmp")
+        # — and silently replacing — previously committed files). The ms is
+        # clamped monotone per bridge (an NTP step-back must not produce a
+        # name that sorts before — or equals, silently replacing — an
+        # already-committed file), and the pid suffix keeps port-sharded
+        # bridges writing one out_dir collision-free (r10 review).
+        ms = max(int(time.time() * 1000), self._last_name_ms + 1)
+        self._last_name_ms = ms
+        tmp = os.path.join(d, f".cap_{ms:015d}_{os.getpid():07d}.bin.tmp")
         fh = open(tmp, "wb")
         fh.write(_CAPTURE_MAGIC)
         self._files[exporter_ip] = (fh, now, tmp)
@@ -105,12 +114,28 @@ class UdpCaptureBridge:
             # the timeout branch alone would leave idle exporters' last
             # captures hidden as .tmp; this deadline check is one float
             # compare per datagram, scanning only when a rotation is due
-            if now >= self._next_flush:
-                self._flush_expired(now)
-            fh = self._sink_for(src_ip, now)
-            fh.write(struct.pack(">I", len(data)))
-            fh.write(data)
-            self.datagrams_received += 1
+            try:
+                if now >= self._next_flush:
+                    self._flush_expired(now)
+                fh = self._sink_for(src_ip, now)
+                fh.write(struct.pack(">I", len(data)))
+                fh.write(data)
+                self.datagrams_received += 1
+            except OSError as ex:
+                # disk full / fs error: DROP the datagram (UDP gives it no
+                # delivery promise) but never the receiver thread — before
+                # this catch the thread died silently and the bridge
+                # looked healthy while losing everything (r10 review).
+                # Abandon the exporter's current handle; the next datagram
+                # opens a fresh file, so a transient error self-heals.
+                self.write_errors += 1
+                self.last_error = ex
+                entry = self._files.pop(src_ip, None)
+                if entry is not None:
+                    try:
+                        entry[0].close()
+                    except OSError:
+                        pass
 
     def start(self) -> "UdpCaptureBridge":
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -122,8 +147,19 @@ class UdpCaptureBridge:
 
     def stop(self) -> None:
         self._stop.set()
-        if self._thread:
-            self._thread.join(timeout=5)
+        t = self._thread
+        if t is not None:
+            t.join(timeout=5)
+            if t.is_alive():
+                # wedged mid-write (hung disk/NFS): finalizing the files
+                # it still holds would commit an interleaved/corrupt
+                # capture, and closing its handles races ValueError into
+                # the loop. Leave the .tmp files invisible (the
+                # crash-consistent state every reader already tolerates)
+                # and close only the socket so recvfrom unblocks.
+                if self._sock:
+                    self._sock.close()
+                return
         for exporter in list(self._files):
             self._finalize(exporter)
         if self._sock:

@@ -142,3 +142,54 @@ checkpoint = {tmp_path / 'ckpt'}
     assert target([str(conf), "--drain"]) == 0
     out = spark.read.parquet(str(tmp_path / "flows"))
     assert out.count() == 3
+
+
+def test_config_pipeline_reads_bridge_subdirectory_layout(spark, tmp_path):
+    """The UDP bridge writes capture_dir/<exporter-ip>/cap_*.bin and
+    Spark's binaryFile source does not recurse — the collector must glob
+    one level down or a bridge-fed deployment silently streams zero
+    files (r10 review). Also exercises start_bridge, the wiring for the
+    [collector] listener fields."""
+    import socket
+    import time
+
+    from nf2pq_spark.config import start_bridge
+    from nf2pq_spark.sources.ipfix import encode_netflow_v5
+
+    cap = tmp_path / "caps"
+    os.makedirs(cap)
+    conf = tmp_path / "nf2pq.conf"
+    conf.write_text("""
+[collector]
+capture_dir = {cap}
+listen_host = 127.0.0.1
+listen_port = 0
+rotation_seconds = 1
+
+[parquet]
+path = {out}
+checkpoint = {ckpt}
+""".format(cap=cap, out=tmp_path / "flows", ckpt=tmp_path / "ckpt"))
+    cfg = load_config(str(conf))
+
+    bridge = start_bridge(cfg)
+    try:
+        flows = [{"sa_int": (10 << 24) + i, "da_int": 2, "sp": i, "dp": 80,
+                  "pr": 6, "flg": 16, "ipkt": 1, "ibyt": 100,
+                  "ts_ms": 90_000_000 + i, "te_ms": 90_000_500 + i,
+                  "sas": 0, "das": 0} for i in range(6)]
+        sender = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for dgram in encode_netflow_v5(flows, per_packet=3):
+            sender.sendto(dgram, bridge.addr)
+        deadline = time.time() + 10
+        while bridge.datagrams_received < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert bridge.datagrams_received == 2
+    finally:
+        bridge.stop()  # finalizes the open captures under caps/127.0.0.1/
+
+    assert os.path.isdir(cap / "127.0.0.1")  # the layout under test
+    q = run_collector(spark, cfg, available_now=True)
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "flows"))
+    assert sorted(r.sp for r in out.collect()) == list(range(6))

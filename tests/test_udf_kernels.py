@@ -38,3 +38,83 @@ def test_name_suffix_arrow_matches_duckdb_try_cast_on_int64_boundary():
         "SELECT TRY_CAST(regexp_extract(name, '^Customer#([0-9]+)$', 1) "
         "AS BIGINT) FROM t").fetchall()]
     assert got == exp
+
+
+def test_flow_and_text_helpers_propagate_null(spark):
+    """NULL inputs stay NULL instead of falling through when() chains
+    into a confident-looking otherwise() value: lang_guess classified a
+    null document 'fr', service_class called a null port 'ephemeral',
+    and decode_tcp_flags rendered missing flags as '......' (r10
+    review)."""
+    from pyspark.sql import functions as F
+
+    from nf2pq_spark.functions.flownet import (decode_tcp_flags,
+                                               service_class)
+    from nf2pq_spark.functions.text import lang_guess
+
+    df = spark.createDataFrame(
+        [(None, None, None), ("the and of", 443, 18)],
+        "text string, port int, flg int")
+    r = df.select(
+        lang_guess(F.col("text")).alias("lang"),
+        service_class(F.col("port")).alias("svc"),
+        decode_tcp_flags(F.col("flg")).alias("flags"),
+    ).collect()
+    assert (r[0].lang, r[0].svc, r[0].flags) == (None, None, None)
+    assert r[1].lang == "en" and r[1].svc == "web"
+    assert r[1].flags == ".A..S."
+
+
+def test_ipv6_normalize_rejects_malformed(spark):
+    """Malformed IPv6 text → NULL (matching ipv4_to_long's contract),
+    never a wrong-length or garbage key that could spuriously match a
+    prefix; valid forms keep their canonical expansion."""
+    from pyspark.sql import functions as F
+
+    from nf2pq_spark.functions.flownet import ipv6_normalize
+
+    cases = [
+        ("2001:db8::1", "20010db8000000000000000000000001"),
+        ("::", "0" * 32),
+        ("1:2:3:4:5:6:7:8", "00010002000300040005000600070008"),
+        ("1:2:3:4:5:6:7:8:9", None),   # 9 groups
+        ("1:2", None),                 # short without ::
+        ("1::2::3", None),             # two ::
+        ("zzzz::1", None),             # non-hex group
+        ("1:22222::3", None),          # >4 nibbles in a group
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "ip string")
+    got = [r.n for r in df.select(
+        ipv6_normalize(F.col("ip")).alias("n")).collect()]
+    assert got == [c[1] for c in cases]
+
+
+def test_in_cidr_validates_network_driver_side():
+    """Malformed CIDR strings raise at plan-build time instead of
+    compiling into an always-false predicate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nf2pq_spark.functions.flownet import in_cidr
+
+    for bad in ("300.0.0.0/8", "10.0.0/8", "10.0.0.0/33"):
+        with pytest.raises(ValueError):
+            in_cidr(F.col("ip"), bad)
+
+
+def test_bridge_capture_names_unique_under_clock_stall(tmp_path, monkeypatch):
+    """Capture names clamp monotone per bridge: a stalled (or stepped-
+    back) wall clock must never reproduce an existing name — the rename
+    would silently replace a committed capture (r10 review)."""
+    import nf2pq_spark.sources.udp_bridge as ub
+
+    monkeypatch.setattr(ub.time, "time", lambda: 1_700_000_000.0)
+    b = ub.UdpCaptureBridge("127.0.0.1", 0, str(tmp_path),
+                            rotate_seconds=0.0)
+    names = []
+    for _ in range(3):
+        b._sink_for("10.0.0.1", now=float(_))  # rotate_seconds=0 → new file
+        names.append(b._files["10.0.0.1"][2])
+    assert len(set(names)) == 3
+    assert names == sorted(names)  # lexicographic == arrival preserved
