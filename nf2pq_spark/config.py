@@ -126,13 +126,20 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
     exists in this environment, so the token construction is
     unit-verified and the crash soak verifies the parquet leg only."""
     from .sources.ipfix import stream_flow_files
-    from .streaming.sinks import (idempotent_parquet_batch_writer,
+    from .streaming.sinks import (_checkpoint_dedup_salt,
+                                  idempotent_parquet_batch_writer,
                                   jdbc_batch_writer, with_partition_columns)
 
+    # token prefix salted per checkpoint lineage — a second pipeline
+    # inserting into the same table, or a restart after a checkpoint
+    # wipe (batch_id back at 0), must not collide token spaces and have
+    # ClickHouse silently drop legitimate batches (r10 advice)
     ch_writer = (
         jdbc_batch_writer(cfg.clickhouse.url, cfg.clickhouse.table,
                           cfg.clickhouse.jdbc_properties,
-                          dedup_token_prefix=f"nf2pq-{cfg.clickhouse.table}")
+                          dedup_token_prefix=(
+                              f"nf2pq-{cfg.clickhouse.table}-"
+                              f"{_checkpoint_dedup_salt(cfg.checkpoint)}"))
         if cfg.clickhouse else None
     )
     pq_writer = idempotent_parquet_batch_writer(
@@ -144,23 +151,34 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
         if ch_writer is not None:
             ch_writer(typed, batch_id)
 
-    # capture_dir/* — NOT capture_dir bare: the bridge writes one
-    # subdirectory per exporter IP (how template streams stay keyed),
-    # and Spark's binaryFile source does not recurse into non-partition
-    # subdirs, so the bare path silently streamed ZERO files from a
-    # bridge-fed layout (r10 review; crash_soak had the same workaround
-    # locally). The glob also matches loose files in a flat layout; a
-    # capture_dir that already carries a glob is used verbatim.
-    import os
-
-    path = cfg.capture_dir
-    if not any(c in path for c in "*?["):
-        path = os.path.join(path, "*")
-
     return stream_flow_files(
-        spark, path, deliver, cfg.checkpoint,
+        spark, capture_source_glob(cfg.capture_dir), deliver, cfg.checkpoint,
         available_now=available_now,
     )
+
+
+def capture_source_glob(path: str) -> str:
+    """capture_dir → the path the binaryFile source should stream.
+
+    capture_dir/* — NOT capture_dir bare: the bridge writes one
+    subdirectory per exporter IP (how template streams stay keyed),
+    and Spark's binaryFile source does not recurse into non-partition
+    subdirs, so the bare path silently streamed ZERO files from a
+    bridge-fed layout (r10 review; crash_soak had the same workaround
+    locally). The glob also matches loose files in a flat layout; a
+    capture_dir whose LAST segment already carries a glob (cap/*,
+    cap/exp_??) is used verbatim. An EXISTING directory is never
+    "already a glob" — one literally named "cap[1]" or "what?" must
+    still get the /* appended, not silently stream zero files (r10
+    advice — the old whole-path test treated any *?[ anywhere as
+    'already a glob'); for a not-yet-created dir only the basename is
+    tested, so glob-looking parents don't disable the append either."""
+    import os
+
+    if (not os.path.isdir(path) and
+            any(c in os.path.basename(path.rstrip("/")) for c in "*?[")):
+        return path
+    return os.path.join(path, "*")
 
 
 def start_bridge(cfg: CollectorConfig):

@@ -1655,6 +1655,62 @@ def make_decoder(initial_templates: dict | None = None,
     return decode
 
 
+def _seeded_boot_harvest(opt_seed: dict):
+    """mapInPandas body for the gated SECOND boot-harvest pass.
+
+    Phase 1 resolves IE 160 boot records against an options-template
+    cache built within its OWN pandas batch, so an options template and
+    its boot data record split across partitions (or across Arrow
+    batches of one partition — binaryFile rows split every
+    maxRecordsPerBatch files) lost the boot epoch while flow templates
+    got the global two-phase merge (r10 advice). This pass mirrors the
+    flow-template design: the cache is pre-seeded with the GLOBALLY
+    merged options templates (:func:`_merge_opt_template_rows`), with
+    in-batch announcements overlaying in order, so placement can no
+    longer decide whether a v10 relative timestamp resolves. Emits the
+    same ``tid == -1`` row shape as phase 1; callers union both row
+    sets through :func:`_merge_boot_rows` (latest-wins)."""
+    seed = dict(opt_seed)
+
+    def harvest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            cache = dict(seed)
+            v10_files: list[tuple[str, str, bytes]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                exporter = _exporter_of(path)
+                blob = bytes(content)
+                has_v10 = False
+                for dgram in iter_datagrams(blob):
+                    if (len(dgram) < 16 or
+                            struct.unpack_from(">H", dgram, 0)[0] != 10):
+                        continue
+                    has_v10 = True
+                    try:
+                        _parse_options_templates(dgram, exporter, cache)
+                    except (struct.error, IndexError, ValueError, KeyError):
+                        continue
+                if has_v10:
+                    v10_files.append((path, exporter, blob))
+            for path, exporter, blob in v10_files:
+                seq = 0
+                for dgram in iter_datagrams(blob):
+                    try:
+                        boot_rows = _harvest_boot_rows(dgram, exporter,
+                                                       cache)
+                    except (struct.error, IndexError, ValueError, KeyError):
+                        continue
+                    for odid, boot in boot_rows:
+                        rows.append((exporter, -1, f"{odid}:{boot}",
+                                     path, seq))
+                        seq += 1
+            yield pd.DataFrame(rows,
+                               columns=["exporter", "tid", "sig",
+                                        "src", "seq"])
+
+    return harvest
+
+
 def decode_datagram_frame(raw: DataFrame) -> DataFrame:
     """Two-phase decode of a bounded ``(path, content)`` DataFrame: phase
     1 harvests template sets and IE 160 boot epochs (tiny: a few rows
@@ -1662,11 +1718,23 @@ def decode_datagram_frame(raw: DataFrame) -> DataFrame:
     closure. This removes all ordering/partitioning assumptions — rows
     land in any partition, templates still resolve — which is the
     property a 1000-executor scan needs. The per-micro-batch building
-    block shared by every front-end (files, streams, Kafka)."""
+    block shared by every front-end (files, streams, Kafka).
+
+    When the merged options templates show an IE 160 era clock is in
+    play, a seeded second boot-harvest scan closes phase 1's
+    within-batch resolution gap (:func:`_seeded_boot_harvest`); the
+    extra source scan is paid only by v10-relative-timestamp workloads,
+    never the common absolute-ms path."""
     tmpl_rows = raw.mapInPandas(_extract_templates_pandas,
                                 _TEMPLATE_SCHEMA).collect()
+    boot_src = tmpl_rows
+    opt_tmpls = _merge_opt_template_rows(tmpl_rows)
+    if any(any(ie == _IE_SYSTEM_INIT for ie, _ln in fields)
+           for fields in opt_tmpls.values()):
+        boot_src = tmpl_rows + raw.mapInPandas(
+            _seeded_boot_harvest(opt_tmpls), _TEMPLATE_SCHEMA).collect()
     return raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows),
-                                        _merge_boot_rows(tmpl_rows)),
+                                        _merge_boot_rows(boot_src)),
                            FLOW_SCHEMA)
 
 

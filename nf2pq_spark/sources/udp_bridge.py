@@ -107,7 +107,14 @@ class UdpCaptureBridge:
             try:
                 data, (src_ip, _src_port) = self._sock.recvfrom(self.bufsize)
             except socket.timeout:
-                self._flush_expired(time.monotonic())
+                try:
+                    self._flush_expired(time.monotonic())
+                except OSError as ex:
+                    # same scoping as the datagram-path flush below: a
+                    # rotation failure must never kill the receiver
+                    # thread (it retries at the next timeout/datagram)
+                    self.write_errors += 1
+                    self.last_error = ex
                 continue
             now = time.monotonic()
             # under SUSTAINED traffic the 0.2s recv timeout never fires, so
@@ -117,6 +124,16 @@ class UdpCaptureBridge:
             try:
                 if now >= self._next_flush:
                     self._flush_expired(now)
+            except OSError as ex:
+                # rotation failure belongs to the exporter being FLUSHED,
+                # not the one whose datagram we're holding — abandoning the
+                # current exporter's handle here orphaned a healthy capture
+                # as a never-committed .tmp (r10 advice). Record and retry
+                # the flush on the next datagram/timeout; _flush_expired
+                # already pops the handle whose finalize failed.
+                self.write_errors += 1
+                self.last_error = ex
+            try:
                 fh = self._sink_for(src_ip, now)
                 fh.write(struct.pack(">I", len(data)))
                 fh.write(data)

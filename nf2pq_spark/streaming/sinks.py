@@ -164,6 +164,43 @@ def jdbc_batch_writer(url: str, table: str, properties: dict | None = None,
     return write_batch
 
 
+def _checkpoint_dedup_salt(checkpoint: str) -> str:
+    """Token-space salt scoped to ONE checkpoint lineage.
+
+    The dedup token must be STABLE across restarts of the same query
+    (that is the replay-safety), but DISTINCT across (a) independent
+    queries inserting into the same table and (b) a checkpoint reset —
+    batch_id restarts at 0 after a wipe, and a bare ``nf2pq-<table>-0``
+    token would make ClickHouse silently drop the fresh run's first
+    batches as "duplicates" of the old run's (r10 advice; silent loss).
+
+    Both follow from tying the salt to the checkpoint lineage: a random
+    salt is persisted INSIDE the checkpoint directory, so restarts reuse
+    it (same tokens → server dedup on true replays) while a wiped or
+    different checkpoint mints a new one (fresh token space). For
+    non-local checkpoint URIs (hdfs://, s3a:// — not writable from the
+    driver with plain ``open``) fall back to hashing the URI: distinct
+    queries still get distinct spaces; only the wipe-and-reuse-same-URI
+    case keeps colliding there, which the docstring contract flags."""
+    import hashlib
+    import os
+    import uuid
+
+    scheme = checkpoint.split("://", 1)[0] if "://" in checkpoint else ""
+    if scheme not in ("", "file"):
+        return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    local = checkpoint.split("://", 1)[-1] if scheme else checkpoint
+    os.makedirs(local, exist_ok=True)
+    salt_file = os.path.join(local, "nf2pq_dedup_salt")
+    try:
+        with open(salt_file, "x") as fh:
+            fh.write(uuid.uuid4().hex[:12])
+    except FileExistsError:
+        pass
+    with open(salt_file) as fh:
+        return fh.read().strip()
+
+
 def clickhouse_sink(stream: DataFrame, url: str, table: str,
                     checkpoint: str, properties: dict | None = None,
                     trigger_interval: str = "60 seconds",
@@ -171,14 +208,19 @@ def clickhouse_sink(stream: DataFrame, url: str, table: str,
     """Micro-batch INSERTs into ClickHouse via foreachBatch + JDBC (S7).
 
     Replay-safe BY DEFAULT: the insert-dedup token (see
-    :func:`jdbc_batch_writer`) defaults to ``nf2pq-<table>`` — the same
-    prefix the config pipeline wires — so a batch redelivered across
-    foreachBatch's delivery gap deduplicates server-side instead of
-    double-inserting. Pass an explicit prefix when several independent
-    queries insert into one table (each needs its own token space)."""
+    :func:`jdbc_batch_writer`) defaults to
+    ``nf2pq-<table>-<checkpoint salt>`` — salted per checkpoint lineage
+    (:func:`_checkpoint_dedup_salt`) so two queries inserting into one
+    table, or a run restarted after a checkpoint reset, can never
+    collide token spaces and silently drop each other's batches. A
+    batch redelivered across foreachBatch's delivery gap still carries
+    the SAME token (same checkpoint → same salt, same batch_id) and
+    deduplicates server-side instead of double-inserting. Pass an
+    explicit prefix to pin the token space yourself."""
     writer = jdbc_batch_writer(
         url, table, properties,
-        dedup_token_prefix=dedup_token_prefix or f"nf2pq-{table}")
+        dedup_token_prefix=(dedup_token_prefix or
+                            f"nf2pq-{table}-{_checkpoint_dedup_salt(checkpoint)}"))
     return (
         stream.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)

@@ -193,3 +193,25 @@ checkpoint = {ckpt}
     q.awaitTermination()
     out = spark.read.parquet(str(tmp_path / "flows"))
     assert sorted(r.sp for r in out.collect()) == list(range(6))
+
+
+def test_capture_source_glob_heuristic(tmp_path):
+    """The one-level glob append must key on the LAST path segment and
+    on whether the path is a real directory — a directory literally
+    named with a glob char previously skipped the append and the
+    collector silently streamed zero files again (r10 advice)."""
+    from nf2pq_spark.config import capture_source_glob
+
+    assert capture_source_glob("/data/caps") == "/data/caps/*"
+    assert capture_source_glob("/data/caps/") == "/data/caps/*"
+    # explicit glob in the last segment: verbatim (crash_soak passes
+    # cap/* and must keep working)
+    assert capture_source_glob("/data/caps/*") == "/data/caps/*"
+    assert capture_source_glob("/data/caps/exp_??") == "/data/caps/exp_??"
+    # an EXISTING directory is never "already a glob", whatever its name
+    weird = tmp_path / "cap[1]"
+    weird.mkdir()
+    assert capture_source_glob(str(weird)) == str(weird / "*")
+    # glob chars in a PARENT of a not-yet-created dir don't disable the
+    # append either
+    assert capture_source_glob("/data/cap[1]/sub") == "/data/cap[1]/sub/*"

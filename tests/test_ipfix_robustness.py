@@ -1104,3 +1104,65 @@ def test_merge_boot_rows_keeps_distinct_odids():
     rows = [Row("e1", -1, "7:1000", "a", 0), Row("e1", -1, "8:2000", "a", 1),
             Row("e1", -1, "7:1500", "b", 0)]  # later file re-announces odid 7
     assert _merge_boot_rows(rows) == {("e1", 7): 1500, ("e1", 8): 2000}
+
+
+def test_ie160_boot_resolves_across_partitions(spark, tmp_path):
+    """The options TEMPLATE announcement and its IE 160 boot DATA record
+    split across partitions (or Arrow batches): phase 1's within-batch
+    options cache cannot resolve the boot epoch — pinned below — so
+    decode_datagram_frame runs a SECOND harvest pass seeded with the
+    globally merged options templates, mirroring the flow-template
+    two-phase design (r10 advice). Placement must never decide whether
+    a v10 relative timestamp decodes."""
+    from nf2pq_spark.sources.ipfix import (_V9_TEMPLATE_FIELDS,
+                                           _extract_templates_pandas,
+                                           decode_datagram_frame,
+                                           encode_ipfix,
+                                           encode_ipfix_options,
+                                           write_capture_file)
+
+    boot = 1_700_000_000_000
+    export_s = (boot + 600_000) // 1000           # exporter up 10 min
+    combined = encode_ipfix_options(
+        [{149: 7, 34: 1, 35: 0, 84: "s0", 160: boot}],
+        extra_option_fields=[(160, 8)], export_time=export_s, odid=7)
+    # split the one options message into a template-only and a
+    # data-only message (real exporters announce at startup and send
+    # standalone options-data messages on their own schedule)
+    hdr_tail, sets = combined[4:16], []
+    off, length = 16, struct.unpack_from(">H", combined, 2)[0]
+    while off + 4 <= length:
+        _sid, set_len = struct.unpack_from(">HH", combined, off)
+        sets.append(combined[off:off + set_len])
+        off += set_len
+    tmpl_msg, data_msg = (
+        struct.pack(">HH", 10, 16 + len(s)) + hdr_tail + s for s in sets)
+    rels = [30_000, 2**32 - 5_000]                # normal + pre-wrap
+    (flow_msg,) = encode_ipfix(
+        [_rel_flow(i, r) for i, r in enumerate(rels)],
+        template_fields=_V9_TEMPLATE_FIELDS, template_id=310,
+        export_time=export_s, odid=7)
+
+    d = tmp_path / "e1"
+    d.mkdir()
+    names = ["cap_0.bin", "cap_1.bin", "cap_2.bin"]
+    for name, msg in zip(names, [tmpl_msg, data_msg, flow_msg]):
+        write_capture_file(str(d / name), [msg])
+    contents = {n: (d / n).read_bytes() for n in names}
+
+    # phase 1 alone, each file its OWN batch: the boot row is LOST
+    # (tid == -1 never emitted) — the gap the second pass closes
+    batches = [pd.DataFrame({"path": [str(d / n)], "content": [contents[n]]})
+               for n in names]
+    p1 = pd.concat(list(_extract_templates_pandas(iter(batches))))
+    assert not (p1["tid"] == -1).any()
+    assert (p1["tid"] <= -256).any()              # announcement harvested
+
+    # end-to-end: one file per partition, timestamps still resolve
+    raw = spark.createDataFrame(
+        [(str(d / n), bytearray(contents[n])) for n in names],
+        "path string, content binary").repartition(3)
+    got = {r.sp: (r.ts_ms, r.te_ms)
+           for r in decode_datagram_frame(raw).collect()}
+    assert got == {0: (boot + 30_000, boot + 31_000),
+                   1: (boot - 5_000, boot - 4_000)}

@@ -899,3 +899,31 @@ def test_with_partition_columns_rejects_clashing_names(spark):
         .withColumn("ts", F.current_timestamp())
     with pytest.raises(ValueError, match="date"):
         with_partition_columns(df, "ts")
+
+
+def test_checkpoint_dedup_salt_scopes_token_space(tmp_path):
+    """The default ClickHouse dedup-token prefix is salted per checkpoint
+    LINEAGE: stable across restarts of the same query (replay dedup
+    keeps working), distinct across independent queries into one table,
+    and regenerated after a checkpoint wipe — batch_id restarts at 0
+    then, and a colliding token would make the server silently drop the
+    fresh run's first batches (r10 advice)."""
+    import shutil
+
+    from nf2pq_spark.streaming.sinks import _checkpoint_dedup_salt
+
+    a, b = str(tmp_path / "ckptA"), str(tmp_path / "ckptB")
+    s1 = _checkpoint_dedup_salt(a)
+    assert s1 == _checkpoint_dedup_salt(a)       # restart: same token space
+    assert s1 != _checkpoint_dedup_salt(b)       # second query: distinct
+    shutil.rmtree(a)
+    assert s1 != _checkpoint_dedup_salt(a)       # reset: fresh space
+    # file:// scheme routes to the same local persist path
+    c = tmp_path / "ckptC"
+    _checkpoint_dedup_salt(f"file://{c}")
+    assert (c / "nf2pq_dedup_salt").exists()
+    # remote URIs (not writable with plain open): deterministic per-URI
+    # hash fallback — distinct queries still get distinct spaces
+    h1 = _checkpoint_dedup_salt("hdfs://nn/ck1")
+    assert h1 == _checkpoint_dedup_salt("hdfs://nn/ck1")
+    assert h1 != _checkpoint_dedup_salt("hdfs://nn/ck2")

@@ -105,3 +105,54 @@ def test_bridge_rotation_produces_multiple_files(spark):
     files = [f for f in os.listdir(exporter_dir) if not f.startswith(".")]
     assert len(files) >= 2  # rotated at least once
     assert read_flow_files(spark, exporter_dir).count() == 90
+
+
+def test_flush_error_does_not_abandon_current_exporter():
+    """An OSError raised while _flush_expired finalizes ANOTHER
+    exporter's capture must not abandon the handle of the exporter whose
+    datagram is being written — that orphaned a healthy capture as a
+    never-committed .tmp (r10 advice). The failed rotation retries on a
+    later datagram instead."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="bridge_flusherr_")
+    bridge = UdpCaptureBridge("127.0.0.1", 0, out, rotate_seconds=0.5).start()
+    orig_finalize = bridge._finalize
+    fails = []
+
+    def flaky(exporter_ip):
+        if exporter_ip == "127.0.0.2" and not fails:
+            fails.append(exporter_ip)
+            raise OSError("disk full during rotation")
+        return orig_finalize(exporter_ip)
+
+    try:
+        idle = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        idle.bind(("127.0.0.2", 0))
+        busy = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        dgrams = encode_netflow_v5(_flows(60), per_packet=3)
+
+        idle.sendto(dgrams[0], bridge.addr)   # opens 127.0.0.2's capture
+        deadline = time.time() + 10
+        while bridge.datagrams_received < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        bridge._finalize = flaky              # patch BEFORE rotation is due
+        for d in dgrams[1:]:                  # sustained traffic: rotation
+            busy.sendto(d, bridge.addr)       # fires on the datagram path,
+            time.sleep(0.05)                  # hits the flaky finalize,
+                                              # then retries
+        deadline = time.time() + 10
+        while bridge.datagrams_received < len(dgrams) and \
+                time.time() < deadline:
+            time.sleep(0.05)
+        # every datagram was written — none dropped by the flush failure
+        assert bridge.datagrams_received == len(dgrams)
+        assert bridge.write_errors == 1 and fails == ["127.0.0.2"]
+    finally:
+        bridge.stop()
+
+    # both exporters' captures committed (no abandoned .tmp anywhere)
+    for exporter in ("127.0.0.1", "127.0.0.2"):
+        names = os.listdir(os.path.join(out, exporter))
+        assert any(n.startswith("cap_") for n in names), (exporter, names)
+        assert not any(n.endswith(".tmp") for n in names), (exporter, names)
