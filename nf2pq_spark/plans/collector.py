@@ -16,7 +16,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from ..sources.ipfix import (encode_ipfix, encode_netflow_v5,
+from ..sources.ipfix import (_VARLEN, encode_ipfix, encode_netflow_v5,
                              encode_netflow_v9, read_flow_files,
                              write_capture_file)
 from ..sources.tables import load_table
@@ -1642,6 +1642,111 @@ def s6l_v9_uptime_wrap(spark, sf_dir):
         F.sum("ts_ms").cast("bigint").alias("sum_ts"),
         F.sum("te_ms").cast("bigint").alias("sum_te"),
         F.count_if(F.col("ts_ms") < F.lit(_WRAP_BOOT_MS)).alias("n_prewrap"),
+    )
+
+
+#: varlen fixture shape: IE 96 (applicationName) rides MID-template with
+#: fixed numerics on both sides; every 23rd event's name is padded past
+#: 255 bytes to force the RFC 7011 §7 long-form (255 + u16) length
+#: prefix. Interpolated into the s6m oracle — keep encoder + SQL in sync.
+_VARLEN_LONG_MOD = 23
+_VARLEN_LONG_PAD = 260
+
+
+def _varlen_app(eid: int) -> str:
+    return (f"svc_{'x' * _VARLEN_LONG_PAD}{eid % 5}"
+            if eid % _VARLEN_LONG_MOD == 0 else f"app_{eid % 5}")
+
+
+def _varlen_capture_dir(spark, sf_dir: str) -> str:
+    """IPFIX captures whose flow template interleaves a variable-length
+    string IE (96, applicationName) among the fixed numerics — the
+    layout the scalar decoder's §7 length-prefix walk exists for. The
+    string value derives arithmetically from event_id (short names plus
+    a long-form residue class) so the oracle recomputes it exactly."""
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
+
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN),                  # varlen mid-template
+              (6, 1), (2, 4), (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_flows_varlen_{tag}"
+    done = os.path.join(out, "_DONE")
+    stamp = source_stamp(sf_dir, "events")
+    with cache_lock(done):
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+
+            def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("event_id")
+                bucket = int(pdf["event_id"].iloc[0]) % _N_PACK_BUCKETS
+                flows = _flows_records(pdf["event_id"], pdf["ts"])
+                kept_eids = pdf["event_id"][pdf["ts"].notna()]
+                for f, eid in zip(flows, kept_eids):
+                    f["app"] = _varlen_app(int(eid))
+                dgrams = encode_ipfix(flows, template_fields=fields,
+                                      template_id=330)
+                write_capture_file(
+                    os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
+                return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
+
+            ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+            status = (
+                ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
+                .applyInPandas(pack_group, schema="bucket int, n long")
+            )
+            if status.count() == 0:
+                raise RuntimeError(f"varlen-capture synthesis packed 0 "
+                                   f"buckets at {out}")
+            write_cache_marker(done, stamp)
+    return out
+
+
+@register(
+    "s6m_varlen_strings",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN event_id % {_VARLEN_LONG_MOD} = 0
+                  THEN 'svc_' || repeat('x', {_VARLEN_LONG_PAD})
+                       || CAST(event_id % 5 AS VARCHAR)
+                  ELSE 'app_' || CAST(event_id % 5 AS VARCHAR) END AS app_name,
+             CAST((event_id * 7) % 1024 AS INT) AS dp,
+             event_id % 64 AS flg,
+             CAST(event_id % 5000 + 40 AS BIGINT) AS ibyt,
+             epoch_ms(ts) AS ts_ms
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT app_name, COUNT(*) AS n_flows,
+           CAST(SUM(ibyt) AS BIGINT) AS sum_bytes,
+           CAST(SUM(dp) AS BIGINT) AS sum_dport,
+           CAST(SUM(ts_ms) AS BIGINT) AS sum_ts,
+           COUNT(*) FILTER (WHERE (flg & 2) > 0) AS n_syn
+    FROM f GROUP BY app_name
+    """,
+    description="variable-length string IEs as flow columns (RFC 7011 §7; "
+    "r10 verdict item 1): the flow template interleaves IE 96 "
+    "(applicationName) among fixed numerics — short names AND a "
+    ">255-byte long-form (255+u16 prefix) residue class — and the "
+    "decoder surfaces the string as the optional app_name column while "
+    "the fixed fields on BOTH sides of it keep decoding (grouping by "
+    "the full string + summing post-varlen ibyt/ts proves both). "
+    "Scale: varlen layouts are inherently record-at-a-time (each "
+    "record's width depends on its own length prefixes), so this is "
+    "the scalar mapInPandas walk — partition-parallel, opt-in, never "
+    "taxing the vectorized fixed-width path.",
+    tags=("S5", "S6"),
+)
+def s6m_varlen_strings(spark, sf_dir):
+    path = _varlen_capture_dir(spark, sf_dir)
+    flows = read_flow_files(spark, path, with_strings=True)
+    return flows.groupBy("app_name").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.sum(F.col("dp").cast("long")).alias("sum_dport"),
+        F.sum("ts_ms").cast("bigint").alias("sum_ts"),
+        F.count_if(F.col("flg").bitwiseAND(2) > 0).alias("n_syn"),
     )
 
 

@@ -54,6 +54,17 @@ FLOW_SCHEMA = StructType([
     StructField("exporter", StringType()),  # file origin (stands in for ra)
 ])
 
+#: FLOW_SCHEMA + the optional varlen-string column (RFC 7011 §7): the
+#: FIRST variable-length IE a flow template carries (applicationName /
+#: URL / samplerName-class string IEs) decoded as UTF-8, NULL for
+#: records without one. Opt-in via ``read_flow_files(...,
+#: with_strings=True)`` — the default decode keeps the fixed 13-column
+#: frame and its vectorized fast paths (varlen layouts are inherently
+#: record-at-a-time: each record's width depends on its own length
+#: prefixes, so the string path takes the in-order scalar walk).
+FLOW_STR_SCHEMA = StructType(FLOW_SCHEMA.fields + [
+    StructField("app_name", StringType())])
+
 _V5_HEADER = struct.Struct(">HHIIIIBBH")   # 24 bytes
 _V5_RECORD = struct.Struct(">IIIHHIIIIHHBBBBHHBBH")  # 48 bytes
 
@@ -185,7 +196,7 @@ def encode_netflow_v5(flows: list[dict], per_packet: int = 30,
 _IE_KEYS = {8: "sa_int", 12: "da_int", 7: "sp", 11: "dp", 4: "pr", 6: "flg",
             2: "ipkt", 1: "ibyt", 152: "ts_ms", 153: "te_ms",
             16: "sas", 17: "das", 27: "sa6", 28: "da6",
-            22: "ts_ms", 21: "te_ms"}
+            22: "ts_ms", 21: "te_ms", 96: "app"}
 
 #: NetFlow v9 field set (RFC 3954 §8): same low-range type ids as IPFIX,
 #: but timestamps are FIRST_SWITCHED(22)/LAST_SWITCHED(21) — uint32 ms
@@ -221,7 +232,15 @@ def encode_ipfix(flows: list[dict], per_packet: int = 30,
         for f in chunk:
             for ie, ln in fields:
                 v = f[_IE_KEYS[ie]]
-                if ln == 16:
+                if ln == _VARLEN:
+                    # RFC 7011 §7 length prefix: 1 byte, or 255 + u16
+                    # long form for values ≥ 255 bytes
+                    b = v.encode() if isinstance(v, str) else bytes(v)
+                    if len(b) >= 255:
+                        recs += bytes([255]) + struct.pack(">H", len(b)) + b
+                    else:
+                        recs += bytes([len(b)]) + b
+                elif ln == 16:
                     recs += bytes(v)
                 else:
                     recs += struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
@@ -417,7 +436,8 @@ def _decode_v5(buf: bytes, exporter: str) -> list[tuple]:
 
 def _decode_ipfix(buf: bytes, exporter: str,
                   templates: dict[tuple[str, int], list[tuple[int, int]]],
-                  boots: dict[tuple[str, int], int] | None = None) -> list[tuple]:
+                  boots: dict[tuple[str, int], int] | None = None,
+                  strings: bool = False) -> list[tuple]:
     version, length, export_s, _, domain = struct.unpack_from(">HHIII", buf, 0)
     assert version == 10
     # exporter clock for sysUpTime-relative templates (IEs 21/22): IPFIX
@@ -476,6 +496,7 @@ def _decode_ipfix(buf: bytes, exporter: str,
                               # would loop forever below
                 while p + rec_len <= set_end:
                     vals = {}
+                    sval = None  # first varlen string IE of this record
                     bad = False
                     for ie, ln in fields:
                         if ln == _VARLEN:
@@ -498,8 +519,17 @@ def _decode_ipfix(buf: bytes, exporter: str,
                             if p + n > set_end:
                                 bad = True
                                 break
-                            p += n  # no flow column takes a string —
-                            continue  # skip the value, keep the frame
+                            if strings and sval is None:
+                                # first varlen IE wins (matching the
+                                # fixed-width setdefault rule below);
+                                # surfaced as the optional app_name
+                                # column instead of discarded (r10
+                                # verdict item 1)
+                                sval = buf[p:p + n].decode(
+                                    "utf-8", errors="replace")
+                            p += n
+                            continue  # fixed-width walk resumes after
+                                      # the prefixed length
                         if p + ln > set_end:
                             # only reachable after a varlen field ate
                             # into the tail (fixed-only templates are
@@ -559,7 +589,7 @@ def _decode_ipfix(buf: bytes, exporter: str,
                         _i32(vals.get(4, 0)), _i32(vals.get(6, 0)),
                         _i64(vals.get(2, 0)), _i64(vals.get(1, 0)),
                         _i32(vals.get(16, 0)), _i32(vals.get(17, 0)), exporter,
-                    ))
+                    ) + ((sval,) if strings else ()))
         off = set_end
     return rows
 
@@ -1604,7 +1634,8 @@ def _merge_opt_template_rows(tmpl_rows) -> dict:
 
 
 def make_decoder(initial_templates: dict | None = None,
-                 boot_epochs: dict[tuple[str, int], int] | None = None):
+                 boot_epochs: dict[tuple[str, int], int] | None = None,
+                 with_strings: bool = False):
     """Build a mapInPandas decode body seeded with a template cache and
     an (exporter, odid) → IE 160 boot-epoch map (see _merge_boot_rows).
 
@@ -1615,13 +1646,21 @@ def make_decoder(initial_templates: dict | None = None,
     two-phase readers (read_flow_files / stream_flow_files), which is
     where real collectors resolve them too (options arrive on their own
     schedule, not necessarily before the flows they describe).
+
+    ``with_strings`` emits FLOW_STR_SCHEMA frames: v10 messages take the
+    in-order scalar walk (record widths depend on per-record length
+    prefixes — there is no record-parallel dtype for a varlen layout)
+    and surface the first varlen string IE as ``app_name``; v5/v9
+    records (no varlen on those wires) carry NULL. The default keeps
+    the 13-column frame and the vectorized fast paths byte-identical.
     """
     seed = dict(initial_templates or {})
     boots = dict(boot_epochs or {})
+    schema = FLOW_STR_SCHEMA if with_strings else FLOW_SCHEMA
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         templates = dict(seed)
-        cols = [f.name for f in FLOW_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         for pdf in batches:
             frames: list[pd.DataFrame] = []  # scalar-fallback messages
             acc = _VecAccumulator()          # v9/IPFIX (template dtype path)
@@ -1635,6 +1674,18 @@ def make_decoder(initial_templates: dict | None = None,
                         if version == 5:
                             v5_arrs.append(_decode_v5_array(buf))
                             v5_exps.append(exporter)
+                        elif version == 10 and with_strings:
+                            rows = _decode_ipfix(buf, exporter, templates,
+                                                 boots, strings=True)
+                            if rows:
+                                frames.append(
+                                    pd.DataFrame(rows, columns=cols))
+                        elif version == 9 and with_strings:
+                            rows = [r + (None,) for r in
+                                    _decode_v9(buf, exporter, templates)]
+                            if rows:
+                                frames.append(
+                                    pd.DataFrame(rows, columns=cols))
                         elif version in (9, 10):
                             frames.extend(_decode_templated_vec(
                                 buf, exporter, templates, acc, boots))
@@ -1647,7 +1698,10 @@ def make_decoder(initial_templates: dict | None = None,
                         continue
             frames.extend(acc.frames())
             if v5_arrs:
-                frames.append(_v5_frame(v5_arrs, v5_exps))
+                f5 = _v5_frame(v5_arrs, v5_exps)
+                if with_strings:
+                    f5["app_name"] = None
+                frames.append(f5)
             frames = [f for f in frames if len(f)]
             yield (pd.concat(frames, ignore_index=True) if frames
                    else pd.DataFrame(columns=cols))
@@ -1711,7 +1765,8 @@ def _seeded_boot_harvest(opt_seed: dict):
     return harvest
 
 
-def decode_datagram_frame(raw: DataFrame) -> DataFrame:
+def decode_datagram_frame(raw: DataFrame,
+                          with_strings: bool = False) -> DataFrame:
     """Two-phase decode of a bounded ``(path, content)`` DataFrame: phase
     1 harvests template sets and IE 160 boot epochs (tiny: a few rows
     per exporter) and ships the merged caches into the phase-2 decoder
@@ -1733,15 +1788,22 @@ def decode_datagram_frame(raw: DataFrame) -> DataFrame:
            for fields in opt_tmpls.values()):
         boot_src = tmpl_rows + raw.mapInPandas(
             _seeded_boot_harvest(opt_tmpls), _TEMPLATE_SCHEMA).collect()
-    return raw.mapInPandas(make_decoder(_merge_template_rows(tmpl_rows),
-                                        _merge_boot_rows(boot_src)),
-                           FLOW_SCHEMA)
+    return raw.mapInPandas(
+        make_decoder(_merge_template_rows(tmpl_rows),
+                     _merge_boot_rows(boot_src),
+                     with_strings=with_strings),
+        FLOW_STR_SCHEMA if with_strings else FLOW_SCHEMA)
 
 
-def read_flow_files(spark, path: str) -> DataFrame:
-    """Datagram files → typed flow DataFrame (batch two-phase decode)."""
+def read_flow_files(spark, path: str, with_strings: bool = False) -> DataFrame:
+    """Datagram files → typed flow DataFrame (batch two-phase decode).
+
+    ``with_strings=True`` adds the optional ``app_name`` column: the
+    first variable-length string IE of each flow record (RFC 7011 §7 —
+    applicationName/URL-class), NULL where the template carries none.
+    """
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    return decode_datagram_frame(raw)
+    return decode_datagram_frame(raw, with_strings=with_strings)
 
 
 def stream_flow_files(spark, path: str, process, checkpoint: str,

@@ -1166,3 +1166,134 @@ def test_ie160_boot_resolves_across_partitions(spark, tmp_path):
            for r in decode_datagram_frame(raw).collect()}
     assert got == {0: (boot + 30_000, boot + 31_000),
                    1: (boot - 5_000, boot - 4_000)}
+
+
+def test_varlen_string_ies_surface_as_app_name(spark, tmp_path):
+    """A flow template interleaving a varlen string IE among numerics
+    (RFC 7011 §7): with_strings=True surfaces the string as the optional
+    app_name column — short AND long (255+u16) length prefixes, unicode,
+    first-varlen-wins — while every fixed field AFTER the varlen IE
+    still decodes; the default reader keeps the 13-column frame."""
+    from nf2pq_spark.sources.ipfix import (_VARLEN, encode_ipfix,
+                                           read_flow_files,
+                                           write_capture_file)
+
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN),                      # varlen mid-template
+              (6, 1), (2, 4), (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    apps = ["dns", "x" * 300, "café", ""]   # short/long-form/utf8/empty
+    flows = [{"sa_int": (10 << 24) + i, "da_int": (20 << 24) + i,
+              "sp": i, "dp": 400 + i, "pr": 17, "flg": 2, "app": apps[i],
+              "ipkt": 5 + i, "ibyt": 1000 + i,
+              "ts_ms": 1_700_000_000_000 + i, "te_ms": 1_700_000_001_000 + i,
+              "sas": 1, "das": 2} for i in range(4)]
+    d = tmp_path / "e1"
+    d.mkdir()
+    write_capture_file(str(d / "cap_0.bin"),
+                       encode_ipfix(flows, template_fields=fields,
+                                    template_id=320))
+
+    got = read_flow_files(spark, str(d), with_strings=True)
+    assert "app_name" in got.columns
+    rows = {r.sp: r for r in got.collect()}
+    assert len(rows) == 4
+    for i in range(4):
+        assert rows[i].app_name == apps[i]
+        # fields AFTER the varlen IE decode correctly
+        assert rows[i].ibyt == 1000 + i and rows[i].ipkt == 5 + i
+        assert rows[i].ts_ms == 1_700_000_000_000 + i
+        assert rows[i].flg == 2 and rows[i].das == 2
+        # fields BEFORE it too
+        assert rows[i].dp == 400 + i
+
+    # the default reader is untouched: 13 columns, varlen skipped
+    plain = read_flow_files(spark, str(d))
+    assert "app_name" not in plain.columns
+    assert plain.count() == 4
+
+
+def test_headers_and_decoder_agree_differential():
+    """Sequence accounting (read_message_headers' substrate) and the full
+    flow decoder parse the SAME headers independently — this property
+    pins them together permanently (r10 verdict item 5): over random
+    interleaved v5/v9/v10 captures (random flow counts, packet sizes,
+    template refresh cadence, interleave order), the header rows must
+    (a) account for every decoded flow in each version's unit semantics
+    and (b) form a gap-free sequence chain, since nothing was dropped.
+    JVM-free: drives the mapInPandas bodies directly."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.sources import ipfix as ix
+
+    def run(n, per_packet, template_every, order_seed):
+        flows = [dict(sa_int=0x0A000001 + i, da_int=0x0A000002, sp=i % 65536,
+                      dp=53, pr=17, flg=0x10, ipkt=1 + i, ibyt=100 + i,
+                      ts_ms=1_700_000_000_000 + i,
+                      te_ms=1_700_000_000_500 + i, sas=1, das=2)
+                 for i in range(n)]
+        per_version = {
+            5: ix.encode_netflow_v5(flows, per_packet=per_packet),
+            9: ix.encode_netflow_v9(flows, per_packet=per_packet,
+                                    template_every=template_every),
+            10: ix.encode_ipfix(flows, per_packet=per_packet,
+                                template_every=template_every),
+        }
+        # deterministic interleave without Random(): round-robin with a
+        # seed-dependent version rotation per step
+        queues = {v: list(d) for v, d in per_version.items()}
+        dgrams = []
+        step = 0
+        while any(queues.values()):
+            live = sorted(v for v, q in queues.items() if q)
+            v = live[(step * 7 + order_seed) % len(live)]
+            dgrams.append(queues[v].pop(0))
+            step += 1
+        content = ix._CAPTURE_MAGIC + b"".join(
+            struct.pack(">I", len(d)) + d for d in dgrams)
+        pdf = pd.DataFrame({"path": ["mem/e1/cap_0.bin"],
+                            "content": [content]})
+
+        tmpl_rows = list(pd.concat(list(
+            ix._extract_templates_pandas(iter([pdf.copy()]))))
+            .itertuples(index=False))
+        tm = ix._merge_template_rows(tmpl_rows)
+        om = ix._merge_opt_template_rows(tmpl_rows)
+        headers = pd.concat(list(
+            ix.make_header_parser(tm, om)(iter([pdf.copy()]))))
+        decoded = pd.concat(list(
+            ix.make_decoder(tm, ix._merge_boot_rows(tmpl_rows))(
+                iter([pdf.copy()]))))
+
+        n_packets = math.ceil(n / per_packet)
+        n_tmpl = sum(1 for i in range(n_packets) if i % template_every == 0)
+        assert len(decoded) == 3 * n
+
+        by_v = {v: headers[headers["version"] == v] for v in (5, 9, 10)}
+        for v in (5, 9, 10):
+            assert len(by_v[v]) == n_packets, (v, len(by_v[v]), n_packets)
+        # v5 nrec counts FLOWS; v10 nrec = derived data-record count
+        assert int(by_v[5]["nrec"].sum()) == n
+        assert int(by_v[10]["nrec"].sum()) == n
+        # v9's header count field counts FLOWSETS (RFC 3954): one data
+        # set per packet + one template set per refresh
+        assert int(by_v[9]["nrec"].sum()) == n_packets + n_tmpl
+        # gap-free chains in each version's own units (nothing dropped):
+        # v5 expected next = seq + nrec, v9 = seq + 1, v10 = seq + nrec
+        for v, nxt in ((5, lambda s, r: s + r), (9, lambda s, r: s + 1),
+                       (10, lambda s, r: s + r)):
+            h = by_v[v]
+            seqs, nrecs = list(h["seq"]), list(h["nrec"])
+            assert seqs[0] == 0
+            for k in range(len(seqs) - 1):
+                assert seqs[k + 1] == nxt(seqs[k], nrecs[k]), (v, k)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 150), st.integers(1, 40), st.integers(1, 10),
+           st.integers(0, 1000))
+    def prop(n, per_packet, template_every, order_seed):
+        run(n, per_packet, template_every, order_seed)
+
+    prop()
