@@ -129,3 +129,34 @@ def test_draw_spot_failed_run_ends_loop():
         "q", "/x", _time.monotonic() + 100, load_gate=4.0,
         runner=lambda *a, **k: next(results), load_fn=lambda: 9.0)
     assert draws == [4.7] and loads == [9.0]
+
+
+def test_tree_cpu_seconds_monotone_and_covers_children():
+    """The contention-stable bench series: /proc-walked CPU seconds for
+    this process tree must be positive, monotone, and actually charge a
+    child's burned CPU to the tree (r10 verdict item 3)."""
+    c0 = bench._tree_cpu_seconds()
+    assert c0 > 0.0
+    # burn ~0.2s of CPU in a CHILD process
+    subprocess.run([sys.executable, "-c",
+                    "t=0\nfor i in range(4_000_000): t += i*i"],
+                   check=True)
+    c1 = bench._tree_cpu_seconds()
+    assert c1 >= c0
+    assert c1 - c0 > 0.05  # the child's CPU is visible in the delta
+
+
+def test_idle_gate_records_telemetry(monkeypatch):
+    """The idle-gate ships its adjudication data: released_idle flags
+    whether the gate saw a quiet machine or timed out, and the wait is
+    bounded by SPARK_GRAFT_IDLE_WAIT (0 disables)."""
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_WAIT", "0")
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_GATE", "2.0")
+    g = bench._idle_gate()
+    assert set(g) == {"threshold", "waited_sec", "load1_at_release",
+                      "released_idle"}
+    assert g["waited_sec"] < 1.0          # budget 0: no waiting
+    assert g["threshold"] == 2.0
+    # an impossible threshold with no budget reports released_idle=False
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_GATE", "0.0")
+    assert bench._idle_gate()["released_idle"] is False
