@@ -160,3 +160,30 @@ def test_idle_gate_records_telemetry(monkeypatch):
     # an impossible threshold with no budget reports released_idle=False
     monkeypatch.setenv("SPARK_GRAFT_IDLE_GATE", "0.0")
     assert bench._idle_gate()["released_idle"] is False
+
+
+def test_composed_multijvm_spill_profile_wiring():
+    """local_cluster_spill (r10 verdict item 2) must stay a REAL
+    composition: the exact spill thresholds of spill_pressure (shared
+    dict — no drift), a local-cluster master (real executor JVMs), and
+    the spill vacuous-guard enabled for it."""
+    import tools.hostile_conf_sim as hcs
+
+    master, confs, _env = hcs.PROFILES["local_cluster_spill"]
+    assert master.startswith("local-cluster[")
+    spill_master, spill_confs, _ = hcs.PROFILES["spill_pressure"]
+    threshold_keys = [k for k in spill_confs
+                      if "threshold" in k or "FallbackStartsAt" in k]
+    assert threshold_keys, "spill_pressure lost its thresholds?"
+    for k in threshold_keys:
+        assert confs.get(k) == spill_confs[k], k
+    # executors must import the package (driver sys.path doesn't
+    # propagate) and the UI must be on for the spill metrics
+    assert "spark.executorEnv.PYTHONPATH" in confs
+    assert confs.get("spark.ui.enabled") == "true"
+    # the vacuous-guard actually covers the composed profile
+    import inspect
+
+    src = inspect.getsource(hcs.run_profile)
+    assert '"local_cluster_spill"' in src.split("check_spill")[1].split(
+        "\n")[0]

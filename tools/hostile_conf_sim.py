@@ -87,16 +87,18 @@ PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
         "spark.driver.memory": "8g",
         "spark.memory.fraction": "0.15",
         "spark.memory.storageFraction": "0.1",
-        "spark.shuffle.spill.numElementsForceSpillThreshold": "1000",
-        "spark.sql.windowExec.buffer.spill.threshold": "128",
-        "spark.sql.windowExec.buffer.in.memory.threshold": "128",
-        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1000",
-        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
-        "spark.sql.sessionWindow.buffer.in.memory.threshold": "128",
-        "spark.sql.cartesianProductExec.buffer.spill.threshold": "1000",
-        "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "256",
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "7",
-        "spark.sql.TungstenAggregate.testFallbackStartsAt": "100,200",
+        **(_SPILL_THRESHOLDS := {
+            "spark.shuffle.spill.numElementsForceSpillThreshold": "1000",
+            "spark.sql.windowExec.buffer.spill.threshold": "128",
+            "spark.sql.windowExec.buffer.in.memory.threshold": "128",
+            "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1000",
+            "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
+            "spark.sql.sessionWindow.buffer.in.memory.threshold": "128",
+            "spark.sql.cartesianProductExec.buffer.spill.threshold": "1000",
+            "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "256",
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "7",
+            "spark.sql.TungstenAggregate.testFallbackStartsAt": "100,200",
+        }),
         "spark.ui.enabled": "true",
         "spark.ui.port": "0",
         "spark.ui.retainedStages": "100000",
@@ -118,6 +120,30 @@ PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
             os.path.abspath(__file__))),
         "spark.ui.enabled": "true",
         "spark.ui.port": "0",
+    }, {}),
+    # multi-JVM x spill pressure (r10 verdict item 2): the two strongest
+    # axes COMPOSED — serialization bugs love spill paths, and before
+    # this profile every spill engagement ran single-JVM (in-process
+    # shuffle) while every multi-JVM run had comfortable memory. Same
+    # per-operator thresholds as spill_pressure (shared dict — no
+    # drift), same real-executor layout and vacuous-guards as
+    # local_cluster: external sort merges, window/SMJ spillable buffers
+    # and hash-agg sort fallback all fire inside REAL executor JVMs
+    # whose spill files and shuffle blocks cross process boundaries.
+    # (8g executors, not 4g: with the forced thresholds the object-agg
+    # and checkpoint paths OOMed 4g executor JVMs on 4 heavy queries —
+    # exit 52 — same sizing rationale as spill_pressure's 8g driver)
+    "local_cluster_spill": ("local-cluster[2,8,8192]", {
+        "spark.executor.memory": "8g",
+        "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        "spark.driver.memory": "8g",     # driver still hosts the collects
+        "spark.memory.fraction": "0.15",
+        "spark.memory.storageFraction": "0.1",
+        **_SPILL_THRESHOLDS,
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "0",
+        "spark.ui.retainedStages": "100000",
     }, {}),
     # every knob at once: single-axis green does not prove the axes
     # don't INTERACT (e.g. a locale-sensitive format under an offset
@@ -220,7 +246,7 @@ def run_profile(profile: str, names: list[str] | None) -> int:
     # vacuous green — track the per-query delta of the stage-level
     # spill counters and require both a nonzero total and a spread of
     # affected queries (not one lucky sort)
-    check_spill = profile == "spill_pressure"
+    check_spill = profile in ("spill_pressure", "local_cluster_spill")
     spilled_queries: list[str] = []
     prev_spill = _spilled_bytes(spark) if check_spill else (0, 0)
     #: operator -> (metric names seen engaged, # queries it engaged in)

@@ -82,6 +82,16 @@ CASES = [
     ("s6b_ipfix_decode", 1.0, "wire decode, template-driven vectorized "
      "path: per-announced-layout np dtype over the accumulated data "
      "sets — the collector's RFC 7011 hot path at growing flow counts"),
+    ("s6l_v9_uptime_wrap", 1.0, "wrap-corrected decode, BOTH formats "
+     "(v5 fixed-layout + v9 template-driven, each through its "
+     "vectorized path): the r10 -2^32 ms correction is branch-free "
+     "numpy arithmetic per record, so the decode stays linear — this "
+     "row postdates the wrap rewrite the older s6/s6b rows predated"),
+    ("s6m_varlen_strings", 1.0, "varlen string IEs (r11): the in-order "
+     "SCALAR walk — per-record Python loop over length prefixes, the "
+     "structural cost of a self-describing layout; linear in flows, "
+     "parallel across capture files, and the absolute per-row cost is "
+     "the documented reason with_strings is opt-in"),
     ("l2d_neardup_components", 1.0, "pair graph x10 by construction "
      "(independent replicas); CC cost O(pairs)"),
     ("l25_semdedup_srp", 1.3, "the SHIPPED config, now ADAPTIVE planes "
@@ -141,6 +151,9 @@ CASES_100 = [
      "where data dominates"),
     ("s6b_ipfix_decode", 1.0, "10M flows through the template-driven "
      "vectorized decoder (np dtype per announced layout)"),
+    ("s6l_v9_uptime_wrap", 1.0, "10M wrap-spanning flows per format "
+     "(20M decodes) through the corrected rel_abs arithmetic — the "
+     "wrap fix measured where data dominates"),
     ("j8_asof_join", 1.0, "one shuffle + per-user windows"),
     ("j8c_asof_hot_key", 1.0, "hot key = 8M of 10M events, split into "
      "~30 day-buckets; at data-dominated sizes the segmented scan costs "
