@@ -169,16 +169,23 @@ def capture_source_glob(path: str) -> str:
     capture_dir whose LAST segment already carries a glob (cap/*,
     cap/exp_??) is used verbatim. An EXISTING directory is never
     "already a glob" — one literally named "cap[1]" or "what?" must
-    still get the /* appended, not silently stream zero files (r10
-    advice — the old whole-path test treated any *?[ anywhere as
-    'already a glob'); for a not-yet-created dir only the basename is
-    tested, so glob-looking parents don't disable the append either."""
+    still get the /* appended (r10 advice — the old whole-path test
+    treated any *?[ anywhere as 'already a glob'), AND its metachars
+    backslash-escaped: Hadoop's globber otherwise reads "cap[1]/*" as
+    a character class (PATH_NOT_FOUND) and "what?/*" matches SIBLING
+    dirs like "whatX" — ingesting another directory's files (r11
+    review; escaping verified against Spark's binaryFile reader). For
+    a not-yet-created dir only the basename is tested, so glob-looking
+    parents don't disable the append."""
     import os
 
     if (not os.path.isdir(path) and
             any(c in os.path.basename(path.rstrip("/")) for c in "*?[")):
         return path
-    return os.path.join(path, "*")
+    escaped = path
+    for c in "\\*?[]{}":  # backslash first — it escapes the others
+        escaped = escaped.replace(c, "\\" + c)
+    return os.path.join(escaped, "*")
 
 
 def start_bridge(cfg: CollectorConfig):

@@ -1478,6 +1478,94 @@ def _iter_template_sets(buf: bytes):
         off = set_end
 
 
+def _make_template_harvester(opt_seed: dict | None = None,
+                             include_templates: bool = True):
+    """Shared two-sweep harvest body (one wire walk, two call sites —
+    phase 1 and the seeded boot pass must never drift; r11 review).
+
+    Sweep 1 harvests flow-template rows AND v10 options templates
+    (cached per batch like :func:`_options_pandas`, overlaying
+    ``opt_seed``); sweep 2 decodes IE 160 boot records against the
+    COMPLETE options cache, so a boot record that precedes its template
+    announcement — in the file or in the batch — still resolves.
+    ``include_templates=False`` emits only the boot rows (the seeded
+    second pass re-walks data, not announcements). Options parsing is
+    v10-gated: v9 never needs IE 160 (header sysUptime) and its
+    sequence counts packets, so a v9 options template must not leak
+    into the v10 option view (a tid shared across versions would
+    mis-count or spuriously ambiguate v10 data sets)."""
+    seed = dict(opt_seed or {})
+
+    def harvest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            opt_cache: dict = dict(seed)
+            v10_files: list[tuple[str, str, bytes]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                exporter = _exporter_of(path)
+                seq = 0
+                blob = bytes(content)
+                has_v10 = False
+                for dgram in iter_datagrams(blob):
+                    if include_templates:
+                        try:
+                            announced = list(_iter_template_sets(dgram))
+                        except (struct.error, IndexError, ValueError,
+                                KeyError):
+                            # drop the PACKET, never the pipeline — the
+                            # same catch breadth as the decode side; a
+                            # truncated or garbled v9/v10 header here
+                            # otherwise fails the whole harvest job
+                            continue
+                        for tid, fields in announced:
+                            sig = "|".join(f"{ie}:{ln}"
+                                           for ie, ln in fields)
+                            rows.append((exporter, tid, sig, path, seq))
+                            seq += 1
+                    if len(dgram) < 16 or struct.unpack_from(
+                            ">H", dgram, 0)[0] != 10:
+                        continue
+                    has_v10 = True
+                    try:
+                        opt_announced = _parse_options_templates(
+                            dgram, exporter, opt_cache)
+                    except (struct.error, IndexError, ValueError, KeyError):
+                        opt_announced = []
+                    # options templates ride the harvest as NEGATED tids
+                    # (-tid ≤ -256, disjoint from the -1 boot rows): real
+                    # exporters announce them at startup and send
+                    # standalone options-data messages later, so sequence
+                    # accounting needs them cross-file exactly like flow
+                    # templates
+                    if include_templates:
+                        for tid, fields in opt_announced:
+                            if tid >= 256:
+                                sig = "|".join(f"{ie}:{ln}"
+                                               for ie, ln in fields)
+                                rows.append((exporter, -tid, sig, path,
+                                             seq))
+                                seq += 1
+                if has_v10:
+                    v10_files.append((path, exporter, blob))
+            for path, exporter, blob in v10_files:
+                seq = 0
+                for dgram in iter_datagrams(blob):
+                    try:
+                        boot_rows = _harvest_boot_rows(dgram, exporter,
+                                                       opt_cache)
+                    except (struct.error, IndexError, ValueError, KeyError):
+                        continue
+                    for odid, boot in boot_rows:
+                        rows.append((exporter, -1, f"{odid}:{boot}",
+                                     path, seq))
+                        seq += 1
+            yield pd.DataFrame(rows,
+                               columns=["exporter", "tid", "sig",
+                                        "src", "seq"])
+
+    return harvest
+
+
 def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Phase-1 mapInPandas body: harvest IPFIX template sets AND exporter
     boot epochs (IE 160 options records, emitted as ``tid == -1`` rows
@@ -1491,74 +1579,10 @@ def _extract_templates_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
     (``src`` = file path, ``seq`` = announcement index within the file):
     the rotation bridge names files monotonically (sorted == arrival
     order), so (src, seq) totally orders an exporter's announcements and
-    the merge can honor latest-announcement-wins.
-
-    Two sweeps per batch, mirroring the flow side's order-independence:
-    sweep 1 harvests flow-template rows AND v10 options templates
-    (cached per batch like :func:`_options_pandas`); sweep 2 decodes
-    IE 160 boot records against the COMPLETE options cache, so a boot
-    record that precedes its template announcement — in the file or in
-    the batch — still resolves. Options parsing is v10-gated: v9 never
-    needs IE 160 (header sysUptime) and its sequence counts packets,
-    so a v9 options template must not leak into the v10 option view
-    (a tid shared across versions would mis-count or spuriously
-    ambiguate v10 data sets)."""
-    for pdf in batches:
-        rows = []
-        opt_cache: dict = {}
-        v10_files: list[tuple[str, str, bytes]] = []
-        for path, content in zip(pdf["path"], pdf["content"]):
-            exporter = _exporter_of(path)
-            seq = 0
-            blob = bytes(content)
-            has_v10 = False
-            for dgram in iter_datagrams(blob):
-                try:
-                    announced = list(_iter_template_sets(dgram))
-                except (struct.error, IndexError, ValueError, KeyError):
-                    # drop the PACKET, never the pipeline — the same
-                    # catch breadth as the decode side; a truncated or
-                    # garbled v9/v10 header here otherwise fails the
-                    # whole harvest job
-                    continue
-                for tid, fields in announced:
-                    sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
-                    rows.append((exporter, tid, sig, path, seq))
-                    seq += 1
-                if len(dgram) < 16 or struct.unpack_from(
-                        ">H", dgram, 0)[0] != 10:
-                    continue
-                has_v10 = True
-                try:
-                    opt_announced = _parse_options_templates(
-                        dgram, exporter, opt_cache)
-                except (struct.error, IndexError, ValueError, KeyError):
-                    opt_announced = []
-                # options templates ride the harvest as NEGATED tids
-                # (-tid ≤ -256, disjoint from the -1 boot rows): real
-                # exporters announce them at startup and send standalone
-                # options-data messages later, so sequence accounting
-                # needs them cross-file exactly like flow templates
-                for tid, fields in opt_announced:
-                    if tid >= 256:
-                        sig = "|".join(f"{ie}:{ln}" for ie, ln in fields)
-                        rows.append((exporter, -tid, sig, path, seq))
-                        seq += 1
-            if has_v10:
-                v10_files.append((path, exporter, blob))
-        for path, exporter, blob in v10_files:
-            seq = 0
-            for dgram in iter_datagrams(blob):
-                try:
-                    boot_rows = _harvest_boot_rows(dgram, exporter,
-                                                   opt_cache)
-                except (struct.error, IndexError, ValueError, KeyError):
-                    continue
-                for odid, boot in boot_rows:
-                    rows.append((exporter, -1, f"{odid}:{boot}", path, seq))
-                    seq += 1
-        yield pd.DataFrame(rows,
-                           columns=["exporter", "tid", "sig", "src", "seq"])
+    the merge can honor latest-announcement-wins. The walk itself lives
+    in :func:`_make_template_harvester`, shared with the seeded boot
+    pass."""
+    yield from _make_template_harvester()(batches)
 
 
 _TEMPLATE_SCHEMA = StructType([
@@ -1722,47 +1746,11 @@ def _seeded_boot_harvest(opt_seed: dict):
     merged options templates (:func:`_merge_opt_template_rows`), with
     in-batch announcements overlaying in order, so placement can no
     longer decide whether a v10 relative timestamp resolves. Emits the
-    same ``tid == -1`` row shape as phase 1; callers union both row
-    sets through :func:`_merge_boot_rows` (latest-wins)."""
-    seed = dict(opt_seed)
-
-    def harvest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            cache = dict(seed)
-            v10_files: list[tuple[str, str, bytes]] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                exporter = _exporter_of(path)
-                blob = bytes(content)
-                has_v10 = False
-                for dgram in iter_datagrams(blob):
-                    if (len(dgram) < 16 or
-                            struct.unpack_from(">H", dgram, 0)[0] != 10):
-                        continue
-                    has_v10 = True
-                    try:
-                        _parse_options_templates(dgram, exporter, cache)
-                    except (struct.error, IndexError, ValueError, KeyError):
-                        continue
-                if has_v10:
-                    v10_files.append((path, exporter, blob))
-            for path, exporter, blob in v10_files:
-                seq = 0
-                for dgram in iter_datagrams(blob):
-                    try:
-                        boot_rows = _harvest_boot_rows(dgram, exporter,
-                                                       cache)
-                    except (struct.error, IndexError, ValueError, KeyError):
-                        continue
-                    for odid, boot in boot_rows:
-                        rows.append((exporter, -1, f"{odid}:{boot}",
-                                     path, seq))
-                        seq += 1
-            yield pd.DataFrame(rows,
-                               columns=["exporter", "tid", "sig",
-                                        "src", "seq"])
-
-    return harvest
+    same ``tid == -1`` row shape as phase 1 — the walk IS phase 1's
+    (:func:`_make_template_harvester`, announcements suppressed);
+    callers union both row sets through :func:`_merge_boot_rows`
+    (latest-wins)."""
+    return _make_template_harvester(opt_seed, include_templates=False)
 
 
 def decode_datagram_frame(raw: DataFrame,

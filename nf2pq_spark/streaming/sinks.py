@@ -179,26 +179,52 @@ def _checkpoint_dedup_salt(checkpoint: str) -> str:
     it (same tokens → server dedup on true replays) while a wiped or
     different checkpoint mints a new one (fresh token space). For
     non-local checkpoint URIs (hdfs://, s3a:// — not writable from the
-    driver with plain ``open``) fall back to hashing the URI: distinct
-    queries still get distinct spaces; only the wipe-and-reuse-same-URI
-    case keeps colliding there, which the docstring contract flags."""
+    driver with plain ``open``) — and for local paths the driver turns
+    out not to be able to write — fall back to hashing the URI:
+    distinct queries still get distinct spaces; only the
+    wipe-and-reuse-same-URI case keeps colliding there, which this
+    docstring flags as the residual. ``file:`` URIs in any slash form
+    (file:/p, file:///p) resolve to their local path (r11 review: the
+    old '://'-split treated file:/p as a cwd-relative literal, so a
+    restart from another cwd minted a new salt and re-inserted the
+    replayed batch). The salt write is atomic (tmp + rename): a crash
+    between create and write must not install an empty shared salt."""
     import hashlib
     import os
     import uuid
+    from urllib.parse import urlparse
 
-    scheme = checkpoint.split("://", 1)[0] if "://" in checkpoint else ""
-    if scheme not in ("", "file"):
+    parsed = urlparse(checkpoint)
+    if parsed.scheme not in ("", "file"):
         return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
-    local = checkpoint.split("://", 1)[-1] if scheme else checkpoint
-    os.makedirs(local, exist_ok=True)
+    local = parsed.path if parsed.scheme == "file" else checkpoint
     salt_file = os.path.join(local, "nf2pq_dedup_salt")
     try:
-        with open(salt_file, "x") as fh:
-            fh.write(uuid.uuid4().hex[:12])
-    except FileExistsError:
+        os.makedirs(local, exist_ok=True)
+        if not os.path.exists(salt_file):
+            tmp = f"{salt_file}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(uuid.uuid4().hex[:12])
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                # atomic publish; O_EXCL-like semantics via link: the
+                # first writer wins, a concurrent second writer reads
+                os.link(tmp, salt_file)
+            except FileExistsError:
+                pass
+            finally:
+                os.unlink(tmp)
+        with open(salt_file) as fh:
+            salt = fh.read().strip()
+        if salt:
+            return salt
+        # degenerate pre-fix state (empty file): fall through to hash
+    except OSError:
+        # unwritable/odd local path (e.g. defaultFS-relative): per-URI
+        # hash keeps distinct queries in distinct token spaces
         pass
-    with open(salt_file) as fh:
-        return fh.read().strip()
+    return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
 
 def clickhouse_sink(stream: DataFrame, url: str, table: str,

@@ -208,10 +208,36 @@ def test_capture_source_glob_heuristic(tmp_path):
     # cap/* and must keep working)
     assert capture_source_glob("/data/caps/*") == "/data/caps/*"
     assert capture_source_glob("/data/caps/exp_??") == "/data/caps/exp_??"
-    # an EXISTING directory is never "already a glob", whatever its name
+    # an EXISTING directory is never "already a glob", whatever its
+    # name — and its metachars are ESCAPED so Hadoop's globber reads
+    # them literally instead of as a character class (r11 review: the
+    # unescaped form was PATH_NOT_FOUND, and "what?/*" matched sibling
+    # dirs)
     weird = tmp_path / "cap[1]"
     weird.mkdir()
-    assert capture_source_glob(str(weird)) == str(weird / "*")
+    assert capture_source_glob(str(weird)) == \
+        str(tmp_path) + "/cap\\[1\\]/*"
     # glob chars in a PARENT of a not-yet-created dir don't disable the
-    # append either
-    assert capture_source_glob("/data/cap[1]/sub") == "/data/cap[1]/sub/*"
+    # append either (and get escaped on the way out)
+    assert capture_source_glob("/data/cap[1]/sub") == \
+        "/data/cap\\[1\\]/sub/*"
+
+
+def test_capture_source_glob_escaped_dir_streams_files(spark, tmp_path):
+    """End-to-end: a capture_dir literally named with glob metachars
+    must actually stream its files through Spark's reader — the escaped
+    glob is what the binaryFile source receives."""
+    import os
+
+    from nf2pq_spark.config import capture_source_glob
+
+    d = tmp_path / "cap[1]" / "10.0.0.1"
+    os.makedirs(d)
+    (d / "f.bin").write_bytes(b"x" * 10)
+    # decoy sibling a naive unescaped glob could match
+    d2 = tmp_path / "capX1" / "10.0.0.1"
+    os.makedirs(d2)
+    (d2 / "g.bin").write_bytes(b"y" * 10)
+    path = capture_source_glob(str(tmp_path / "cap[1]"))
+    got = spark.read.format("binaryFile").load(path)
+    assert [os.path.basename(r.path) for r in got.collect()] == ["f.bin"]

@@ -918,10 +918,26 @@ def test_checkpoint_dedup_salt_scopes_token_space(tmp_path):
     assert s1 != _checkpoint_dedup_salt(b)       # second query: distinct
     shutil.rmtree(a)
     assert s1 != _checkpoint_dedup_salt(a)       # reset: fresh space
-    # file:// scheme routes to the same local persist path
+    # file: scheme in EVERY slash form routes to the same local persist
+    # path (r11 review: file:/p was treated as a cwd-relative literal,
+    # so a restart from another cwd minted a new salt)
     c = tmp_path / "ckptC"
-    _checkpoint_dedup_salt(f"file://{c}")
+    s_uri = _checkpoint_dedup_salt(f"file://{c}")
     assert (c / "nf2pq_dedup_salt").exists()
+    assert s_uri == _checkpoint_dedup_salt(f"file:{c}")
+    assert s_uri == _checkpoint_dedup_salt(str(c))
+    # a crash-installed EMPTY salt file must not become a shared ''
+    # token space: falls back to the per-URI hash
+    e = tmp_path / "ckptE"
+    e.mkdir()
+    (e / "nf2pq_dedup_salt").write_text("")
+    s_empty = _checkpoint_dedup_salt(str(e))
+    assert s_empty and s_empty == _checkpoint_dedup_salt(str(e))
+    # an unwritable local path degrades to the hash instead of raising
+    import hashlib
+    ro = "/proc/nf2pq_no_such_writable_place/ck"
+    assert _checkpoint_dedup_salt(ro) == \
+        hashlib.md5(ro.encode()).hexdigest()[:12]
     # remote URIs (not writable with plain open): deterministic per-URI
     # hash fallback — distinct queries still get distinct spaces
     h1 = _checkpoint_dedup_salt("hdfs://nn/ck1")

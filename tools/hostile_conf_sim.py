@@ -39,6 +39,22 @@ from tools.driver_sim import (SF, TABLES, register_oracle_views,  # noqa: E402
 #: multi-batch mapInPandas on every fixture), 256 KB scan splits (shatters
 #: every parquet file into many input partitions), and two different fixed
 #: PYTHONHASHSEEDs (flushes out Python hash()/set-order dependence in UDFs).
+#: per-operator force-spill/fallback thresholds shared VERBATIM by the
+#: single-JVM spill profile and the multi-JVM composition below — one
+#: definition so the two can never drift.
+_SPILL_THRESHOLDS = {
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "1000",
+    "spark.sql.windowExec.buffer.spill.threshold": "128",
+    "spark.sql.windowExec.buffer.in.memory.threshold": "128",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1000",
+    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
+    "spark.sql.sessionWindow.buffer.in.memory.threshold": "128",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold": "1000",
+    "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "256",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "7",
+    "spark.sql.TungstenAggregate.testFallbackStartsAt": "100,200",
+}
+
 PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
     "tiny_shuffle": ("local[3]", {
         "spark.sql.shuffle.partitions": "7",
@@ -87,18 +103,7 @@ PROFILES: dict[str, tuple[str, dict[str, str], dict[str, str]]] = {
         "spark.driver.memory": "8g",
         "spark.memory.fraction": "0.15",
         "spark.memory.storageFraction": "0.1",
-        **(_SPILL_THRESHOLDS := {
-            "spark.shuffle.spill.numElementsForceSpillThreshold": "1000",
-            "spark.sql.windowExec.buffer.spill.threshold": "128",
-            "spark.sql.windowExec.buffer.in.memory.threshold": "128",
-            "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1000",
-            "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
-            "spark.sql.sessionWindow.buffer.in.memory.threshold": "128",
-            "spark.sql.cartesianProductExec.buffer.spill.threshold": "1000",
-            "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "256",
-            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "7",
-            "spark.sql.TungstenAggregate.testFallbackStartsAt": "100,200",
-        }),
+        **_SPILL_THRESHOLDS,
         "spark.ui.enabled": "true",
         "spark.ui.port": "0",
         "spark.ui.retainedStages": "100000",
