@@ -5,6 +5,12 @@ JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The line is printed LAST and kept under 1900 bytes (the driver records
+only the final 2000 bytes of stdout — r11's inline per-query CPU series
+overflowed that tail and the round's bench came back unparsed); the full
+telemetry (per-query CPU seconds, idle-gate, loadavg, settle/spot rows)
+goes to the BENCH_DETAIL.json sidecar next to this file.
+
 Each query executes fully (noop sink — no driver collect) after a shared
 session warm-up, so the numbers measure plan execution, not JVM startup.
 
@@ -35,20 +41,20 @@ from nf2pq_spark.session import get_spark  # noqa: E402
 from nf2pq_spark.sources.tables import load_table  # noqa: E402
 
 
-def _tree_cpu_seconds() -> float:
-    """Total CPU seconds (user+sys, incl. reaped children) consumed so
-    far by this process and every live descendant — the Spark JVM and
-    its Python workers. Per-query DELTAS of this are the
+def _tree_cpu_snapshot() -> dict[int, float]:
+    """Per-PID cumulative CPU seconds (user+sys, incl. reaped children)
+    for this process and every live descendant — the Spark JVM and its
+    Python workers. Per-query deltas of these snapshots are the
     contention-stable series (r10 verdict item 3): wall time moved
     ±35% round-over-round on identical code purely with machine load,
     while CPU time only moves when the plan does. /proc-based (Linux),
-    one pass over /proc/*/stat; returns 0.0 where /proc is absent."""
+    one pass over /proc/*/stat; returns {} where /proc is absent."""
     import glob
 
     try:
         tick = os.sysconf("SC_CLK_TCK")
     except (ValueError, OSError, AttributeError):
-        return 0.0
+        return {}
     info: dict[int, tuple[int, int]] = {}
     for stat in glob.glob("/proc/[0-9]*/stat"):
         try:
@@ -70,25 +76,47 @@ def _tree_cpu_seconds() -> float:
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _t) in info.items():
         kids.setdefault(ppid, []).append(pid)
-    total, stack, seen = 0, [os.getpid()], set()
+    snap: dict[int, float] = {}
+    stack = [os.getpid()]
     while stack:
         p = stack.pop()
-        if p in seen or p not in info:
+        if p in snap or p not in info:
             continue
-        seen.add(p)
-        total += info[p][1]
+        snap[p] = info[p][1] / tick
         stack.extend(kids.get(p, []))
-    return total / tick
+    return snap
+
+
+def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
+    """CPU seconds burned between two snapshots, diffed PID-WISE with
+    each per-PID delta clamped at 0 (r11 verdict item 2). The old
+    tree-SUM diff went negative by tens of seconds: a pyspark worker
+    counted live in the before-sum exits mid-query and is reaped by a
+    re-parented ancestor OUTSIDE the walked tree, so its CPU vanishes
+    from the after-sum (committed r11: l2d -6.73s; reproduced: l25
+    -19.58s). Per PID: present in both → max(0, delta); only in after →
+    its full total (it started inside the interval); only in before →
+    0 (its burn since the snapshot is unobservable — a bounded
+    undercount, never a negative)."""
+    return sum(max(0.0, cpu - before.get(pid, 0.0))
+               for pid, cpu in after.items())
+
+
+def _tree_cpu_seconds() -> float:
+    """Whole-tree cumulative CPU seconds (sum of the per-PID snapshot) —
+    monotone while the tree is stable; per-query deltas go through
+    :func:`_cpu_delta`, never through diffs of this sum."""
+    return sum(_tree_cpu_snapshot().values())
 
 
 def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     """One full execution of a registered query (noop sink) →
-    (wall seconds, process-tree CPU seconds)."""
-    c0 = _tree_cpu_seconds()
+    (wall seconds, process-tree CPU seconds, clamped non-negative)."""
+    c0 = _tree_cpu_snapshot()
     start = time.perf_counter()
     df = plans.REGISTRY[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - start, _tree_cpu_seconds() - c0
+    return time.perf_counter() - start, _cpu_delta(c0, _tree_cpu_snapshot())
 
 
 def _spot_entry() -> None:
@@ -303,24 +331,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_registered": len(plans.REGISTRY),
-        # contention-stable companion series (r10 verdict item 3): CPU
-        # seconds consumed by the whole process tree per query — compare
-        # THESE across rounds when wall totals move without code changes
-        "queries_cpu_sec": cpu_secs,
+        # contention-stable companion TOTAL (r10 verdict item 3; the
+        # per-query series lives in the detail sidecar since r12 — it
+        # alone pushed the r11 line past the driver's stdout tail)
         "process_cpu_seconds_total": round(sum(cpu_secs.values()), 3),
-        "idle_gate": idle_gate,
+        "idle_released": idle_gate["released_idle"],
     }
-    if firstpass_slow:
-        out["queries_inorder_gt1s"] = firstpass_slow
-    if spot:
-        out["queries_isolated_gt1s"] = spot
-        out["queries_isolated_load1"] = spot_load1
-    if spot_draws:
-        out["queries_isolated_redraws"] = spot_draws
-    # machine-condition telemetry: loadavg at start and end of the run,
-    # so a load-inflated series is adjudicable from the JSON alone
-    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
-    out["loadavg_start"] = _LOAD_AT_START
     # skew resilience: the 80/20 hot-key as-of (bucketed operator) vs the
     # uniform-key as-of. The segmented scan's STRUCTURAL cost is ~2x the
     # uniform baseline (one extra column-pruned pass for the bucket
@@ -350,7 +366,75 @@ def main() -> None:
         # difference 0.74 on code whose isolated overhead was 0.3).
         out["skew_ratio_in_envelope"] = bool(ratio <= 3.0)
         out["skew_overhead_in_envelope"] = bool(overhead <= 1.0)
-    print(json.dumps(out))
+
+    # full telemetry → sidecar; ONE compact line → stdout, printed LAST
+    detail = {
+        "queries_cpu_sec": cpu_secs,
+        "idle_gate": idle_gate,
+        "loadavg_start": _LOAD_AT_START,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+    }
+    if firstpass_slow:
+        detail["queries_inorder_gt1s"] = firstpass_slow
+    if spot:
+        detail["queries_isolated_gt1s"] = spot
+        detail["queries_isolated_load1"] = spot_load1
+    if spot_draws:
+        detail["queries_isolated_redraws"] = spot_draws
+    print(_emit(out, detail))
+
+
+#: byte budget for the final stdout line: the grading driver records only
+#: the LAST 2000 bytes of bench stdout, and BENCH_r11.json came back
+#: ``parsed: null`` because the r11 per-query CPU series pushed the
+#: single JSON line to ~2.8KB — the tail started mid-JSON and the
+#: headline ``value`` was cut off with the head (r11 verdict item 1).
+_LINE_BUDGET = 1900
+
+#: optional main-line fields, shed in this order if the registry ever
+#: grows the line past the budget (headline contract fields — metric,
+#: value, unit, queries, sf — are never shed)
+_SHEDDABLE = ("idle_released", "skew_ratio_in_envelope",
+              "skew_overhead_in_envelope", "skew_overhead_sec",
+              "skew_ratio_asof", "process_cpu_seconds_total",
+              "n_registered")
+
+
+def _emit(out: dict, detail: dict, detail_path: str | None = None) -> str:
+    """Write the full telemetry to the BENCH_DETAIL.json sidecar (+ a
+    stderr pointer) and return the compact final line, guaranteed under
+    ``_LINE_BUDGET`` bytes: optional fields shed first, then — the
+    never-expected last resort — the fastest queries are dropped from
+    the per-query map with a ``queries_omitted`` count, so the driver
+    always parses ``value`` even if the registry triples."""
+    detail_path = detail_path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(dict(detail, line_fields=sorted(out)), fh, indent=1)
+        print(f"full telemetry -> {detail_path}", file=sys.stderr)
+    except OSError as ex:  # sidecar is best-effort; the line is the contract
+        print(f"sidecar write failed ({ex}); detail lost", file=sys.stderr)
+
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= _LINE_BUDGET:
+        return line
+    out = dict(out)
+    for key in _SHEDDABLE:
+        out.pop(key, None)
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET:
+            return line
+    q = dict(out.get("queries", {}))
+    out["queries_omitted"] = 0
+    for name in sorted(q, key=q.get):  # shed fastest first
+        del q[name]
+        out["queries"] = q
+        out["queries_omitted"] += 1
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET:
+            return line
+    return line  # bare headline fields; structurally under budget
 
 
 if __name__ == "__main__":

@@ -4,6 +4,7 @@ row, never sink the bench run (r6 advice)."""
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -144,6 +145,98 @@ def test_tree_cpu_seconds_monotone_and_covers_children():
     c1 = bench._tree_cpu_seconds()
     assert c1 >= c0
     assert c1 - c0 > 0.05  # the child's CPU is visible in the delta
+
+
+def test_cpu_delta_clamps_disappearing_pid():
+    """r11 verdict item 2: a PID counted in the before-snapshot that is
+    gone at the after-snapshot (worker exited, reaped outside the walked
+    tree) must contribute 0 — the old tree-sum diff went NEGATIVE by the
+    vanished PID's whole cumulative CPU (committed r11: l2d -6.73s)."""
+    before = {1: 10.0, 2: 30.0, 3: 5.0}
+    after = {1: 12.5, 3: 5.0}  # pid 2 vanished with 30s on the clock
+    d = bench._cpu_delta(before, after)
+    assert d == 2.5  # old sum-diff: (12.5+5.0)-(10+30+5) = -27.5
+    # new pid: its full total counts (it started inside the interval)
+    assert bench._cpu_delta(before, {**after, 9: 1.5}) == 4.0
+    # per-PID counter regression (proc reuse/rollover) clamps at 0 too
+    assert bench._cpu_delta({1: 10.0}, {1: 8.0}) == 0.0
+    assert bench._cpu_delta({}, {}) == 0.0
+
+
+def test_cpu_delta_nonnegative_with_dying_child():
+    """End-to-end reproducer shape for the r11 negative-CPU bug: a child
+    burns CPU between the snapshots and EXITS before the after-snapshot;
+    the delta must stay >= 0 and not swallow the parent's own burn."""
+    c0 = bench._tree_cpu_snapshot()
+    # child burns ~0.2s and exits (reaped) before the second snapshot
+    subprocess.run([sys.executable, "-c",
+                    "t=0\nfor i in range(4_000_000): t += i*i"],
+                   check=True)
+    t = 0
+    for i in range(2_000_000):  # parent burn, visible pid-wise
+        t += i * i
+    d = bench._cpu_delta(c0, bench._tree_cpu_snapshot())
+    assert d >= 0.0
+    assert d > 0.01  # the parent's own burn survives the clamp
+
+
+def test_emit_line_under_budget_with_full_registry(tmp_path):
+    """r11 verdict item 1: the final stdout line must stay under the
+    driver's 2000-byte tail with the FULL current registry worth of
+    per-query timings (31+ bench queries today; headroom asserted with
+    40), all optional fields populated, and the sidecar carrying the
+    detail that overflowed r11's line."""
+    queries = {f"l{i:02d}_a_realistically_long_query_name": 1.234
+               for i in range(40)}
+    out = {
+        "metric": "headline_queries_total", "value": 24.43, "unit": "sec",
+        "queries": queries, "sf": 0.1, "n_registered": 256,
+        "process_cpu_seconds_total": 312.456, "idle_released": True,
+        "skew_ratio_asof": 1.53, "skew_overhead_sec": 0.21,
+        "skew_ratio_in_envelope": True, "skew_overhead_in_envelope": True,
+    }
+    detail = {"queries_cpu_sec": {k: 9.876 for k in queries},
+              "idle_gate": {"threshold": 2.0, "waited_sec": 0.0,
+                            "load1_at_release": 0.8, "released_idle": True},
+              "loadavg_start": [1, 1, 1], "loadavg_end": [1, 1, 1]}
+    sidecar = tmp_path / "BENCH_DETAIL.json"
+    line = bench._emit(out, detail, detail_path=str(sidecar))
+    assert len(line.encode()) < 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 24.43
+    assert parsed["queries"] == queries  # nothing shed at today's size
+    side = json.loads(sidecar.read_text())
+    assert side["queries_cpu_sec"] == detail["queries_cpu_sec"]
+    assert side["idle_gate"]["released_idle"] is True
+
+
+def test_emit_sheds_to_stay_parseable(tmp_path):
+    """If the registry ever triples, the line sheds optional fields and
+    then the FASTEST queries (with an omission count) — the headline
+    ``value`` must parse out of the driver's tail no matter what."""
+    queries = {f"q{i:03d}_{'x' * 30}": float(i) for i in range(120)}
+    out = {"metric": "headline_queries_total", "value": 99.9, "unit": "sec",
+           "queries": queries, "sf": 0.1, "n_registered": 900,
+           "process_cpu_seconds_total": 1.0, "idle_released": True}
+    line = bench._emit(out, {}, detail_path=str(tmp_path / "d.json"))
+    assert len(line.encode()) < 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 99.9
+    assert parsed["queries_omitted"] > 0
+    # the slowest (most diagnostic) queries survive the shed
+    kept = parsed["queries"]
+    assert max(queries.values()) == max(kept.values())
+    assert min(kept.values()) > min(queries.values())
+
+
+def test_emit_survives_unwritable_sidecar(capsys):
+    """The sidecar is best-effort: an unwritable path must not sink the
+    bench run — the compact line is still returned."""
+    out = {"metric": "m", "value": 1.0, "unit": "sec", "queries": {},
+           "sf": 0.1}
+    line = bench._emit(out, {"k": 1}, detail_path="/nonexistent/dir/d.json")
+    assert json.loads(line)["value"] == 1.0
+    assert "sidecar write failed" in capsys.readouterr().err
 
 
 def test_idle_gate_records_telemetry(monkeypatch):
