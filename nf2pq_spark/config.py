@@ -179,8 +179,12 @@ def capture_source_glob(path: str) -> str:
     parents don't disable the append."""
     import os
 
+    # the already-a-glob detection set must cover every metachar the
+    # escape loop below escapes: '{' was missing, so a Hadoop alternation
+    # glob like caps/{e1,e2} got its braces backslash-escaped and
+    # streamed ZERO files silently (r11 advice)
     if (not os.path.isdir(path) and
-            any(c in os.path.basename(path.rstrip("/")) for c in "*?[")):
+            any(c in os.path.basename(path.rstrip("/")) for c in "*?[{")):
         return path
     escaped = path
     for c in "\\*?[]{}":  # backslash first — it escapes the others

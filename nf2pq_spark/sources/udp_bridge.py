@@ -55,7 +55,18 @@ class UdpCaptureBridge:
         if entry is not None and now - entry[1] < self.rotate_seconds:
             return entry[0]
         if entry is not None:
-            self._finalize(exporter_ip)
+            try:
+                self._finalize(exporter_ip)
+            except OSError as ex:
+                # rotation failed: _finalize kept the entry (see its
+                # ordering note), so the commit of the SAME capture is
+                # retried at the next due scan — only THIS datagram is
+                # dropped. Propagating instead would reach the write
+                # handler, which abandons the handle and would orphan
+                # the buffered capture permanently (r11 advice).
+                self.write_errors += 1
+                self.last_error = ex
+                return None
         d = os.path.join(self.out_dir, exporter_ip)
         os.makedirs(d, exist_ok=True)
         # write to a dot-prefixed temp name; the streaming source must never
@@ -78,11 +89,17 @@ class UdpCaptureBridge:
         return fh
 
     def _finalize(self, exporter_ip: str) -> None:
-        fh, _, tmp = self._files.pop(exporter_ip)
+        fh, _, tmp = self._files[exporter_ip]
         fh.close()
         final = os.path.join(os.path.dirname(tmp),
                              os.path.basename(tmp)[1:-4])  # drop dot + .tmp
         os.rename(tmp, final)
+        # removed only AFTER the rename: popping first meant a transient
+        # close/rename failure permanently orphaned the .tmp — its
+        # buffered datagrams never committed, never retried (r11 advice).
+        # On failure the entry stays (expired, so every later scan
+        # retries it; file close is idempotent on the retry path).
+        del self._files[exporter_ip]
 
     def _flush_expired(self, now: float) -> None:
         # rotation must not depend on the NEXT datagram arriving: an idle
@@ -90,13 +107,27 @@ class UdpCaptureBridge:
         # (invisible to every reader) until stop()
         for exporter, (_fh, opened, _tmp) in list(self._files.items()):
             if now - opened >= self.rotate_seconds:
-                self._finalize(exporter)
+                try:
+                    self._finalize(exporter)
+                except OSError as ex:
+                    # the failed exporter's entry is kept for retry; the
+                    # OTHER expired exporters must still flush this scan
+                    # (r11 advice: a mid-iteration raise skipped them
+                    # AND the deadline recompute below)
+                    self.write_errors += 1
+                    self.last_error = ex
         # recompute the earliest deadline over the files still open, so
         # the hot loop's per-datagram check is a single float compare
-        self._next_flush = min(
+        nxt = min(
             (opened + self.rotate_seconds
              for _fh, opened, _tmp in self._files.values()),
             default=float("inf"))
+        if nxt <= now:
+            # a kept finalize-failed entry is already expired: retry on a
+            # bounded cadence instead of rescanning on every datagram
+            # while the disk stays broken
+            nxt = now + min(1.0, self.rotate_seconds)
+        self._next_flush = nxt
 
     # -- socket loop ---------------------------------------------------------
 
@@ -107,34 +138,27 @@ class UdpCaptureBridge:
             try:
                 data, (src_ip, _src_port) = self._sock.recvfrom(self.bufsize)
             except socket.timeout:
-                try:
-                    self._flush_expired(time.monotonic())
-                except OSError as ex:
-                    # same scoping as the datagram-path flush below: a
-                    # rotation failure must never kill the receiver
-                    # thread (it retries at the next timeout/datagram)
-                    self.write_errors += 1
-                    self.last_error = ex
+                # a rotation failure never kills the receiver thread:
+                # _flush_expired records it per-exporter and keeps the
+                # failed entry for retry at the next timeout/datagram
+                self._flush_expired(time.monotonic())
                 continue
             now = time.monotonic()
             # under SUSTAINED traffic the 0.2s recv timeout never fires, so
             # the timeout branch alone would leave idle exporters' last
             # captures hidden as .tmp; this deadline check is one float
-            # compare per datagram, scanning only when a rotation is due
-            try:
-                if now >= self._next_flush:
-                    self._flush_expired(now)
-            except OSError as ex:
-                # rotation failure belongs to the exporter being FLUSHED,
-                # not the one whose datagram we're holding — abandoning the
-                # current exporter's handle here orphaned a healthy capture
-                # as a never-committed .tmp (r10 advice). Record and retry
-                # the flush on the next datagram/timeout; _flush_expired
-                # already pops the handle whose finalize failed.
-                self.write_errors += 1
-                self.last_error = ex
+            # compare per datagram, scanning only when a rotation is due.
+            # Rotation failure belongs to the exporter being FLUSHED, not
+            # the one whose datagram we're holding (r10 advice) —
+            # _flush_expired swallows it per-exporter and RETAINS the
+            # failed handle so the same capture retries (r11 advice).
+            if now >= self._next_flush:
+                self._flush_expired(now)
             try:
                 fh = self._sink_for(src_ip, now)
+                if fh is None:
+                    continue  # this exporter's own rotation failed;
+                              # datagram dropped, commit retries later
                 fh.write(struct.pack(">I", len(data)))
                 fh.write(data)
                 self.datagrams_received += 1
@@ -143,16 +167,18 @@ class UdpCaptureBridge:
                 # delivery promise) but never the receiver thread — before
                 # this catch the thread died silently and the bridge
                 # looked healthy while losing everything (r10 review).
-                # Abandon the exporter's current handle; the next datagram
-                # opens a fresh file, so a transient error self-heals.
+                # COMMIT what this exporter already buffered instead of
+                # abandoning the handle (r11: the abandoned .tmp lost
+                # every earlier frame too) — a torn tail frame is the
+                # truncated-tail state the capture reader already drops;
+                # if the commit itself fails the entry stays for retry.
                 self.write_errors += 1
                 self.last_error = ex
-                entry = self._files.pop(src_ip, None)
-                if entry is not None:
+                if src_ip in self._files:
                     try:
-                        entry[0].close()
-                    except OSError:
-                        pass
+                        self._finalize(src_ip)
+                    except OSError as ex2:
+                        self.last_error = ex2
 
     def start(self) -> "UdpCaptureBridge":
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -178,6 +204,13 @@ class UdpCaptureBridge:
                     self._sock.close()
                 return
         for exporter in list(self._files):
-            self._finalize(exporter)
+            try:
+                self._finalize(exporter)
+            except OSError as ex:
+                # shutdown is the last chance: commit every exporter we
+                # can; a failed one stays a .tmp (the crash-consistent
+                # state readers tolerate) instead of blocking the rest
+                self.write_errors += 1
+                self.last_error = ex
         if self._sock:
             self._sock.close()

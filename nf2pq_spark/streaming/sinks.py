@@ -164,6 +164,56 @@ def jdbc_batch_writer(url: str, table: str, properties: dict | None = None,
     return write_batch
 
 
+def _fs_salt_via_hadoop(checkpoint: str) -> str | None:
+    """Persist/read the lineage salt through the checkpoint's OWN
+    filesystem, resolved exactly as Spark resolves the checkpoint path
+    itself (Hadoop FS API through the active session — fs.defaultFS
+    applies to scheme-less paths, hdfs://s3a:// go remote, file: stays
+    local). First writer wins via create-no-overwrite; a lost race reads
+    the winner's salt. Returns None when no session/JVM is reachable or
+    the filesystem op fails — callers then fall back to the local-path /
+    URI-hash logic."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(checkpoint)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        salt_path = jvm.org.apache.hadoop.fs.Path(jpath, "nf2pq_dedup_salt")
+        if not fs.exists(salt_path):
+            import uuid
+
+            fresh = uuid.uuid4().hex[:12].encode("ascii")
+            try:
+                out = fs.create(salt_path, False)  # no overwrite:
+                try:                               # first writer wins
+                    out.write(bytearray(fresh))
+                finally:
+                    out.close()
+            except Exception:
+                # lost the create race (or mid-write failure): read
+                # whatever the winner installed; an unreadable/empty
+                # result degrades to the callers' fallback below
+                pass
+        stream = fs.open(salt_path)
+        try:
+            raw = []
+            for _ in range(64):  # salt is 12 ascii chars; bound the read
+                b = stream.read()
+                if b < 0:
+                    break
+                raw.append(b)
+        finally:
+            stream.close()
+        salt = bytes(raw).decode("ascii", errors="replace").strip()
+        return salt or None
+    except Exception:
+        return None
+
+
 def _checkpoint_dedup_salt(checkpoint: str) -> str:
     """Token-space salt scoped to ONE checkpoint lineage.
 
@@ -175,25 +225,34 @@ def _checkpoint_dedup_salt(checkpoint: str) -> str:
     batches as "duplicates" of the old run's (r10 advice; silent loss).
 
     Both follow from tying the salt to the checkpoint lineage: a random
-    salt is persisted INSIDE the checkpoint directory, so restarts reuse
-    it (same tokens → server dedup on true replays) while a wiped or
-    different checkpoint mints a new one (fresh token space). For
-    non-local checkpoint URIs (hdfs://, s3a:// — not writable from the
-    driver with plain ``open``) — and for local paths the driver turns
-    out not to be able to write — fall back to hashing the URI:
-    distinct queries still get distinct spaces; only the
-    wipe-and-reuse-same-URI case keeps colliding there, which this
-    docstring flags as the residual. ``file:`` URIs in any slash form
-    (file:/p, file:///p) resolve to their local path (r11 review: the
+    salt is persisted INSIDE the checkpoint directory — through the
+    checkpoint's ACTUAL filesystem (Hadoop FS via the active
+    SparkSession) when one is reachable, so an hdfs://s3a:// checkpoint,
+    a scheme-less path under a remote fs.defaultFS, or a driver failover
+    to another host all still see the ONE salt the lineage persisted
+    (r11 advice: the old driver-local ``open`` wrote the salt to one
+    machine's disk, so a restart elsewhere minted a NEW salt and the
+    replayed batch double-inserted). Restarts reuse the salt (same
+    tokens → server dedup on true replays) while a wiped or different
+    checkpoint mints a new one (fresh token space). Without a live
+    session (tooling, unit paths) scheme-less and ``file:`` paths in
+    any slash form persist via the local filesystem (r11 review: the
     old '://'-split treated file:/p as a cwd-relative literal, so a
     restart from another cwd minted a new salt and re-inserted the
-    replayed batch). The salt write is atomic (tmp + rename): a crash
-    between create and write must not install an empty shared salt."""
+    replayed batch); anything unreachable falls back to hashing the
+    URI — distinct queries still get distinct spaces; only the
+    wipe-and-reuse-same-URI case keeps colliding there, which this
+    docstring flags as the residual. The salt write is atomic
+    (create-no-overwrite on Hadoop FS; tmp + link locally): a crash or
+    create race must not install an empty or torn shared salt."""
     import hashlib
     import os
     import uuid
     from urllib.parse import urlparse
 
+    salt = _fs_salt_via_hadoop(checkpoint)
+    if salt:
+        return salt
     parsed = urlparse(checkpoint)
     if parsed.scheme not in ("", "file"):
         return hashlib.md5(checkpoint.encode()).hexdigest()[:12]

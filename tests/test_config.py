@@ -208,6 +208,11 @@ def test_capture_source_glob_heuristic(tmp_path):
     # cap/* and must keep working)
     assert capture_source_glob("/data/caps/*") == "/data/caps/*"
     assert capture_source_glob("/data/caps/exp_??") == "/data/caps/exp_??"
+    # Hadoop alternation glob in the last segment: also verbatim — '{'
+    # was missing from the detection set while PRESENT in the escape
+    # set, so the braces got backslash-escaped and zero files streamed
+    # (r11 advice)
+    assert capture_source_glob("/data/caps/{e1,e2}") == "/data/caps/{e1,e2}"
     # an EXISTING directory is never "already a glob", whatever its
     # name — and its metachars are ESCAPED so Hadoop's globber reads
     # them literally instead of as a character class (r11 review: the

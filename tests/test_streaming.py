@@ -943,3 +943,35 @@ def test_checkpoint_dedup_salt_scopes_token_space(tmp_path):
     h1 = _checkpoint_dedup_salt("hdfs://nn/ck1")
     assert h1 == _checkpoint_dedup_salt("hdfs://nn/ck1")
     assert h1 != _checkpoint_dedup_salt("hdfs://nn/ck2")
+
+
+def test_checkpoint_dedup_salt_uses_checkpoints_filesystem(spark, tmp_path):
+    """With a live session the salt persists through the checkpoint's
+    ACTUAL filesystem (Hadoop FS API — r11 advice: a scheme-less path
+    under a remote fs.defaultFS, or a driver failover to another host,
+    must still find the ONE salt the lineage installed, or the replayed
+    batch carries a fresh token and ClickHouse double-inserts)."""
+    import os
+
+    from nf2pq_spark.streaming.sinks import (_checkpoint_dedup_salt,
+                                             _fs_salt_via_hadoop)
+
+    ck = str(tmp_path / "ckpt_fs")
+    s = _fs_salt_via_hadoop(ck)
+    assert s and len(s) == 12
+    # proof the write went through Hadoop's (Checksum)FileSystem, not a
+    # driver-local open(): the .crc sibling only Hadoop writes
+    assert os.path.exists(os.path.join(ck, "nf2pq_dedup_salt"))
+    assert os.path.exists(os.path.join(ck, ".nf2pq_dedup_salt.crc"))
+    # the full resolver agrees across every spelling of the same lineage
+    assert _checkpoint_dedup_salt(ck) == s
+    assert _checkpoint_dedup_salt(f"file://{ck}") == s
+    assert _checkpoint_dedup_salt(f"file:{ck}") == s
+    # a salt installed by the LOCAL pre-upgrade path (no .crc) is still
+    # honored by the Hadoop read — upgrades keep their token space
+    ck2 = str(tmp_path / "ckpt_legacy")
+    os.makedirs(ck2)
+    with open(os.path.join(ck2, "nf2pq_dedup_salt"), "w") as fh:
+        fh.write("legacy0salt0")
+    assert _fs_salt_via_hadoop(ck2) == "legacy0salt0"
+    assert _checkpoint_dedup_salt(ck2) == "legacy0salt0"

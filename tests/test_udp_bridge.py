@@ -156,3 +156,63 @@ def test_flush_error_does_not_abandon_current_exporter():
         names = os.listdir(os.path.join(out, exporter))
         assert any(n.startswith("cap_") for n in names), (exporter, names)
         assert not any(n.endswith(".tmp") for n in names), (exporter, names)
+
+
+def test_rename_failure_retries_same_capture(monkeypatch):
+    """A transient rotation failure (rename raising) must NOT orphan the
+    exporter's .tmp: _finalize keeps the entry until the rename SUCCEEDS,
+    so a later scan retries committing the SAME capture and none of its
+    buffered datagrams are lost (r11 advice — the old pop-first ordering
+    dropped them permanently)."""
+    import os as _os
+
+    from nf2pq_spark.sources import udp_bridge as ub
+
+    out = tempfile.mkdtemp(prefix="bridge_renamefail_")
+    bridge = UdpCaptureBridge("127.0.0.1", 0, out, rotate_seconds=0.3).start()
+    real_rename = _os.rename
+    fails = []
+
+    def flaky_rename(src, dst):
+        if src.endswith(".tmp") and not fails:
+            fails.append(src)
+            raise OSError("transient fs error during rotation")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(ub.os, "rename", flaky_rename)
+    try:
+        sender = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        dgrams = encode_netflow_v5(_flows(30), per_packet=3)
+        for d in dgrams:
+            sender.sendto(d, bridge.addr)
+        deadline = time.time() + 10
+        while bridge.datagrams_received < len(dgrams) and \
+                time.time() < deadline:
+            time.sleep(0.05)
+        assert bridge.datagrams_received == len(dgrams)
+        # wait past the rotation deadline so the recv-timeout scan hits
+        # the flaky rename, then the NEXT scan retries and commits
+        deadline = time.time() + 10
+        while (not fails or not any(
+                n.startswith("cap_") for n in
+                _os.listdir(_os.path.join(out, "127.0.0.1")))) \
+                and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        bridge.stop()
+    assert fails, "the flaky rename was never exercised"
+    assert bridge.write_errors >= 1
+    names = _os.listdir(_os.path.join(out, "127.0.0.1"))
+    # the capture whose rename failed was committed on retry — no .tmp
+    # left behind, and EVERY buffered datagram survives the round-trip
+    assert not any(n.endswith(".tmp") for n in names), names
+    total = 0
+    for n in names:
+        with open(_os.path.join(out, "127.0.0.1", n), "rb") as fh:
+            data = fh.read()
+        p = 4  # magic
+        while p + 4 <= len(data):
+            ln = int.from_bytes(data[p:p + 4], "big")
+            p += 4 + ln
+            total += 1
+    assert total == len(dgrams)
