@@ -177,8 +177,13 @@ def compute_prefix(graded: frozenset[str] | set[str],
     pool += take([n for n in ungraded if REGISTRY[n].oracle])
     pool += take(ungraded)                       # rows-only stragglers
     # everything graded: cycle, stalest-first (stable: registry order
-    # breaks ties within a round)
-    cycle = list(REGISTRY)
+    # breaks ties within a round). Only ORACLE-BACKED queries recycle:
+    # a rows-only query's maximal grade is the same `err: no_oracle` +
+    # row-count it already holds — re-granting it a prefix slot buys no
+    # new evidence and puts a red-looking row in an otherwise all-green
+    # grade file (r11 verdict item 4); its hash-gated companions carry
+    # the refreshable evidence instead.
+    cycle = [n for n in REGISTRY if REGISTRY[n].oracle]
     if grade_rounds:
         idx = {n: i for i, n in enumerate(cycle)}
         cycle.sort(key=lambda n: (grade_rounds.get(n, 0), idx[n]))

@@ -139,8 +139,15 @@ def test_all_graded_cycle_refreshes_stalest_first():
     p = plans.compute_prefix(frozenset(reg), grade_rounds=rounds)
     assert p[:5] == plans.CANARIES and len(set(p)) == 50
     body = [n for n in p[5:]]
-    stale = [n for n in reg if rounds[n] == 1 and n not in plans.CANARIES]
+    # rows-only queries never recycle (r11 verdict item 4: their maximal
+    # re-grade is the same `err: no_oracle` row they already hold — the
+    # hash-gated companions carry the refreshable evidence), so the
+    # stalest-first expectation ranges over oracle-backed names only
+    stale = [n for n in reg if rounds[n] == 1 and n not in plans.CANARIES
+             and plans.REGISTRY[n].oracle]
     assert body == stale[:45], "cycle slots are not the stalest names"
+    assert all(plans.REGISTRY[n].oracle for n in p), \
+        "a rows-only query re-entered the all-graded cycle"
 
     # without round data (synthetic grade sets), registry order still
     # applies — the legacy property
@@ -154,7 +161,8 @@ def test_all_graded_cycle_refreshes_stalest_first():
     if gr and all(n in gr for n in plans.REGISTRY):
         body_rounds = [gr[n] for n in plans.CURATED_PREFIX[5:]]
         outside = [gr[n] for n in plans.REGISTRY
-                   if n not in set(plans.CURATED_PREFIX)]
+                   if n not in set(plans.CURATED_PREFIX)
+                   and plans.REGISTRY[n].oracle]  # rows-only never recycle
         assert max(body_rounds) <= min(outside), (
             "a fresher-graded name occupies a cycle slot while a staler "
             "one waits outside the prefix")
