@@ -1750,6 +1750,118 @@ def s6m_varlen_strings(spark, sf_dir):
     )
 
 
+#: second varlen IE (94, applicationDescription) for the s6n fixture:
+#: its own long-form residue class so long-form prefixes hit BOTH
+#: string IEs, on different rows. Interpolated into the s6n oracle.
+_VARLEN2_LONG_MOD = 31
+_VARLEN2_LONG_PAD = 264
+
+
+def _varlen_desc(eid: int) -> str:
+    return (f"desc_{'y' * _VARLEN2_LONG_PAD}{eid % 7}"
+            if eid % _VARLEN2_LONG_MOD == 0 else f"d{eid % 7}")
+
+
+def _multi_varlen_capture_dir(spark, sf_dir: str) -> str:
+    """IPFIX captures whose flow template interleaves TWO varlen string
+    IEs (96 applicationName, 94 applicationDescription) among the fixed
+    numerics, with fixed fields between and after them — the layout the
+    r11 first-only capture silently truncated. Both strings derive
+    arithmetically from event_id so the oracle recomputes them."""
+    from .helpers import (cache_current, cache_lock, source_stamp,
+                          write_cache_marker)
+
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN),                  # first varlen
+              (6, 1), (2, 4),                 # fixed fields between
+              (94, _VARLEN),                  # second varlen
+              (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/nf2pq_flows_varlen2_{tag}"
+    done = os.path.join(out, "_DONE")
+    stamp = source_stamp(sf_dir, "events")
+    with cache_lock(done):
+        if not cache_current(done, stamp):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+
+            def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("event_id")
+                bucket = int(pdf["event_id"].iloc[0]) % _N_PACK_BUCKETS
+                flows = _flows_records(pdf["event_id"], pdf["ts"])
+                kept_eids = pdf["event_id"][pdf["ts"].notna()]
+                for f, eid in zip(flows, kept_eids):
+                    f["app"] = _varlen_app(int(eid))
+                    f["desc"] = _varlen_desc(int(eid))
+                dgrams = encode_ipfix(flows, template_fields=fields,
+                                      template_id=331)
+                write_capture_file(
+                    os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
+                return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
+
+            ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+            status = (
+                ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
+                .applyInPandas(pack_group, schema="bucket int, n long")
+            )
+            if status.count() == 0:
+                raise RuntimeError(f"multi-varlen capture synthesis packed "
+                                   f"0 buckets at {out}")
+            write_cache_marker(done, stamp)
+    return out
+
+
+@register(
+    "s6n_multi_varlen",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN event_id % {_VARLEN_LONG_MOD} = 0
+                  THEN 'svc_' || repeat('x', {_VARLEN_LONG_PAD})
+                       || CAST(event_id % 5 AS VARCHAR)
+                  ELSE 'app_' || CAST(event_id % 5 AS VARCHAR) END AS app_name,
+             CASE WHEN event_id % {_VARLEN2_LONG_MOD} = 0
+                  THEN 'desc_' || repeat('y', {_VARLEN2_LONG_PAD})
+                       || CAST(event_id % 7 AS VARCHAR)
+                  ELSE 'd' || CAST(event_id % 7 AS VARCHAR) END AS app_desc,
+             event_id % 100 + 1 AS ipkt,
+             CAST(event_id % 5000 + 40 AS BIGINT) AS ibyt,
+             epoch_ms(ts) AS ts_ms
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT app_name, app_desc, COUNT(*) AS n_flows,
+           CAST(SUM(ipkt) AS BIGINT) AS sum_pkts,
+           CAST(SUM(ibyt) AS BIGINT) AS sum_bytes,
+           CAST(SUM(ts_ms) AS BIGINT) AS sum_ts,
+           COUNT(*) AS n_first
+    FROM f GROUP BY app_name, app_desc
+    """,
+    description="TWO varlen string IEs per record (r11 verdict item 6 — "
+    "the last decode-fidelity residual): the flow template interleaves "
+    "IE 96 (applicationName) and IE 94 (applicationDescription) among "
+    "fixed numerics, each with short AND >255-byte long-form prefix "
+    "classes on different rows; both surface in the str_ies map keyed "
+    "by IE id (grouping extracts map[96]/map[94]) while fixed fields "
+    "BETWEEN (ipkt) and AFTER (ibyt, timestamps) the varlen pair keep "
+    "decoding, and n_first pins app_name == str_ies[96] (first in "
+    "template order) row-for-row. Scale: same opt-in partition-parallel "
+    "scalar walk as s6m — record widths depend on per-record prefixes.",
+    tags=("S5", "S6"),
+)
+def s6n_multi_varlen(spark, sf_dir):
+    path = _multi_varlen_capture_dir(spark, sf_dir)
+    flows = read_flow_files(spark, path, with_strings=True)
+    return flows.groupBy(
+        F.col("str_ies")[96].alias("app_name"),
+        F.col("str_ies")[94].alias("app_desc"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ipkt").alias("sum_pkts"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.sum("ts_ms").cast("bigint").alias("sum_ts"),
+        F.count_if(F.col("app_name") == F.col("str_ies")[96]).alias("n_first"),
+    )
+
+
 @register(
     "s7b_clickhouse_ddl",
     oracle="""

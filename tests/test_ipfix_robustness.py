@@ -1212,6 +1212,48 @@ def test_varlen_string_ies_surface_as_app_name(spark, tmp_path):
     assert plain.count() == 4
 
 
+def test_two_varlen_string_ies_both_surface(spark, tmp_path):
+    """A template carrying TWO varlen string IEs (r11 verdict item 6:
+    applicationName + a description/URL-class IE): both land in the
+    str_ies map keyed by IE id, app_name stays the FIRST in template
+    order, and the fixed fields BETWEEN and AFTER the two varlen IEs
+    keep decoding — the old first-only capture silently dropped the
+    second string."""
+    from nf2pq_spark.sources.ipfix import (_VARLEN, encode_ipfix,
+                                           read_flow_files,
+                                           write_capture_file)
+
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN),                      # first varlen
+              (6, 1), (2, 4),                     # fixed between
+              (94, _VARLEN),                      # second varlen
+              (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    apps = ["dns", "y" * 280, "", "café"]
+    descs = ["resolver", "long" * 80, "plain", ""]
+    flows = [{"sa_int": (10 << 24) + i, "da_int": (20 << 24) + i,
+              "sp": i, "dp": 400 + i, "pr": 17, "flg": 2,
+              "app": apps[i], "desc": descs[i],
+              "ipkt": 5 + i, "ibyt": 1000 + i,
+              "ts_ms": 1_700_000_000_000 + i, "te_ms": 1_700_000_001_000 + i,
+              "sas": 1, "das": 2} for i in range(4)]
+    d = tmp_path / "e2"
+    d.mkdir()
+    write_capture_file(str(d / "cap_0.bin"),
+                       encode_ipfix(flows, template_fields=fields,
+                                    template_id=321))
+
+    got = read_flow_files(spark, str(d), with_strings=True)
+    rows = {r.sp: r for r in got.collect()}
+    assert len(rows) == 4
+    for i in range(4):
+        assert rows[i].app_name == apps[i]          # first in template order
+        assert rows[i].str_ies == {96: apps[i], 94: descs[i]}
+        assert rows[i].ipkt == 5 + i                # between the varlens
+        assert rows[i].ibyt == 1000 + i             # after the second
+        assert rows[i].ts_ms == 1_700_000_000_000 + i
+        assert rows[i].das == 2
+
+
 def test_headers_and_decoder_agree_differential():
     """Sequence accounting (read_message_headers' substrate) and the full
     flow decoder parse the SAME headers independently — this property
