@@ -1658,20 +1658,20 @@ def _varlen_app(eid: int) -> str:
             if eid % _VARLEN_LONG_MOD == 0 else f"app_{eid % 5}")
 
 
-def _varlen_capture_dir(spark, sf_dir: str) -> str:
-    """IPFIX captures whose flow template interleaves a variable-length
-    string IE (96, applicationName) among the fixed numerics — the
-    layout the scalar decoder's §7 length-prefix walk exists for. The
-    string value derives arithmetically from event_id (short names plus
-    a long-form residue class) so the oracle recomputes it exactly."""
+def _varlen_fixture_dir(spark, sf_dir: str, out_prefix: str,
+                        fields: list, template_id: int,
+                        string_fns: dict) -> str:
+    """Shared capture synthesis for the varlen fixtures (s6m/s6n — r12
+    review: the two builders were near-verbatim copies): pack the
+    events table executor-side into per-bucket IPFIX captures whose
+    template is ``fields``, decorating each flow with the string IEs in
+    ``string_fns`` (flow-dict key → fn(event_id) → value, derived
+    arithmetically so the oracles recompute them exactly)."""
     from .helpers import (cache_current, cache_lock, source_stamp,
                           write_cache_marker)
 
-    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
-              (96, _VARLEN),                  # varlen mid-template
-              (6, 1), (2, 4), (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/nf2pq_flows_varlen_{tag}"
+    out = f"{out_prefix}_{tag}"
     done = os.path.join(out, "_DONE")
     stamp = source_stamp(sf_dir, "events")
     with cache_lock(done):
@@ -1685,9 +1685,10 @@ def _varlen_capture_dir(spark, sf_dir: str) -> str:
                 flows = _flows_records(pdf["event_id"], pdf["ts"])
                 kept_eids = pdf["event_id"][pdf["ts"].notna()]
                 for f, eid in zip(flows, kept_eids):
-                    f["app"] = _varlen_app(int(eid))
+                    for key, fn in string_fns.items():
+                        f[key] = fn(int(eid))
                 dgrams = encode_ipfix(flows, template_fields=fields,
-                                      template_id=330)
+                                      template_id=template_id)
                 write_capture_file(
                     os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
                 return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
@@ -1702,6 +1703,17 @@ def _varlen_capture_dir(spark, sf_dir: str) -> str:
                                    f"buckets at {out}")
             write_cache_marker(done, stamp)
     return out
+
+
+def _varlen_capture_dir(spark, sf_dir: str) -> str:
+    """IPFIX captures whose flow template interleaves a variable-length
+    string IE (96, applicationName) among the fixed numerics — the
+    layout the scalar decoder's §7 length-prefix walk exists for."""
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN),                  # varlen mid-template
+              (6, 1), (2, 4), (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    return _varlen_fixture_dir(spark, sf_dir, "/tmp/nf2pq_flows_varlen",
+                               fields, 330, {"app": _varlen_app})
 
 
 @register(
@@ -1766,49 +1778,15 @@ def _multi_varlen_capture_dir(spark, sf_dir: str) -> str:
     """IPFIX captures whose flow template interleaves TWO varlen string
     IEs (96 applicationName, 94 applicationDescription) among the fixed
     numerics, with fixed fields between and after them — the layout the
-    r11 first-only capture silently truncated. Both strings derive
-    arithmetically from event_id so the oracle recomputes them."""
-    from .helpers import (cache_current, cache_lock, source_stamp,
-                          write_cache_marker)
-
+    r11 first-only capture silently truncated."""
     fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
               (96, _VARLEN),                  # first varlen
               (6, 1), (2, 4),                 # fixed fields between
               (94, _VARLEN),                  # second varlen
               (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/nf2pq_flows_varlen2_{tag}"
-    done = os.path.join(out, "_DONE")
-    stamp = source_stamp(sf_dir, "events")
-    with cache_lock(done):
-        if not cache_current(done, stamp):
-            shutil.rmtree(out, ignore_errors=True)
-            os.makedirs(out, exist_ok=True)
-
-            def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values("event_id")
-                bucket = int(pdf["event_id"].iloc[0]) % _N_PACK_BUCKETS
-                flows = _flows_records(pdf["event_id"], pdf["ts"])
-                kept_eids = pdf["event_id"][pdf["ts"].notna()]
-                for f, eid in zip(flows, kept_eids):
-                    f["app"] = _varlen_app(int(eid))
-                    f["desc"] = _varlen_desc(int(eid))
-                dgrams = encode_ipfix(flows, template_fields=fields,
-                                      template_id=331)
-                write_capture_file(
-                    os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
-                return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
-
-            ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-            status = (
-                ev.groupBy((F.col("event_id") % _N_PACK_BUCKETS).alias("b"))
-                .applyInPandas(pack_group, schema="bucket int, n long")
-            )
-            if status.count() == 0:
-                raise RuntimeError(f"multi-varlen capture synthesis packed "
-                                   f"0 buckets at {out}")
-            write_cache_marker(done, stamp)
-    return out
+    return _varlen_fixture_dir(spark, sf_dir, "/tmp/nf2pq_flows_varlen2",
+                               fields, 331,
+                               {"app": _varlen_app, "desc": _varlen_desc})
 
 
 @register(

@@ -52,7 +52,14 @@ class UdpCaptureBridge:
 
     def _sink_for(self, exporter_ip: str, now: float):
         entry = self._files.get(exporter_ip)
-        if entry is not None and now - entry[1] < self.rotate_seconds:
+        # a retained entry whose fh is CLOSED (the write-error path
+        # finalized a non-expired capture, close succeeded, rename
+        # failed) is due-for-finalize regardless of its age: returning
+        # the closed handle made the next write raise ValueError, which
+        # the loop's OSError catch missed — silently killing the
+        # receiver thread (r12 review)
+        if (entry is not None and now - entry[1] < self.rotate_seconds
+                and not entry[0].closed):
             return entry[0]
         if entry is not None:
             try:
@@ -162,7 +169,11 @@ class UdpCaptureBridge:
                 fh.write(struct.pack(">I", len(data)))
                 fh.write(data)
                 self.datagrams_received += 1
-            except OSError as ex:
+            except (OSError, ValueError) as ex:
+                # ValueError = write-to-closed-file: _sink_for's closed
+                # guard should make it unreachable, but an unforeseen
+                # closed-handle path must degrade like any fs error,
+                # never kill the receiver thread
                 # disk full / fs error: DROP the datagram (UDP gives it no
                 # delivery promise) but never the receiver thread — before
                 # this catch the thread died silently and the bridge

@@ -216,3 +216,43 @@ def test_rename_failure_retries_same_capture(monkeypatch):
             p += 4 + ln
             total += 1
     assert total == len(dgrams)
+
+
+def test_sink_for_never_returns_closed_handle(tmp_path, monkeypatch):
+    """Review r12: after a write-error-path finalize attempt fails its
+    rename, the retained entry holds a CLOSED fh with a recent opened
+    time. _sink_for must treat that entry as due-for-finalize — handing
+    the closed handle back made the next fh.write raise ValueError,
+    which the loop's OSError catch missed, silently killing the receiver
+    thread (the exact r10 failure mode the catch exists to prevent)."""
+    import os as _os
+
+    from nf2pq_spark.sources import udp_bridge as ub
+
+    bridge = UdpCaptureBridge("127.0.0.1", 0, str(tmp_path),
+                              rotate_seconds=60.0)
+    fh = bridge._sink_for("10.0.0.9", now=100.0)
+    fh.write(b"\x00\x00\x00\x01x")  # one buffered frame
+    real_rename = _os.rename
+
+    def boom(src, dst):
+        raise OSError("transient fs error")
+
+    monkeypatch.setattr(ub.os, "rename", boom)
+    try:
+        bridge._finalize("10.0.0.9")  # close succeeds, rename fails
+    except OSError:
+        pass
+    entry = bridge._files["10.0.0.9"]
+    assert entry[0].closed  # the poisoned state: closed fh, kept entry
+
+    monkeypatch.setattr(ub.os, "rename", real_rename)
+    # next datagram arrives WITHIN the rotate window: must not get the
+    # closed handle back; the pending capture commits, a fresh one opens
+    fh2 = bridge._sink_for("10.0.0.9", now=101.0)
+    assert fh2 is not None and not fh2.closed and fh2 is not fh
+    fh2.write(b"\x00\x00\x00\x01y")
+    bridge._files["10.0.0.9"][0].close()
+    names = sorted(_os.listdir(tmp_path / "10.0.0.9"))
+    committed = [n for n in names if n.startswith("cap_")]
+    assert len(committed) == 1  # the failed capture committed on retry
