@@ -1840,6 +1840,85 @@ def s6n_multi_varlen(spark, sf_dir):
     )
 
 
+#: s6o basicList shape: a ports list whose length varies per record,
+#: with a long-form (>255-byte payload: 130 two-byte elements) residue
+#: class. Interpolated into the s6o oracle — keep encoder + SQL in sync.
+_BLIST_LONG_MOD = 41
+_BLIST_LONG_N = 130
+
+
+def _blist_ports(eid: int) -> bytes:
+    from ..sources.ipfix import encode_basiclist
+
+    cnt = _BLIST_LONG_N if eid % _BLIST_LONG_MOD == 0 else eid % 3 + 1
+    return encode_basiclist(7, 2, [(eid * 7 + 13 * k) % 1024
+                                   for k in range(cnt)])
+
+
+def _basiclist_capture_dir(spark, sf_dir: str) -> str:
+    """IPFIX captures whose flow template carries an RFC 6313 basicList
+    IE (291) of sourceTransportPort elements among the fixed numerics —
+    the structured-data layout (r12, S6O)."""
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (291, _VARLEN),                 # basicList mid-template
+              (6, 1), (2, 4), (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    return _varlen_fixture_dir(spark, sf_dir, "/tmp/nf2pq_flows_blist",
+                               fields, 332, {"blist": _blist_ports})
+
+
+@register(
+    "s6o_basiclist",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_id AS eid,
+             CASE WHEN event_id % {_BLIST_LONG_MOD} = 0
+                  THEN {_BLIST_LONG_N}
+                  ELSE event_id % 3 + 1 END AS cnt,
+             epoch_ms(ts) AS ts_ms
+      FROM events WHERE ts IS NOT NULL
+    ),
+    per AS (
+      SELECT f.eid, f.cnt, f.ts_ms,
+             SUM((f.eid * 7 + 13 * g.k) % 1024) AS sv,
+             COUNT(DISTINCT (f.eid * 7 + 13 * g.k) % 1024) AS dv
+      FROM f, UNNEST(generate_series(0, CAST(f.cnt - 1 AS BIGINT))) AS g(k)
+      GROUP BY f.eid, f.cnt, f.ts_ms
+    )
+    SELECT CAST(cnt AS BIGINT) AS n_ports, COUNT(*) AS n_flows,
+           CAST(SUM(sv) AS BIGINT) AS sum_ports,
+           CAST(SUM(dv) AS BIGINT) AS n_distinct,
+           CAST(SUM(ts_ms) AS BIGINT) AS sum_ts
+    FROM per GROUP BY cnt
+    """,
+    description="RFC 6313 structured data — basicList IEs (r12): the "
+    "flow template interleaves IE 291 carrying a variable-COUNT list "
+    "of sourceTransportPort values (2-byte elements; semantic byte + "
+    "field spec + packed values inside one §7 varlen value), with a "
+    ">255-byte long-form residue class (130 elements). The decoder "
+    "surfaces the list in the list_ies map keyed by the ELEMENT IE; "
+    "grouping by list length and summing the elements (higher-order "
+    "F.aggregate, JVM-side) pins every value, array_distinct pins "
+    "per-record content shape, and sum_ts pins the fixed fields AFTER "
+    "the list. Unsupported shapes (enterprise PEN elements, zero/"
+    "oversized widths, truncated headers) skip the list, never the "
+    "record — pinned by unit tests. Scale: same opt-in partition-"
+    "parallel scalar walk as s6m/s6n.",
+    tags=("S5", "S6"),
+)
+def s6o_basiclist(spark, sf_dir):
+    path = _basiclist_capture_dir(spark, sf_dir)
+    flows = read_flow_files(spark, path, with_strings=True)
+    ports = F.col("list_ies")[7]
+    return flows.groupBy(F.size(ports).cast("long").alias("n_ports")).agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum(F.aggregate(ports, F.lit(0).cast("long"),
+                          lambda a, x: a + x)).alias("sum_ports"),
+        F.sum(F.size(F.array_distinct(ports)).cast("long"))
+         .alias("n_distinct"),
+        F.sum("ts_ms").cast("bigint").alias("sum_ts"),
+    )
+
+
 @register(
     "s7b_clickhouse_ddl",
     oracle="""

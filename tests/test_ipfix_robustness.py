@@ -1339,3 +1339,58 @@ def test_headers_and_decoder_agree_differential():
         run(n, per_packet, template_every, order_seed)
 
     prop()
+
+
+def test_basiclist_surfaces_values_and_skips_unsupported(spark, tmp_path):
+    """RFC 6313 basicList (r12): a (291, varlen) template field decodes
+    into the list_ies map keyed by the ELEMENT IE — variable counts,
+    the >255-byte long-form prefix, and coexistence with a string IE —
+    while every unsupported/malformed shape (enterprise PEN element,
+    zero or >8-byte element width, truncated header, ragged tail) skips
+    the LIST, never the record: the fixed fields still decode."""
+    import struct as _struct
+
+    from nf2pq_spark.sources.ipfix import (_VARLEN, encode_basiclist,
+                                           encode_ipfix, read_flow_files,
+                                           write_capture_file)
+
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN), (6, 1), (2, 4),
+              (291, _VARLEN),
+              (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    blists = [
+        encode_basiclist(7, 2, [100, 200, 300]),        # plain
+        encode_basiclist(7, 2, list(range(130))),       # long-form varlen
+        encode_basiclist(4, 1, []),                     # empty list
+        _struct.pack(">BHH", 3, 0x8007, 2) + b"\x00\x01",  # enterprise PEN
+        _struct.pack(">BHH", 3, 7, 0),                  # zero elem width
+        _struct.pack(">BHH", 3, 27, 16) + b"\x00" * 16,  # >8-byte elems
+        b"\x03\x00",                                    # truncated header
+        encode_basiclist(7, 2, [500]) + b"\x01",        # ragged tail
+    ]
+    flows = [{"sa_int": 1 + i, "da_int": 2, "sp": i, "dp": 400 + i,
+              "pr": 17, "flg": 2, "app": f"a{i}", "blist": blists[i],
+              "ipkt": 5 + i, "ibyt": 1000 + i,
+              "ts_ms": 1_700_000_000_000 + i,
+              "te_ms": 1_700_000_001_000 + i, "sas": 1, "das": 2}
+             for i in range(len(blists))]
+    d = tmp_path / "e1"
+    d.mkdir()
+    write_capture_file(str(d / "cap_0.bin"),
+                       encode_ipfix(flows, template_fields=fields,
+                                    template_id=341))
+
+    got = read_flow_files(spark, str(d), with_strings=True)
+    rows = {r.sp: r for r in got.collect()}
+    assert len(rows) == len(blists)  # no record lost to a bad list
+    assert rows[0].list_ies == {7: [100, 200, 300]}
+    assert rows[1].list_ies == {7: list(range(130))}
+    assert rows[2].list_ies == {4: []}
+    for i in (3, 4, 5, 6):  # unsupported shapes: list skipped
+        assert rows[i].list_ies is None, i
+    assert rows[7].list_ies == {7: [500]}  # ragged tail truncated
+    for i in range(len(blists)):
+        # the string IE and the fixed fields around the list all survive
+        assert rows[i].str_ies == {96: f"a{i}"}
+        assert rows[i].ibyt == 1000 + i
+        assert rows[i].ts_ms == 1_700_000_000_000 + i
