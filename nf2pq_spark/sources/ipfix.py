@@ -250,7 +250,8 @@ def encode_netflow_v5(flows: list[dict], per_packet: int = 30,
 _IE_KEYS = {8: "sa_int", 12: "da_int", 7: "sp", 11: "dp", 4: "pr", 6: "flg",
             2: "ipkt", 1: "ibyt", 152: "ts_ms", 153: "te_ms",
             16: "sas", 17: "das", 27: "sa6", 28: "da6",
-            22: "ts_ms", 21: "te_ms", 96: "app", 94: "desc", 291: "blist"}
+            22: "ts_ms", 21: "te_ms", 96: "app", 94: "desc",
+            371: "user", 291: "blist"}
 
 #: NetFlow v9 field set (RFC 3954 §8): same low-range type ids as IPFIX,
 #: but timestamps are FIRST_SWITCHED(22)/LAST_SWITCHED(21) — uint32 ms

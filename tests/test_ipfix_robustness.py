@@ -1394,3 +1394,88 @@ def test_basiclist_surfaces_values_and_skips_unsupported(spark, tmp_path):
         assert rows[i].str_ies == {96: f"a{i}"}
         assert rows[i].ibyt == 1000 + i
         assert rows[i].ts_ms == 1_700_000_000_000 + i
+
+
+def test_varlen_basiclist_model_differential_property():
+    """Property (r12): over random templates mixing fixed IEs, 0-2
+    varlen string IEs, and 0-1 basicList IEs — with random unicode
+    strings (including >=255-byte long-form) and random list shapes —
+    the scalar strings-mode walk must agree with an independent pure-
+    Python model of the §7/RFC 6313 surface: app_name = first varlen
+    string in template order, str_ies keyed by IE, list_ies keyed by
+    element IE, and the fixed fields around the variable region intact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nf2pq_spark.sources.ipfix import (_VARLEN, _decode_ipfix,
+                                           encode_basiclist, encode_ipfix)
+
+    text = st.text(
+        alphabet=st.characters(codec="utf-8",
+                               blacklist_categories=("Cs",)),
+        min_size=0, max_size=12)
+    long_text = st.builds(lambda s: "L" * 300 + s, text)
+    str_ie = st.sampled_from([96, 94, 371])
+    blist = st.builds(
+        lambda ie_len, vals: (ie_len, vals),
+        st.sampled_from([(7, 2), (4, 1), (2, 4)]),
+        st.lists(st.integers(0, 2**15), min_size=0, max_size=6)
+    ) | st.builds(  # long-form class: >125 two-byte elements
+        lambda n: ((7, 2), list(range(n))),
+        st.integers(126, 140))
+
+    @given(
+        str_ies=st.lists(str_ie, unique=True, min_size=0, max_size=2),
+        use_blist=st.booleans(),
+        strings=st.lists(text | long_text, min_size=2, max_size=2),
+        bl=blist,
+        n_recs=st.integers(1, 3),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(str_ies, use_blist, strings, bl, n_recs, data):
+        key_of = {96: "app", 94: "desc", 371: "user"}
+        # interleave the variable fields among fixed ones at random slots
+        fixed = [(7, 2), (11, 2), (4, 1), (2, 4), (1, 4), (152, 8)]
+        fields = list(fixed)
+        var_fields = [(ie, _VARLEN) for ie in str_ies]
+        if use_blist:
+            var_fields.append((291, _VARLEN))
+        for vf in var_fields:
+            pos = data.draw(st.integers(0, len(fields)))
+            fields.insert(pos, vf)
+
+        (bl_ie, bl_len), bl_vals = bl
+        bl_vals = [v % (1 << (8 * bl_len)) for v in bl_vals]
+        flows = []
+        for i in range(n_recs):
+            f = {"sp": 100 + i, "dp": 200 + i, "pr": 6, "ipkt": 10 + i,
+                 "ibyt": 1000 + i, "ts_ms": 1_700_000_000_000 + i,
+                 "app": strings[0] + str(i), "desc": strings[1],
+                 "user": strings[1][::-1],
+                 "blist": encode_basiclist(bl_ie, bl_len, bl_vals)}
+            flows.append(f)
+        msgs = encode_ipfix(flows, template_fields=fields, template_id=401)
+        tmpl: dict = {}
+        rows = []
+        for m in msgs:
+            rows.extend(_decode_ipfix(m, "e1", tmpl, strings=True))
+        assert len(rows) == n_recs
+        # model: template-order varlen strings, element-keyed lists
+        str_in_order = [ie for ie, ln in fields
+                        if ln == _VARLEN and ie != 291]
+        for i, r in enumerate(rows):
+            vals = {"app": flows[i]["app"], "desc": flows[i]["desc"],
+                    "user": flows[i]["user"]}
+            want_s = {ie: vals[key_of[ie]] for ie in str_in_order} or None
+            want_first = (vals[key_of[str_in_order[0]]]
+                          if str_in_order else None)
+            want_l = {bl_ie: bl_vals} if use_blist else None
+            assert r[13] == want_first, "app_name"
+            assert r[14] == want_s, "str_ies"
+            assert r[15] == want_l, "list_ies"
+            # fixed fields on all sides of the variable region
+            assert r[4] == 100 + i and r[5] == 200 + i
+            assert r[9] == 1000 + i and r[0] == 1_700_000_000_000 + i
+
+    check()
