@@ -16,6 +16,8 @@ Format is INI (stdlib configparser — no new dependencies):
     listen_host = 0.0.0.0
     listen_port = 2055
     rotation_seconds = 60
+    decode_strings = false   ; true: surface varlen string / basicList
+                             ; IEs as app_name / str_ies / list_ies
 
     [parquet]
     path = /data/flows
@@ -68,6 +70,11 @@ class CollectorConfig:
     listen_host: str = "0.0.0.0"
     listen_port: int = 2055
     rotation_seconds: int = 60
+    #: decode varlen string / RFC 6313 basicList IEs into the optional
+    #: app_name / str_ies / list_ies columns (``decode_strings = true``
+    #: in [collector]); off by default — the fixed 13-column frame keeps
+    #: its vectorized fast paths
+    decode_strings: bool = False
     clickhouse: ClickHouseConfig | None = None
 
 
@@ -92,6 +99,7 @@ def load_config(path: str) -> CollectorConfig:
         listen_host=coll.get("listen_host", "0.0.0.0"),
         listen_port=coll.getint("listen_port", 2055),
         rotation_seconds=coll.getint("rotation_seconds", 60),
+        decode_strings=coll.getboolean("decode_strings", False),
         clickhouse=ch,
     )
 
@@ -153,7 +161,7 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
 
     return stream_flow_files(
         spark, capture_source_glob(cfg.capture_dir), deliver, cfg.checkpoint,
-        available_now=available_now,
+        available_now=available_now, with_strings=cfg.decode_strings,
     )
 
 

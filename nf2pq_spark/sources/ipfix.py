@@ -1882,7 +1882,8 @@ def read_flow_files(spark, path: str, with_strings: bool = False) -> DataFrame:
 
 
 def stream_flow_files(spark, path: str, process, checkpoint: str,
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      with_strings: bool = False):
     """Streaming collector front-end: datagram files → decoded micro-batches.
 
     A per-worker template cache cannot survive micro-batch boundaries or
@@ -1891,10 +1892,15 @@ def stream_flow_files(spark, path: str, process, checkpoint: str,
     templates (exporters re-announce periodically, RFC 7011 §8.1) and then
     decodes — order-independent within the batch, state-free across batches.
     ``process(flows_df, batch_id)`` receives the decoded typed DataFrame.
+    ``with_strings`` opts the stream into the FLOW_STR_SCHEMA surface
+    (app_name / str_ies / list_ies), same contract as
+    :func:`read_flow_files` (r12: the streaming path previously could
+    not reach the varlen columns at all).
     """
 
     def decode_batch(batch_df: DataFrame, batch_id: int) -> None:
-        process(decode_datagram_frame(batch_df.select("path", "content")),
+        process(decode_datagram_frame(batch_df.select("path", "content"),
+                                      with_strings=with_strings),
                 batch_id)
 
     stream = (spark.readStream.format("binaryFile")

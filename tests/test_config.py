@@ -246,3 +246,56 @@ def test_capture_source_glob_escaped_dir_streams_files(spark, tmp_path):
     path = capture_source_glob(str(tmp_path / "cap[1]"))
     got = spark.read.format("binaryFile").load(path)
     assert [os.path.basename(r.path) for r in got.collect()] == ["f.bin"]
+
+
+def test_config_decode_strings_pipeline(spark, tmp_path):
+    """decode_strings = true (r12): the config-driven collector surfaces
+    varlen string and basicList IEs in its parquet output — previously
+    the streaming path had no route to the FLOW_STR_SCHEMA columns at
+    all. Off (the default) keeps the fixed 13-column frame."""
+    import os
+
+    from nf2pq_spark.sources.ipfix import (_VARLEN, encode_basiclist,
+                                           encode_ipfix,
+                                           write_capture_file)
+
+    cap = tmp_path / "caps"
+    os.makedirs(cap)
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN), (6, 1), (2, 4), (291, _VARLEN),
+              (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    flows = [{"sa_int": (10 << 24) + i, "da_int": 2, "sp": i, "dp": 80,
+              "pr": 6, "flg": 16, "app": f"svc{i}",
+              "blist": encode_basiclist(7, 2, [10 * i, 10 * i + 1]),
+              "ipkt": 1, "ibyt": 100,
+              "ts_ms": 1_700_000_000_000 + i,
+              "te_ms": 1_700_000_000_500 + i, "sas": 0, "das": 0}
+             for i in range(3)]
+    write_capture_file(str(cap / "cap_0.bin"),
+                       encode_ipfix(flows, template_fields=fields,
+                                    template_id=350))
+
+    conf = tmp_path / "nf2pq.conf"
+    conf.write_text("""
+[collector]
+capture_dir = {cap}
+decode_strings = true
+
+[parquet]
+path = {out}
+checkpoint = {ckpt}
+""".format(cap=cap, out=tmp_path / "flows", ckpt=tmp_path / "ckpt"))
+
+    cfg = load_config(str(conf))
+    assert cfg.decode_strings is True
+    q = run_collector(spark, cfg, available_now=True)
+    q.awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "flows"))
+    rows = {r.sp: r for r in out.collect()}
+    assert len(rows) == 3
+    for i in range(3):
+        assert rows[i].app_name == f"svc{i}"
+        assert rows[i].str_ies == {96: f"svc{i}"}
+        assert rows[i].list_ies == {7: [10 * i, 10 * i + 1]}
+        assert rows[i].ibyt == 100  # fixed fields around the varlens
