@@ -135,7 +135,12 @@ def _parse_basiclist(b: bytes):
     vals = []
     p = 5
     while p + elem_len <= len(b):
-        vals.append(int.from_bytes(b[p:p + elem_len], "big"))
+        # folded through _i64 like every other scalar output: an 8-byte
+        # element >= 2^63 (a counter IE, or a hostile record) otherwise
+        # overflows the ArrayType(LongType) Arrow conversion OUTSIDE the
+        # per-datagram try/except — killing the task, not the list
+        # (r12 review)
+        vals.append(_i64(int.from_bytes(b[p:p + elem_len], "big")))
         p += elem_len
     return fid, vals
 
@@ -584,10 +589,9 @@ def _decode_ipfix(buf: bytes, exporter: str,
                                     # and are skipped, never the record
                                     parsed = _parse_basiclist(
                                         buf[p:p + n])
-                                    if parsed is not None and \
-                                            lvals is None:
-                                        lvals = {parsed[0]: parsed[1]}
-                                    elif parsed is not None:
+                                    if parsed is not None:
+                                        if lvals is None:
+                                            lvals = {}
                                         lvals.setdefault(*parsed)
                                 else:
                                     # EVERY varlen string IE is kept,

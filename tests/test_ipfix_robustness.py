@@ -1422,7 +1422,10 @@ def test_varlen_basiclist_model_differential_property():
         st.lists(st.integers(0, 2**15), min_size=0, max_size=6)
     ) | st.builds(  # long-form class: >125 two-byte elements
         lambda n: ((7, 2), list(range(n))),
-        st.integers(126, 140))
+        st.integers(126, 140)
+    ) | st.builds(  # 8-byte counters incl. top-bit values (int64 fold)
+        lambda vals: ((1, 8), vals),
+        st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=4))
 
     @given(
         str_ies=st.lists(str_ie, unique=True, min_size=0, max_size=2),
@@ -1445,8 +1448,11 @@ def test_varlen_basiclist_model_differential_property():
             pos = data.draw(st.integers(0, len(fields)))
             fields.insert(pos, vf)
 
+        from nf2pq_spark.sources.ipfix import _i64
         (bl_ie, bl_len), bl_vals = bl
         bl_vals = [v % (1 << (8 * bl_len)) for v in bl_vals]
+        # the decoded surface folds to int64 like every scalar output
+        want_vals = [_i64(v) for v in bl_vals]
         flows = []
         for i in range(n_recs):
             f = {"sp": 100 + i, "dp": 200 + i, "pr": 6, "ipkt": 10 + i,
@@ -1470,7 +1476,7 @@ def test_varlen_basiclist_model_differential_property():
             want_s = {ie: vals[key_of[ie]] for ie in str_in_order} or None
             want_first = (vals[key_of[str_in_order[0]]]
                           if str_in_order else None)
-            want_l = {bl_ie: bl_vals} if use_blist else None
+            want_l = {bl_ie: want_vals} if use_blist else None
             assert r[13] == want_first, "app_name"
             assert r[14] == want_s, "str_ies"
             assert r[15] == want_l, "list_ies"
