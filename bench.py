@@ -41,21 +41,25 @@ from nf2pq_spark.session import get_spark  # noqa: E402
 from nf2pq_spark.sources.tables import load_table  # noqa: E402
 
 
-def _tree_cpu_snapshot() -> dict[int, float]:
-    """Per-PID cumulative CPU seconds (user+sys, incl. reaped children)
-    for this process and every live descendant — the Spark JVM and its
+def _tree_cpu_snapshot() -> dict[int, tuple[float, float]]:
+    """Per-PID ``(self, reaped-children)`` cumulative CPU seconds for
+    this process and every live descendant — the Spark JVM and its
     Python workers. Per-query deltas of these snapshots are the
     contention-stable series (r10 verdict item 3): wall time moved
     ±35% round-over-round on identical code purely with machine load,
-    while CPU time only moves when the plan does. /proc-based (Linux),
-    one pass over /proc/*/stat; returns {} where /proc is absent."""
+    while CPU time only moves when the plan does. The two components
+    stay SEPARATE (r12 review): a worker's own burn is tracked by its
+    self entry while alive, and rolls into its parent's children entry
+    at reap — :func:`_cpu_delta` needs both to avoid re-counting the
+    pre-interval lifetime. /proc-based (Linux), one pass over
+    /proc/*/stat; returns {} where /proc is absent."""
     import glob
 
     try:
         tick = os.sysconf("SC_CLK_TCK")
     except (ValueError, OSError, AttributeError):
         return {}
-    info: dict[int, tuple[int, int]] = {}
+    info: dict[int, tuple[int, int, int]] = {}
     for stat in glob.glob("/proc/[0-9]*/stat"):
         try:
             with open(stat) as fh:
@@ -68,45 +72,56 @@ def _tree_cpu_snapshot() -> dict[int, float]:
             f = rest.split()
             # after ')': state ppid ... utime(11) stime(12) cutime(13)
             # cstime(14); cutime/cstime cover short-lived reaped workers
-            info[int(pid_s)] = (int(f[1]),
-                                int(f[11]) + int(f[12])
-                                + int(f[13]) + int(f[14]))
+            info[int(pid_s)] = (int(f[1]), int(f[11]) + int(f[12]),
+                                int(f[13]) + int(f[14]))
         except (ValueError, IndexError):
             continue
     kids: dict[int, list[int]] = {}
-    for pid, (ppid, _t) in info.items():
+    for pid, (ppid, _s, _c) in info.items():
         kids.setdefault(ppid, []).append(pid)
-    snap: dict[int, float] = {}
+    snap: dict[int, tuple[float, float]] = {}
     stack = [os.getpid()]
     while stack:
         p = stack.pop()
         if p in snap or p not in info:
             continue
-        snap[p] = info[p][1] / tick
+        snap[p] = (info[p][1] / tick, info[p][2] / tick)
         stack.extend(kids.get(p, []))
     return snap
 
 
-def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
-    """CPU seconds burned between two snapshots, diffed PID-WISE with
-    each per-PID delta clamped at 0 (r11 verdict item 2). The old
-    tree-SUM diff went negative by tens of seconds: a pyspark worker
-    counted live in the before-sum exits mid-query and is reaped by a
-    re-parented ancestor OUTSIDE the walked tree, so its CPU vanishes
-    from the after-sum (committed r11: l2d -6.73s; reproduced: l25
-    -19.58s). Per PID: present in both → max(0, delta); only in after →
-    its full total (it started inside the interval); only in before →
-    0 (its burn since the snapshot is unobservable — a bounded
-    undercount, never a negative)."""
-    return sum(max(0.0, cpu - before.get(pid, 0.0))
-               for pid, cpu in after.items())
+def _cpu_delta(before: dict[int, tuple[float, float]],
+               after: dict[int, tuple[float, float]]) -> float:
+    """CPU seconds burned between two snapshots, never negative (r11
+    verdict item 2) and not double-counting reaped lifetimes (r12
+    review). The old tree-SUM diff went negative when a worker was
+    reaped OUTSIDE the walked tree (committed r11: l2d -6.73s); a naive
+    per-PID clamp of combined self+children went the other way — a
+    worker reaped by an IN-TREE parent bumps the parent's cutime by the
+    child's whole lifetime, over-counting its pre-interval burn.
+
+    Accounting: per-PID clamped SELF deltas (a vanished PID's unobserved
+    tail burn contributes 0; a new PID its full total — it started
+    inside the interval), plus the clamped total CHILDREN delta
+    COMPENSATED by the before-snapshot self CPU of every vanished PID:
+    an in-tree reap adds the child's lifetime to some parent's children
+    counter, and the part of that lifetime already visible before the
+    interval is exactly the vanished self total. Out-of-tree reaps leave
+    the children term at 0 and the compensation clamps away — a bounded
+    undercount, never a negative."""
+    self_d = sum(max(0.0, s - before.get(pid, (0.0, 0.0))[0])
+                 for pid, (s, _c) in after.items())
+    kid_d = sum(max(0.0, c - before.get(pid, (0.0, 0.0))[1])
+                for pid, (_s, c) in after.items())
+    vanished = sum(s for pid, (s, _c) in before.items() if pid not in after)
+    return self_d + max(0.0, kid_d - vanished)
 
 
 def _tree_cpu_seconds() -> float:
     """Whole-tree cumulative CPU seconds (sum of the per-PID snapshot) —
     monotone while the tree is stable; per-query deltas go through
     :func:`_cpu_delta`, never through diffs of this sum."""
-    return sum(_tree_cpu_snapshot().values())
+    return sum(s + c for s, c in _tree_cpu_snapshot().values())
 
 
 def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
@@ -406,35 +421,45 @@ def _emit(out: dict, detail: dict, detail_path: str | None = None) -> str:
     ``_LINE_BUDGET`` bytes: optional fields shed first, then — the
     never-expected last resort — the fastest queries are dropped from
     the per-query map with a ``queries_omitted`` count, so the driver
-    always parses ``value`` even if the registry triples."""
+    always parses ``value`` even if the registry triples. The budget is
+    measured in ENCODED BYTES (the driver's tail is byte-based; a char
+    count under-measures any non-ASCII content), and the sidecar's
+    ``line_fields`` manifest records the POST-shed key set — what the
+    driver could actually parse (r12 review)."""
+    def fits(o: dict) -> "str | None":
+        line = json.dumps(o, separators=(",", ":"))
+        return line if len(line.encode("utf-8")) <= _LINE_BUDGET else None
+
+    final = dict(out)
+    line = fits(final)
+    if line is None:
+        for key in _SHEDDABLE:
+            final.pop(key, None)
+            line = fits(final)
+            if line is not None:
+                break
+    if line is None:
+        q = dict(final.get("queries", {}))
+        final["queries_omitted"] = 0
+        for name in sorted(q, key=q.get):  # shed fastest first
+            del q[name]
+            final["queries"] = q
+            final["queries_omitted"] += 1
+            line = fits(final)
+            if line is not None:
+                break
+    if line is None:  # bare headline fields; structurally under budget
+        line = json.dumps(final, separators=(",", ":"))
+
     detail_path = detail_path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
-            json.dump(dict(detail, line_fields=sorted(out)), fh, indent=1)
+            json.dump(dict(detail, line_fields=sorted(final)), fh, indent=1)
         print(f"full telemetry -> {detail_path}", file=sys.stderr)
     except OSError as ex:  # sidecar is best-effort; the line is the contract
         print(f"sidecar write failed ({ex}); detail lost", file=sys.stderr)
-
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) <= _LINE_BUDGET:
-        return line
-    out = dict(out)
-    for key in _SHEDDABLE:
-        out.pop(key, None)
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= _LINE_BUDGET:
-            return line
-    q = dict(out.get("queries", {}))
-    out["queries_omitted"] = 0
-    for name in sorted(q, key=q.get):  # shed fastest first
-        del q[name]
-        out["queries"] = q
-        out["queries_omitted"] += 1
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= _LINE_BUDGET:
-            return line
-    return line  # bare headline fields; structurally under budget
+    return line
 
 
 if __name__ == "__main__":

@@ -157,7 +157,16 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
         typed = flows.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
         pq_writer(with_partition_columns(typed, "ts"), batch_id)
         if ch_writer is not None:
-            ch_writer(typed, batch_id)
+            # the JDBC sink has no type mapping for map/array columns
+            # (decode_strings=true adds str_ies/list_ies), so sending
+            # them killed every micro-batch (r12 review): the parquet
+            # leg keeps the full surface, the ClickHouse leg ships the
+            # scalar columns (app_name included)
+            complex_cols = [f.name for f in typed.schema.fields
+                            if f.dataType.typeName() in
+                            ("map", "array", "struct")]
+            ch_writer(typed.drop(*complex_cols) if complex_cols else typed,
+                      batch_id)
 
     return stream_flow_files(
         spark, capture_source_glob(cfg.capture_dir), deliver, cfg.checkpoint,

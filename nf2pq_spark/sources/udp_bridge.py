@@ -189,6 +189,10 @@ class UdpCaptureBridge:
                     try:
                         self._finalize(src_ip)
                     except OSError as ex2:
+                        # two distinct failures, two counted errors —
+                        # every other finalize-failure path increments
+                        # the counter a monitor alerts on (r12 review)
+                        self.write_errors += 1
                         self.last_error = ex2
 
     def start(self) -> "UdpCaptureBridge":

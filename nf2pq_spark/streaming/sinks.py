@@ -169,10 +169,12 @@ def _fs_salt_via_hadoop(checkpoint: str) -> str | None:
     filesystem, resolved exactly as Spark resolves the checkpoint path
     itself (Hadoop FS API through the active session — fs.defaultFS
     applies to scheme-less paths, hdfs://s3a:// go remote, file: stays
-    local). First writer wins via create-no-overwrite; a lost race reads
-    the winner's salt. Returns None when no session/JVM is reachable or
-    the filesystem op fails — callers then fall back to the local-path /
-    URI-hash logic."""
+    local). Installed atomically: write-to-tmp then rename, so a crash
+    mid-install leaves only a .tmp, never a visible empty salt (r12
+    review); on HDFS rename refuses an existing destination, so the
+    first writer wins and a lost race reads the winner's salt. Returns
+    None when no session/JVM is reachable or the filesystem op fails —
+    callers then fall back to the local-path / URI-hash logic."""
     try:
         from pyspark.sql import SparkSession
 
@@ -186,17 +188,27 @@ def _fs_salt_via_hadoop(checkpoint: str) -> str | None:
         if not fs.exists(salt_path):
             import uuid
 
-            fresh = uuid.uuid4().hex[:12].encode("ascii")
+            fresh = uuid.uuid4().hex[:12]
             try:
-                out = fs.create(salt_path, False)  # no overwrite:
-                try:                               # first writer wins
-                    out.write(bytearray(fresh))
+                # write-to-tmp + rename: fs.create(salt, False) made
+                # the salt VISIBLE before its bytes landed, so a crash
+                # in that window installed a permanently empty file —
+                # and a concurrent reader resolved '' to the URI-hash
+                # space while later restarts used the real salt:
+                # divergent token spaces, double inserts (r12 review)
+                tmp = jvm.org.apache.hadoop.fs.Path(
+                    jpath, f"nf2pq_dedup_salt.{fresh}.tmp")
+                out = fs.create(tmp, True)
+                try:
+                    out.write(bytearray(fresh.encode("ascii")))
                 finally:
                     out.close()
+                if not fs.rename(tmp, salt_path):
+                    fs.delete(tmp, False)  # lost the race: read winner
             except Exception:
-                # lost the create race (or mid-write failure): read
-                # whatever the winner installed; an unreadable/empty
-                # result degrades to the callers' fallback below
+                # filesystem refused: read whatever exists; an
+                # unreadable/empty result degrades to the callers'
+                # fallback below
                 pass
         stream = fs.open(salt_path)
         try:

@@ -151,16 +151,35 @@ def test_cpu_delta_clamps_disappearing_pid():
     """r11 verdict item 2: a PID counted in the before-snapshot that is
     gone at the after-snapshot (worker exited, reaped outside the walked
     tree) must contribute 0 — the old tree-sum diff went NEGATIVE by the
-    vanished PID's whole cumulative CPU (committed r11: l2d -6.73s)."""
-    before = {1: 10.0, 2: 30.0, 3: 5.0}
-    after = {1: 12.5, 3: 5.0}  # pid 2 vanished with 30s on the clock
+    vanished PID's whole cumulative CPU (committed r11: l2d -6.73s).
+    Snapshots are per-PID (self, reaped-children) pairs."""
+    before = {1: (10.0, 0.0), 2: (30.0, 0.0), 3: (5.0, 0.0)}
+    after = {1: (12.5, 0.0), 3: (5.0, 0.0)}  # pid 2 vanished out-of-tree
     d = bench._cpu_delta(before, after)
     assert d == 2.5  # old sum-diff: (12.5+5.0)-(10+30+5) = -27.5
     # new pid: its full total counts (it started inside the interval)
-    assert bench._cpu_delta(before, {**after, 9: 1.5}) == 4.0
+    assert bench._cpu_delta(before, {**after, 9: (1.5, 0.0)}) == 4.0
     # per-PID counter regression (proc reuse/rollover) clamps at 0 too
-    assert bench._cpu_delta({1: 10.0}, {1: 8.0}) == 0.0
+    assert bench._cpu_delta({1: (10.0, 0.0)}, {1: (8.0, 0.0)}) == 0.0
     assert bench._cpu_delta({}, {}) == 0.0
+
+
+def test_cpu_delta_compensates_in_tree_reap():
+    """r12 review: a worker reaped by an IN-TREE parent bumps the
+    parent's cutime by the child's WHOLE lifetime — the naive clamped
+    per-PID diff of combined self+children then over-counted the
+    child's pre-interval burn (verified repro: 33.0 where the true
+    interval burn is 3.0). The split accounting compensates the
+    children delta by the vanished PIDs' before-snapshot self CPU."""
+    # parent 100 (self 10), child 200 alive with 30s self at 'before';
+    # child burns 2s more, exits, parent reaps (+32 children) and burns
+    # 1s itself -> true interval burn is 1 + 2 = 3
+    before = {100: (10.0, 0.0), 200: (30.0, 0.0)}
+    after = {100: (11.0, 32.0)}
+    assert bench._cpu_delta(before, after) == 3.0
+    # same child vanishing WITHOUT an in-tree reap (r11's negative-delta
+    # shape): compensation clamps to 0, parent's own burn survives
+    assert bench._cpu_delta(before, {100: (11.0, 0.0)}) == 1.0
 
 
 def test_cpu_delta_nonnegative_with_dying_child():

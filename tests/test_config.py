@@ -299,3 +299,66 @@ checkpoint = {ckpt}
         assert rows[i].str_ies == {96: f"svc{i}"}
         assert rows[i].list_ies == {7: [10 * i, 10 * i + 1]}
         assert rows[i].ibyt == 100  # fixed fields around the varlens
+
+
+def test_clickhouse_leg_drops_complex_columns(spark, tmp_path, monkeypatch):
+    """decode_strings=true + a [clickhouse] section (r12 review): the
+    JDBC sink has no type mapping for map/array columns, so shipping
+    str_ies/list_ies killed every micro-batch. The ClickHouse leg must
+    receive only the scalar columns (app_name included); the parquet
+    leg keeps the full surface."""
+    import os
+
+    from nf2pq_spark.sources.ipfix import (_VARLEN, encode_basiclist,
+                                           encode_ipfix,
+                                           write_capture_file)
+    from nf2pq_spark.streaming import sinks as sinks_mod
+
+    delivered = []
+
+    def fake_jdbc_writer(url, table, properties=None,
+                         dedup_token_prefix=None):
+        def write_batch(batch_df, batch_id):
+            delivered.append(batch_df)
+        return write_batch
+
+    monkeypatch.setattr(sinks_mod, "jdbc_batch_writer", fake_jdbc_writer)
+
+    cap = tmp_path / "caps"
+    os.makedirs(cap)
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN), (6, 1), (2, 4), (291, _VARLEN),
+              (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    flows = [{"sa_int": 10, "da_int": 2, "sp": 1, "dp": 80, "pr": 6,
+              "flg": 16, "app": "svc", "blist": encode_basiclist(7, 2, [9]),
+              "ipkt": 1, "ibyt": 100, "ts_ms": 1_700_000_000_000,
+              "te_ms": 1_700_000_000_500, "sas": 0, "das": 0}]
+    write_capture_file(str(cap / "cap_0.bin"),
+                       encode_ipfix(flows, template_fields=fields,
+                                    template_id=351))
+    conf = tmp_path / "nf2pq.conf"
+    conf.write_text("""
+[collector]
+capture_dir = {cap}
+decode_strings = true
+
+[parquet]
+path = {out}
+checkpoint = {ckpt}
+
+[clickhouse]
+url = jdbc:clickhouse://nowhere:8123/flows
+table = flows
+""".format(cap=cap, out=tmp_path / "flows", ckpt=tmp_path / "ckpt"))
+
+    cfg = load_config(str(conf))
+    q = run_collector(spark, cfg, available_now=True)
+    q.awaitTermination()
+
+    assert delivered, "the ClickHouse leg never ran"
+    ch_cols = set(delivered[0].columns)
+    assert "str_ies" not in ch_cols and "list_ies" not in ch_cols
+    assert "app_name" in ch_cols and "sa" in ch_cols
+    # the parquet leg keeps the full surface
+    out = spark.read.parquet(str(tmp_path / "flows"))
+    assert {"str_ies", "list_ies", "app_name"} <= set(out.columns)
