@@ -1485,3 +1485,309 @@ def test_varlen_basiclist_model_differential_property():
             assert r[9] == 1000 + i and r[0] == 1_700_000_000_000 + i
 
     check()
+
+
+# -- RFC 7011 §3.4.1 enterprise-numbered field specs (r13) ---------------
+#
+# A template field spec with bit 15 of the field id set is EIGHT bytes (a
+# 4-byte enterprise number follows). Reading it as a fixed 4-byte pair
+# misaligned the whole remaining field walk — every subsequent field's
+# layout was garbage and data records decoded silently wrong (the r12
+# verdict's one wrong-answer path on RFC-valid input). PEN fields now
+# decode AROUND: bytes consumed, keys disjoint, values never surfaced.
+
+
+def _tset_pen(tid: int, specs: list) -> bytes:
+    """Template set whose specs may be (ie, ln) or (ie, ln, pen)."""
+    from nf2pq_spark.sources.ipfix import _encode_template_record
+
+    rec = _encode_template_record(tid, specs)
+    return struct.pack(">HH", 2, 4 + len(rec)) + rec
+
+
+def test_pen_specs_align_the_field_walk_on_both_paths():
+    """PEN fields first, mid, and last in the template: the IANA fields
+    around them must decode to their exact values on the scalar AND the
+    vectorized path, and both leave identical caches keyed in the
+    disjoint PEN space."""
+    from nf2pq_spark.sources.ipfix import _pen_key
+
+    specs = [(0x123, 4, 9), (7, 2), (0x77, 3, 29305), (11, 2),
+             (1, 8), (0x55, 16, 9)]
+    payload = (b"\xde\xad\xbe\xef" + struct.pack(">H", 111)
+               + b"\x01\x02\x03" + struct.pack(">H", 222)
+               + struct.pack(">Q", 4242) + b"\xff" * 16)
+    m = _ipfix_msg(_tset_pen(300, specs), _dset(300, payload * 2))
+    t1: dict = {}
+    rows = _decode_ipfix(m, "e1", t1)
+    assert len(rows) == 2
+    for r in rows:
+        assert r[4] == 111 and r[5] == 222 and r[9] == 4242  # sp, dp, ibyt
+    assert t1[("e1", 300)] == [
+        (_pen_key(9, 0x123), 4), (7, 2), (_pen_key(29305, 0x77), 3),
+        (11, 2), (1, 8), (_pen_key(9, 0x55), 16)]
+    got = _vec_rows(m, t2 := {})
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(rows)
+    assert t1 == t2
+
+
+def test_pen_template_stays_on_the_vectorized_path():
+    """Vendor IEs must not knock a message off the frombuffer fast path:
+    PEN fields of ANY fixed width ride as opaque padding columns."""
+    import numpy as np
+
+    from nf2pq_spark.sources.ipfix import (_np_dtype_for, _pen_key,
+                                           _VecAccumulator,
+                                           _decode_templated_vec)
+
+    fields = [(_pen_key(9, 0x123), 4), (7, 2), (_pen_key(29305, 0x77), 3),
+              (1, 8)]
+    dt = _np_dtype_for(fields)
+    assert dt is not None and dt.itemsize == 4 + 2 + 3 + 8
+    assert dt["p0"] == np.dtype("V4") and dt["p2"] == np.dtype("V3")
+    # and the whole message goes through the accumulator (no scalar
+    # fallback frames returned)
+    m = _ipfix_msg(_tset_pen(300, [(0x123, 4, 9), (7, 2)]),
+                   _dset(300, b"\x00" * 4 + struct.pack(">H", 7)))
+    acc = _VecAccumulator()
+    fallback = _decode_templated_vec(m, "e1", {}, acc)
+    assert fallback == []
+    frames = [f for f in acc.frames() if len(f)]
+    assert len(frames) == 1 and frames[0]["sp"].iloc[0] == 7
+
+
+def test_pen_varlen_value_consumed_not_surfaced():
+    """A PEN varlen field's §7-prefixed bytes are walked past; its value
+    never lands in str_ies (int32 map keys cannot carry a PEN key), and
+    IANA varlen strings on both sides still surface correctly."""
+    from nf2pq_spark.sources.ipfix import _VARLEN, encode_ipfix
+
+    fields = [(7, 2), (96, _VARLEN), (0x321, _VARLEN, 9), (11, 2),
+              (94, _VARLEN), (1, 4)]
+    flows = [{"sp": 5, "app": "alpha", "e9_801": "VENDORJUNK" * 30,
+              "dp": 6, "desc": "beta", "ibyt": 99}]
+    msgs = encode_ipfix(flows, template_fields=fields, template_id=402)
+    tmpl: dict = {}
+    rows = [r for m in msgs
+            for r in _decode_ipfix(m, "e1", tmpl, strings=True)]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r[4] == 5 and r[5] == 6 and r[9] == 99
+    assert r[13] == "alpha" and r[14] == {96: "alpha", 94: "beta"}
+
+
+def test_v9_bit15_type_is_a_plain_4_byte_spec():
+    """RFC 3954 has no enterprise mechanism: a v9 field type with bit 15
+    set is a plain vendor type id — the spec stays 4 bytes and the walk
+    must NOT consume extra bytes (only the IPFIX parsers do)."""
+    fields = [(0x8123, 4), (7, 2)]
+    payload = b"\xde\xad\xbe\xef" + struct.pack(">H", 314)
+    m = _v9_msg(_v9_tset(301, fields),
+                struct.pack(">HH", 301, 4 + len(payload)) + payload)
+    t1: dict = {}
+    rows = _decode_v9(m, "e1", t1)
+    assert len(rows) == 1 and rows[0][4] == 314
+    assert t1[("e1", 301)] == [(0x8123, 4), (7, 2)]
+    got = _vec_rows(m, t2 := {})
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(
+        tuple(r) for r in rows)
+    assert t1 == t2
+
+
+def test_options_template_pen_specs_align():
+    """PEN specs in an OPTIONS template (same §3.4.1 rule) must not
+    misalign the sampling-config fields that follow them."""
+    from nf2pq_spark.sources.ipfix import (_decode_ipfix_options,
+                                           _parse_options_templates,
+                                           _pen_key)
+
+    # options template set (id 3): tid, n_fields, n_scope, then specs:
+    # scope = obs domain (149,4); options = PEN(9, 0x42) 4 bytes +
+    # samplingInterval (34,4)
+    rec = struct.pack(">HHH", 420, 3, 1)
+    rec += struct.pack(">HH", 149, 4)
+    rec += struct.pack(">HHI", 0x8000 | 0x42, 4, 9)
+    rec += struct.pack(">HH", 34, 4)
+    tset = struct.pack(">HH", 3, 4 + len(rec)) + rec
+    data = struct.pack(">III", 7, 0xAAAAAAAA, 1000)
+    m = _ipfix_msg(tset, _dset(420, data))
+    cache: dict = {}
+    _parse_options_templates(m, "e1", cache)
+    assert cache[("e1", 420)] == [(149, 4), (_pen_key(9, 0x42), 4),
+                                  (34, 4)]
+    out = _decode_ipfix_options(m, "e1", cache)
+    assert out == [("e1", 7, 1000, 0, "")]
+
+
+def test_v10_record_count_with_pen_template():
+    """Sequence accounting: a PEN template's record width must include
+    the PEN field widths (the misaligned walk also corrupted rec_len)."""
+    from nf2pq_spark.sources.ipfix import _v10_record_count
+
+    specs = [(0x123, 4, 9), (7, 2)]
+    payload = (b"\x00" * 6) * 3
+    m = _ipfix_msg(_tset_pen(300, specs), _dset(300, payload))
+    assert _v10_record_count(m, "e1", {}) == 3
+
+
+def test_scalar_vectorized_differential_draws_pen_fields():
+    """The r12 differential property, PEN edition: random templates
+    interleaving IANA and enterprise specs (random PENs, random widths
+    incl. the V-padding exotics) — scalar and vectorized must agree on
+    rows AND caches for every draw."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    iana = st.tuples(
+        st.sampled_from([1, 2, 4, 7, 8, 11, 12, 16, 17, 152, 153, 100]),
+        st.sampled_from([1, 2, 3, 4, 6, 8, 16]))
+    pen = st.tuples(st.integers(0, 0x7FFF),
+                    st.sampled_from([1, 2, 3, 4, 6, 8, 16]),
+                    st.sampled_from([9, 29305, 3729, 0xFFFFFFFF]))
+    fields_s = st.lists(iana | pen, min_size=1, max_size=6).filter(
+        lambda fs: any(len(f) == 3 for f in fs))
+
+    @given(fields=fields_s, n_recs=st.integers(0, 3), data=st.data())
+    @settings(max_examples=200, deadline=None)
+    def run(fields, n_recs, data):
+        rec_len = sum(f[1] for f in fields)
+        payload = data.draw(st.binary(min_size=rec_len * n_recs,
+                                      max_size=rec_len * n_recs))
+        m = _ipfix_msg(_tset_pen(300, fields),
+                       struct.pack(">HH", 300, 4 + len(payload)) + payload)
+        rows, got, teq = _both(m)
+        assert teq
+        assert rows == got
+
+    run()
+
+
+# -- RFC 6313 subTemplateList / subTemplateMultiList (r13) ---------------
+
+
+def _stl_flows_msg(fields, flows, extra_templates, tid=403):
+    from nf2pq_spark.sources.ipfix import encode_ipfix
+
+    return encode_ipfix(flows, template_fields=fields, template_id=tid,
+                        extra_templates=extra_templates)
+
+
+def test_subtemplatelist_roundtrip_columnwise():
+    """An stl of (sp, ibyt) sub-records surfaces column-wise in list_ies
+    keyed by element IE, and fixed fields after the list keep decoding."""
+    from nf2pq_spark.sources.ipfix import (_VARLEN, _decode_ipfix,
+                                           encode_subtemplatelist)
+
+    sub = [(7, 2), (1, 4)]
+    recs = [{7: 10, 1: 100}, {7: 20, 1: 200}, {7: 30, 1: 300}]
+    fields = [(4, 1), (292, _VARLEN), (2, 4)]
+    flows = [{"pr": 6, "stl": encode_subtemplatelist(340, sub, recs),
+              "ipkt": 55}]
+    msgs = _stl_flows_msg(fields, flows, [(340, sub)])
+    tmpl: dict = {}
+    rows = [r for m in msgs
+            for r in _decode_ipfix(m, "e1", tmpl, strings=True)]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r[6] == 6 and r[8] == 55  # pr, ipkt (after the list)
+    assert r[15] == {7: [10, 20, 30], 1: [100, 200, 300]}
+    assert r[13] is None and r[14] is None  # no varlen strings
+
+
+def test_subtemplatemultilist_segments_concatenate():
+    """stml: same-template segments concatenate in wire order; segments
+    of a second template surface side by side; a segment whose template
+    is unknown is skipped whole (never the record)."""
+    from nf2pq_spark.sources.ipfix import (_VARLEN, _decode_ipfix,
+                                           encode_subtemplatemultilist)
+
+    subA, subB = [(11, 2)], [(2, 4)]
+    stml = encode_subtemplatemultilist([
+        (341, subA, [{11: 1}, {11: 2}]),
+        (342, subB, [{2: 9}]),
+        (999, [(5, 1)], [{5: 1}]),     # never announced -> skipped
+        (341, subA, [{11: 3}]),
+    ])
+    fields = [(4, 1), (293, _VARLEN), (1, 4)]
+    flows = [{"pr": 17, "stml": stml, "ibyt": 77}]
+    msgs = _stl_flows_msg(fields, flows, [(341, subA), (342, subB)])
+    tmpl: dict = {}
+    rows = [r for m in msgs
+            for r in _decode_ipfix(m, "e1", tmpl, strings=True)]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r[6] == 17 and r[9] == 77
+    assert r[15] == {11: [1, 2, 3], 2: [9]}
+
+
+def test_subtemplatelist_unknown_template_skips_field_not_record():
+    from nf2pq_spark.sources.ipfix import (_VARLEN, _decode_ipfix,
+                                           encode_subtemplatelist)
+
+    fields = [(7, 2), (292, _VARLEN), (1, 4)]
+    flows = [{"sp": 8, "stl": encode_subtemplatelist(350, [(11, 2)],
+                                                     [{11: 4}]),
+              "ibyt": 12}]
+    msgs = _stl_flows_msg(fields, flows, [])  # 350 never announced
+    tmpl: dict = {}
+    rows = [r for m in msgs
+            for r in _decode_ipfix(m, "e1", tmpl, strings=True)]
+    assert len(rows) == 1
+    assert rows[0][4] == 8 and rows[0][9] == 12
+    assert rows[0][15] is None
+
+
+def test_subtemplate_pen_and_varlen_columns_walked_around():
+    """Sub-records may carry PEN and varlen fields: their widths are
+    honored (no misalignment of later columns) but only the 1-8-byte
+    IANA ints surface."""
+    from nf2pq_spark.sources.ipfix import (_decode_subrecords, _pen_key,
+                                           _VARLEN)
+
+    sub = [(_pen_key(9, 5), 3), (7, 2), (96, _VARLEN), (1, 4)]
+    b = (b"\x01\x02\x03" + struct.pack(">H", 42)
+         + bytes([3]) + b"abc" + struct.pack(">I", 1000)
+         + b"\x04\x05\x06" + struct.pack(">H", 43)
+         + bytes([0]) + struct.pack(">I", 2000))
+    out = _decode_subrecords(b, 0, len(b), sub)
+    assert out == {7: [42, 43], 1: [1000, 2000]}
+
+
+def test_subrecords_ragged_tail_truncates():
+    from nf2pq_spark.sources.ipfix import _decode_subrecords
+
+    b = struct.pack(">HH", 1, 2) + b"\x00"  # 1.5 records of [(7,2)]... 
+    out = _decode_subrecords(b, 0, len(b), [(7, 2)])
+    assert out == {7: [1, 2]}
+
+
+def test_subrecords_unsupported_shapes_return_none():
+    from nf2pq_spark.sources.ipfix import (_decode_subrecords, _pen_key,
+                                           _VARLEN)
+
+    # nothing surfaceable: all PEN / all wide / degenerate zero-width
+    assert _decode_subrecords(b"\x00" * 8, 0, 8,
+                              [(_pen_key(9, 5), 4)]) is None
+    assert _decode_subrecords(b"\x00" * 32, 0, 32, [(27, 16)]) is None
+    assert _decode_subrecords(b"", 0, 0, [(7, 0)]) is None
+
+
+def test_subtemplatemultilist_malformed_segment_header_stops():
+    """A segment length < 4 cannot advance — stop the walk, keep what
+    decoded (never spin, never kill the record)."""
+    from nf2pq_spark.sources.ipfix import _parse_subtemplatemultilist
+
+    good = struct.pack(">HH", 341, 4 + 2) + struct.pack(">H", 6)
+    bad = struct.pack(">HH", 341, 2)  # length 2 < 4
+    b = bytes([3]) + good + bad + good
+    tmpl = {("e1", 341): [(11, 2)]}
+    assert _parse_subtemplatemultilist(b, "e1", tmpl) == {11: [6]}
+
+
+def test_subtemplatelist_empty_records_surface_empty_lists():
+    from nf2pq_spark.sources.ipfix import (_parse_subtemplatelist,
+                                           encode_subtemplatelist)
+
+    b = encode_subtemplatelist(340, [(7, 2)], [])
+    tmpl = {("e1", 340): [(7, 2)]}
+    assert _parse_subtemplatelist(b, "e1", tmpl) == {7: []}
