@@ -1660,13 +1660,17 @@ def _varlen_app(eid: int) -> str:
 
 def _varlen_fixture_dir(spark, sf_dir: str, out_prefix: str,
                         fields: list, template_id: int,
-                        string_fns: dict) -> str:
-    """Shared capture synthesis for the varlen fixtures (s6m/s6n — r12
-    review: the two builders were near-verbatim copies): pack the
-    events table executor-side into per-bucket IPFIX captures whose
-    template is ``fields``, decorating each flow with the string IEs in
-    ``string_fns`` (flow-dict key → fn(event_id) → value, derived
-    arithmetically so the oracles recompute them exactly)."""
+                        string_fns: dict,
+                        extra_templates: list | None = None) -> str:
+    """Shared capture synthesis for the varlen/PEN/structured fixtures
+    (s6m/s6n/s6o/s6p/s6q — r12 review: the builders were near-verbatim
+    copies): pack the events table executor-side into per-bucket IPFIX
+    captures whose template is ``fields`` (3-tuple specs go out in the
+    RFC 7011 §3.4.1 enterprise form), decorating each flow with the
+    extra values in ``string_fns`` (flow-dict key → fn(event_id) →
+    value, derived arithmetically so the oracles recompute them
+    exactly). ``extra_templates`` announces RFC 6313 sub-templates in
+    the same template set."""
     from .helpers import (cache_current, cache_lock, source_stamp,
                           write_cache_marker)
 
@@ -1688,7 +1692,8 @@ def _varlen_fixture_dir(spark, sf_dir: str, out_prefix: str,
                     for key, fn in string_fns.items():
                         f[key] = fn(int(eid))
                 dgrams = encode_ipfix(flows, template_fields=fields,
-                                      template_id=template_id)
+                                      template_id=template_id,
+                                      extra_templates=extra_templates)
                 write_capture_file(
                     os.path.join(out, f"cap_{bucket:05d}.bin"), dgrams)
                 return pd.DataFrame({"bucket": [bucket], "n": [len(flows)]})
@@ -1915,6 +1920,203 @@ def s6o_basiclist(spark, sf_dir):
                           lambda a, x: a + x)).alias("sum_ports"),
         F.sum(F.size(F.array_distinct(ports)).cast("long"))
          .alias("n_distinct"),
+        F.sum("ts_ms").cast("bigint").alias("sum_ts"),
+    )
+
+
+#: s6p PEN template: vendor IEs (RFC 7011 §3.4.1 enterprise bit)
+#: interleaved FIRST / MID / LAST among the standard fixed numerics, at
+#: widths the IANA path can't vectorize (3/6 bytes) plus plain 4/2 —
+#: every one must be walked AROUND (consumed, never surfaced) without
+#: misaligning a single surrounding field. Values are arbitrary
+#: deterministic ints; the oracle never references them.
+_PEN_FIELDS = [
+    (0x101, 4, 9),       # vendor 9 (cisco-class), FIRST field
+    (8, 4), (12, 4), (7, 2), (11, 2),
+    (0x102, 3, 29305),   # 3-byte vendor field mid-template
+    (4, 1), (6, 1), (2, 4), (1, 4),
+    (0x103, 6, 3729),    # 6-byte (MAC-shaped) vendor field
+    (152, 8), (153, 8), (16, 4), (17, 4),
+    (0x104, 2, 9),       # LAST field — pins the record stride
+]
+
+_PEN_VALUE_FNS = {
+    "e9_257": lambda eid: eid % 65536,          # 0x101
+    "e29305_258": lambda eid: eid % (1 << 24),  # 0x102
+    "e3729_259": lambda eid: eid % (1 << 48),   # 0x103
+    "e9_260": lambda eid: (eid * 13) % 65536,   # 0x104
+}
+
+
+def _pen_capture_dir(spark, sf_dir: str) -> str:
+    """IPFIX captures whose flow template interleaves enterprise-numbered
+    field specs (8-byte specs on the wire) among the standard fixed
+    numerics — the layout that misaligned the 4-byte field walk before
+    r13 and silently decoded wrong records."""
+    return _varlen_fixture_dir(spark, sf_dir, "/tmp/nf2pq_flows_pen",
+                               _PEN_FIELDS, 333, _PEN_VALUE_FNS)
+
+
+@register(
+    "s6p_enterprise_ies",
+    oracle=f"""
+    WITH f AS ({_FLOW_SQL})
+    SELECT pr, COUNT(*) AS n_flows,
+           CAST(SUM(sp) AS BIGINT) AS sum_sport,
+           CAST(SUM(dp) AS BIGINT) AS sum_dport,
+           CAST(SUM(ipkt) AS BIGINT) AS sum_pkts,
+           CAST(SUM(ibyt) AS BIGINT) AS sum_bytes,
+           CAST(SUM(ts_ms) AS BIGINT) AS sum_ts,
+           COUNT(DISTINCT sa) AS n_src
+    FROM f GROUP BY pr
+    """,
+    description="enterprise-numbered IEs in the flow template (RFC 7011 "
+    "§3.4.1 — r12 verdict item 1, the one wrong-answer path on "
+    "RFC-valid input): field specs with the enterprise bit are EIGHT "
+    "bytes (4-byte PEN follows), so reading them as fixed 4-byte pairs "
+    "misaligned every subsequent field and silently decoded garbage. "
+    "The fixture interleaves vendor IEs FIRST, MID (3- and 6-byte "
+    "widths), and LAST among the standard numerics; the graded "
+    "aggregates pin every IANA field on all sides of them, plus the "
+    "record stride via per-datagram record counts. Scale: PEN fields "
+    "ride the vectorized frombuffer path as opaque padding columns — "
+    "vendor IEs (routine in real deployments) never knock a message "
+    "off the fast path (pinned by unit test).",
+    tags=("S5", "S6"),
+)
+def s6p_enterprise_ies(spark, sf_dir):
+    path = _pen_capture_dir(spark, sf_dir)
+    flows = read_flow_files(spark, path)
+    return flows.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum(F.col("sp").cast("long")).alias("sum_sport"),
+        F.sum(F.col("dp").cast("long")).alias("sum_dport"),
+        F.sum("ipkt").alias("sum_pkts"),
+        F.sum("ibyt").alias("sum_bytes"),
+        F.sum("ts_ms").cast("bigint").alias("sum_ts"),
+        F.countDistinct("sa").alias("n_src"),
+    )
+
+
+#: s6q structured-data shapes: one subTemplateList (sub-template 345,
+#: two columns) with a long-form (>255-byte payload: 60 six-byte
+#: sub-records) residue class, and one subTemplateMultiList whose three
+#: segments cover two sub-templates with a repeat (346 twice — the
+#: concatenation contract). Interpolated into the s6q oracle — keep
+#: encoder + SQL in sync.
+_STL_SUB = [(7, 2), (1, 4)]     # sourceTransportPort, octetDeltaCount
+_STML_SUB_A = [(11, 2)]         # destinationTransportPort
+_STML_SUB_B = [(2, 4)]          # packetDeltaCount
+_STL_LONG_MOD = 37
+_STL_LONG_N = 60
+
+
+def _stl_payload(eid: int) -> bytes:
+    from ..sources.ipfix import encode_subtemplatelist
+
+    cnt = _STL_LONG_N if eid % _STL_LONG_MOD == 0 else eid % 3 + 1
+    recs = [{7: (eid * 5 + 11 * k) % 1024, 1: (eid + 7 * k) % 512}
+            for k in range(cnt)]
+    return encode_subtemplatelist(345, _STL_SUB, recs)
+
+
+def _stml_payload(eid: int) -> bytes:
+    from ..sources.ipfix import encode_subtemplatemultilist
+
+    seg_a = [{11: (eid * 3 + 5 * k) % 1024} for k in range(eid % 2 + 1)]
+    seg_b = [{2: (eid + k) % 100} for k in range(2)]
+    seg_c = [{11: (eid * 9) % 1024}]  # same sub-template as A: concat
+    return encode_subtemplatemultilist([
+        (346, _STML_SUB_A, seg_a),
+        (347, _STML_SUB_B, seg_b),
+        (346, _STML_SUB_A, seg_c),
+    ])
+
+
+def _subtemplate_capture_dir(spark, sf_dir: str) -> str:
+    """IPFIX captures whose flow template carries RFC 6313
+    subTemplateList (292) and subTemplateMultiList (293) IEs, with the
+    three referenced sub-templates announced in the same template set."""
+    fields = [(8, 4), (12, 4), (4, 1),
+              (292, _VARLEN),                 # subTemplateList
+              (6, 1),
+              (293, _VARLEN),                 # subTemplateMultiList
+              (2, 4), (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    return _varlen_fixture_dir(
+        spark, sf_dir, "/tmp/nf2pq_flows_stl", fields, 334,
+        {"stl": _stl_payload, "stml": _stml_payload},
+        extra_templates=[(345, _STL_SUB), (346, _STML_SUB_A),
+                         (347, _STML_SUB_B)])
+
+
+@register(
+    "s6q_subtemplate_lists",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_id AS eid,
+             CASE WHEN event_id % {_STL_LONG_MOD} = 0 THEN {_STL_LONG_N}
+                  ELSE event_id % 3 + 1 END AS cnt,
+             event_id % 2 + 1 AS cnt_a,
+             epoch_ms(ts) AS ts_ms
+      FROM events WHERE ts IS NOT NULL
+    ),
+    stl AS (
+      SELECT f.eid,
+             SUM((f.eid * 5 + 11 * g.k) % 1024) AS s_sp,
+             SUM((f.eid + 7 * g.k) % 512) AS s_bt
+      FROM f, UNNEST(generate_series(0, CAST(f.cnt - 1 AS BIGINT))) AS g(k)
+      GROUP BY f.eid
+    ),
+    stml_a AS (
+      SELECT f.eid, SUM((f.eid * 3 + 5 * g.k) % 1024) AS s_dp
+      FROM f, UNNEST(generate_series(0, CAST(f.cnt_a - 1 AS BIGINT))) AS g(k)
+      GROUP BY f.eid
+    )
+    SELECT CAST(f.cnt AS BIGINT) AS n_sub, COUNT(*) AS n_flows,
+           CAST(SUM(stl.s_sp) AS BIGINT) AS sum_sub_sport,
+           CAST(SUM(stl.s_bt) AS BIGINT) AS sum_sub_bytes,
+           CAST(SUM(stml_a.s_dp + (f.eid * 9) % 1024) AS BIGINT)
+             AS sum_sub_dport,
+           CAST(SUM(f.cnt_a + 1) AS BIGINT) AS n_sub_dport,
+           CAST(SUM((f.eid % 100) + ((f.eid + 1) % 100)) AS BIGINT)
+             AS sum_sub_pkts,
+           CAST(SUM(f.ts_ms) AS BIGINT) AS sum_ts
+    FROM f JOIN stl ON f.eid = stl.eid JOIN stml_a ON f.eid = stml_a.eid
+    GROUP BY f.cnt
+    """,
+    description="RFC 6313 subTemplateList + subTemplateMultiList (the "
+    "two structured-data siblings basicList opened in r12): the flow "
+    "template carries IE 292 — sub-records of an announced two-column "
+    "sub-template, variable count per record with a >255-byte long-form "
+    "class — and IE 293, whose three segments span two sub-templates "
+    "with a repeated one (concatenation in wire order). Sub-records "
+    "flatten column-wise into list_ies keyed by element IE; grouping by "
+    "stl length and summing every flattened column (higher-order "
+    "F.aggregate, JVM-side) pins all values, n_sub_dport pins the "
+    "cross-segment concat length, and sum_ts pins the fixed fields "
+    "after both lists. Unknown sub-templates / malformed segments skip "
+    "the field, never the record — pinned by unit tests. Scale: same "
+    "opt-in partition-parallel scalar walk as s6m-s6o.",
+    tags=("S5", "S6"),
+)
+def s6q_subtemplate_lists(spark, sf_dir):
+    path = _subtemplate_capture_dir(spark, sf_dir)
+    flows = read_flow_files(spark, path, with_strings=True)
+    sub_sp = F.col("list_ies")[7]
+    sub_bt = F.col("list_ies")[1]
+    sub_dp = F.col("list_ies")[11]
+    sub_pk = F.col("list_ies")[2]
+
+    def arr_sum(col):
+        return F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    return flows.groupBy(F.size(sub_sp).cast("long").alias("n_sub")).agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum(arr_sum(sub_sp)).alias("sum_sub_sport"),
+        F.sum(arr_sum(sub_bt)).alias("sum_sub_bytes"),
+        F.sum(arr_sum(sub_dp)).alias("sum_sub_dport"),
+        F.sum(F.size(sub_dp).cast("long")).alias("n_sub_dport"),
+        F.sum(arr_sum(sub_pk)).alias("sum_sub_pkts"),
         F.sum("ts_ms").cast("bigint").alias("sum_ts"),
     )
 

@@ -517,8 +517,12 @@ def encode_ipfix(flows: list[dict], per_packet: int = 30,
                         recs += bytes([len(b)]) + b
                 elif ln == 16:
                     recs += bytes(v)
-                else:
+                elif ln in _IE_UNPACK:
                     recs += struct.pack(_IE_UNPACK[ln], v & ((1 << (8 * ln)) - 1))
+                else:
+                    # exotic fixed widths (3/6-byte vendor fields):
+                    # big-endian, the decoder's int.from_bytes twin
+                    recs += int(v & ((1 << (8 * ln)) - 1)).to_bytes(ln, "big")
         data_set = struct.pack(">HH", template_id, 4 + len(recs)) + recs
         body = (tmpl_set if msg_i % template_every == 0 else b"") + data_set
         header = struct.pack(">HHIII", 10, 16 + len(body), export_time,
