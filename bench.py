@@ -103,17 +103,22 @@ def _cpu_delta(before: dict[int, tuple[float, float]],
     Accounting: per-PID clamped SELF deltas (a vanished PID's unobserved
     tail burn contributes 0; a new PID its full total — it started
     inside the interval), plus the clamped total CHILDREN delta
-    COMPENSATED by the before-snapshot self CPU of every vanished PID:
-    an in-tree reap adds the child's lifetime to some parent's children
-    counter, and the part of that lifetime already visible before the
-    interval is exactly the vanished self total. Out-of-tree reaps leave
-    the children term at 0 and the compensation clamps away — a bounded
-    undercount, never a negative."""
+    COMPENSATED by the full before-snapshot total (self + children) of
+    every vanished PID: an in-tree reap adds the child's whole lifetime
+    — INCLUDING the grandchildren it had itself reaped, which Linux
+    rolls cutime-into-cutime — to some parent's children counter, and
+    the part of that lifetime already visible before the interval is
+    the vanished PID's self+children total (self alone re-counted a
+    mid-interval-exiting pyspark daemon's pre-interval cutime; r12
+    advice). Out-of-tree reaps leave the children term at 0 and the
+    compensation clamps away — a bounded undercount, never a
+    negative."""
     self_d = sum(max(0.0, s - before.get(pid, (0.0, 0.0))[0])
                  for pid, (s, _c) in after.items())
     kid_d = sum(max(0.0, c - before.get(pid, (0.0, 0.0))[1])
                 for pid, (_s, c) in after.items())
-    vanished = sum(s for pid, (s, _c) in before.items() if pid not in after)
+    vanished = sum(s + c for pid, (s, c) in before.items()
+                   if pid not in after)
     return self_d + max(0.0, kid_d - vanished)
 
 

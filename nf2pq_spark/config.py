@@ -51,6 +51,12 @@ class ClickHouseConfig:
     table: str
     user: str | None = None
     password: str | None = None
+    #: explicit insert column list (``columns = sa, da, ..`` in
+    #: [clickhouse]); None pins the STABLE base flow surface — see
+    #: run_collector. The insert column set must mirror the server
+    #: table's DDL, so it is configuration, never an artifact of which
+    #: decode options happen to be on (r12 advice).
+    columns: tuple[str, ...] | None = None
 
     @property
     def jdbc_properties(self) -> dict:
@@ -88,9 +94,12 @@ def load_config(path: str) -> CollectorConfig:
     ch = None
     if cp.has_section("clickhouse"):
         c = cp["clickhouse"]
+        cols = c.get("columns")
         ch = ClickHouseConfig(
             url=c["url"], table=c["table"],
             user=c.get("user"), password=c.get("password"),
+            columns=(tuple(s.strip() for s in cols.split(",") if s.strip())
+                     or None) if cols else None,
         )
     return CollectorConfig(
         capture_dir=coll["capture_dir"],
@@ -153,20 +162,48 @@ def run_collector(spark: SparkSession, cfg: CollectorConfig,
     pq_writer = idempotent_parquet_batch_writer(
         cfg.parquet_path, partition_by=["date", "hour"])
 
+    # The ClickHouse insert column set is PINNED, never derived from
+    # which decode options are on: dropping complex columns by TYPE
+    # made `decode_strings` toggle the insert list (app_name appeared/
+    # disappeared), so inserts into a table created under the other
+    # setting failed at runtime instead of at config load (r12 advice).
+    # Default = the stable base flow surface (FLOW_SCHEMA + ts);
+    # shipping more (app_name after migrating the server table) is an
+    # explicit `columns = ...` line in [clickhouse]. Validated here,
+    # at stream build, not per batch.
+    from .sources.ipfix import FLOW_SCHEMA, FLOW_STR_SCHEMA
+
+    available = [f.name for f in
+                 (FLOW_STR_SCHEMA if cfg.decode_strings
+                  else FLOW_SCHEMA).fields] + ["ts"]
+    ch_cols = (list(cfg.clickhouse.columns) if cfg.clickhouse
+               and cfg.clickhouse.columns
+               else [f.name for f in FLOW_SCHEMA.fields] + ["ts"])
+    if ch_writer is not None:
+        missing = [c for c in ch_cols if c not in available]
+        if missing:
+            raise ValueError(
+                f"[clickhouse] columns not in the decoded surface "
+                f"(decode_strings={cfg.decode_strings}): {missing}")
+        complex_named = [
+            f.name for f in FLOW_STR_SCHEMA.fields
+            if f.name in ch_cols
+            and f.dataType.typeName() in ("map", "array", "struct")]
+        if complex_named:
+            raise ValueError(
+                f"[clickhouse] columns include map/array types the JDBC "
+                f"sink cannot insert: {complex_named}")
+
     def deliver(flows: DataFrame, batch_id: int) -> None:
         typed = flows.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
         pq_writer(with_partition_columns(typed, "ts"), batch_id)
         if ch_writer is not None:
-            # the JDBC sink has no type mapping for map/array columns
-            # (decode_strings=true adds str_ies/list_ies), so sending
-            # them killed every micro-batch (r12 review): the parquet
-            # leg keeps the full surface, the ClickHouse leg ships the
-            # scalar columns (app_name included)
-            complex_cols = [f.name for f in typed.schema.fields
-                            if f.dataType.typeName() in
-                            ("map", "array", "struct")]
-            ch_writer(typed.drop(*complex_cols) if complex_cols else typed,
-                      batch_id)
+            # the parquet leg keeps the full surface; the ClickHouse
+            # leg ships exactly the pinned columns (the JDBC sink also
+            # has no type mapping for map/array columns — a pinned list
+            # naming one fails the build-time check against the DDL'd
+            # table rather than killing micro-batches)
+            ch_writer(typed.select(*ch_cols), batch_id)
 
     return stream_flow_files(
         spark, capture_source_glob(cfg.capture_dir), deliver, cfg.checkpoint,

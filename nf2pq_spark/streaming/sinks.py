@@ -204,7 +204,26 @@ def _fs_salt_via_hadoop(checkpoint: str) -> str | None:
                 finally:
                     out.close()
                 if not fs.rename(tmp, salt_path):
-                    fs.delete(tmp, False)  # lost the race: read winner
+                    # a false rename is EITHER a lost race (salt now
+                    # exists — read the winner) or a transient remote-FS
+                    # refusal. Deleting tmp on the latter silently
+                    # degraded THIS run to the URI-hash token space
+                    # while later restarts used a persisted salt —
+                    # divergent token spaces across the failure
+                    # boundary, exactly the replay-dedup hole the salt
+                    # closes (r12 advice). Retry before giving up; only
+                    # a confirmed winner justifies dropping tmp — on
+                    # persistent refusal tmp stays behind as evidence
+                    # and the fs.open below fails into the callers'
+                    # fallback (nothing was persisted, so the bounded
+                    # residual risk is the at-least-once contract the
+                    # sink already documents, not silent divergence
+                    # from a half-installed salt).
+                    for _ in range(3):
+                        if fs.exists(salt_path) or fs.rename(tmp, salt_path):
+                            break
+                    if fs.exists(salt_path):
+                        fs.delete(tmp, False)
             except Exception:
                 # filesystem refused: read whatever exists; an
                 # unreadable/empty result degrades to the callers'

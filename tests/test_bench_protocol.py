@@ -182,6 +182,20 @@ def test_cpu_delta_compensates_in_tree_reap():
     assert bench._cpu_delta(before, {100: (11.0, 0.0)}) == 1.0
 
 
+def test_cpu_delta_compensates_vanished_children_counter():
+    """r12 advice: a vanished process with a NONZERO children counter (a
+    pyspark daemon that exits mid-interval after reaping workers) rolls
+    self+children into its parent's cutime — compensating with only the
+    vanished SELF component re-counted its pre-interval cutime. The
+    compensation is the vanished PID's full before total."""
+    # daemon 200: 5s self + 20s already-reaped workers at 'before';
+    # burns 1s more, exits; parent 100 reaps (+26 children) and burns
+    # 0.5s itself -> true interval burn is 0.5 + 1 = 1.5
+    before = {100: (10.0, 0.0), 200: (5.0, 20.0)}
+    after = {100: (10.5, 26.0)}
+    assert bench._cpu_delta(before, after) == 1.5  # self-only comp: 21.5
+
+
 def test_cpu_delta_nonnegative_with_dying_child():
     """End-to-end reproducer shape for the r11 negative-CPU bug: a child
     burns CPU between the snapshots and EXITS before the after-snapshot;

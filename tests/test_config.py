@@ -301,12 +301,14 @@ checkpoint = {ckpt}
         assert rows[i].ibyt == 100  # fixed fields around the varlens
 
 
-def test_clickhouse_leg_drops_complex_columns(spark, tmp_path, monkeypatch):
-    """decode_strings=true + a [clickhouse] section (r12 review): the
-    JDBC sink has no type mapping for map/array columns, so shipping
-    str_ies/list_ies killed every micro-batch. The ClickHouse leg must
-    receive only the scalar columns (app_name included); the parquet
-    leg keeps the full surface."""
+def test_clickhouse_leg_ships_pinned_columns(spark, tmp_path, monkeypatch):
+    """The ClickHouse insert column set is PINNED configuration (r12
+    advice): dropping complex columns by TYPE made `decode_strings`
+    toggle the insert list (app_name appeared/disappeared), so inserts
+    into a table DDL'd under the other setting failed at runtime. The
+    default ships the stable base flow surface regardless of
+    decode_strings; `columns = ...` opts into more; the parquet leg
+    keeps the full surface."""
     import os
 
     from nf2pq_spark.sources.ipfix import (_VARLEN, encode_basiclist,
@@ -356,9 +358,89 @@ table = flows
     q.awaitTermination()
 
     assert delivered, "the ClickHouse leg never ran"
-    ch_cols = set(delivered[0].columns)
-    assert "str_ies" not in ch_cols and "list_ies" not in ch_cols
-    assert "app_name" in ch_cols and "sa" in ch_cols
+    from nf2pq_spark.sources.ipfix import FLOW_SCHEMA
+
+    # default: the STABLE base surface — identical with decode_strings
+    # on or off, so a table DDL'd under either setting keeps working
+    assert delivered[0].columns == [f.name for f in FLOW_SCHEMA.fields] + ["ts"]
     # the parquet leg keeps the full surface
     out = spark.read.parquet(str(tmp_path / "flows"))
     assert {"str_ies", "list_ies", "app_name"} <= set(out.columns)
+
+
+def test_clickhouse_explicit_columns_and_validation(spark, tmp_path,
+                                                    monkeypatch):
+    """`columns = ...` in [clickhouse] pins the insert list (the
+    app_name-after-table-migration path); names outside the decoded
+    surface or with JDBC-unmappable map/array types fail at STREAM
+    BUILD, not as a runtime insert error batches later."""
+    import os
+
+    import pytest
+
+    from nf2pq_spark.sources.ipfix import (_VARLEN, encode_ipfix,
+                                           write_capture_file)
+    from nf2pq_spark.streaming import sinks as sinks_mod
+
+    delivered = []
+
+    def fake_jdbc_writer(url, table, properties=None,
+                        dedup_token_prefix=None):
+        def write_batch(batch_df, batch_id):
+            delivered.append(batch_df)
+        return write_batch
+
+    monkeypatch.setattr(sinks_mod, "jdbc_batch_writer", fake_jdbc_writer)
+
+    cap = tmp_path / "caps"
+    os.makedirs(cap)
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+              (96, _VARLEN), (6, 1), (2, 4),
+              (1, 4), (152, 8), (153, 8), (16, 4), (17, 4)]
+    flows = [{"sa_int": 10, "da_int": 2, "sp": 1, "dp": 80, "pr": 6,
+              "flg": 16, "app": "svc", "ipkt": 1, "ibyt": 100,
+              "ts_ms": 1_700_000_000_000, "te_ms": 1_700_000_000_500,
+              "sas": 0, "das": 0}]
+    write_capture_file(str(cap / "cap_0.bin"),
+                       encode_ipfix(flows, template_fields=fields,
+                                    template_id=352))
+    base = """
+[collector]
+capture_dir = {cap}
+decode_strings = true
+
+[parquet]
+path = {out}
+checkpoint = {ckpt}
+
+[clickhouse]
+url = jdbc:clickhouse://nowhere:8123/flows
+table = flows
+columns = {cols}
+"""
+
+    def cfg_with(cols, tag):
+        conf = tmp_path / f"nf2pq_{tag}.conf"
+        conf.write_text(base.format(cap=cap, out=tmp_path / f"flows_{tag}",
+                                    ckpt=tmp_path / f"ckpt_{tag}",
+                                    cols=cols))
+        return load_config(str(conf))
+
+    cfg = cfg_with("sa, da, ibyt, app_name, ts", "ok")
+    assert cfg.clickhouse.columns == ("sa", "da", "ibyt", "app_name", "ts")
+    q = run_collector(spark, cfg, available_now=True)
+    q.awaitTermination()
+    assert delivered and delivered[0].columns == [
+        "sa", "da", "ibyt", "app_name", "ts"]
+
+    with pytest.raises(ValueError, match="not in the decoded surface"):
+        run_collector(spark, cfg_with("sa, nonexistent", "bad"),
+                      available_now=True)
+    with pytest.raises(ValueError, match="map/array"):
+        run_collector(spark, cfg_with("sa, str_ies", "cplx"),
+                      available_now=True)
+    # app_name needs decode_strings: pinned as a build-time error too
+    cfg_off = cfg_with("sa, app_name", "off")
+    cfg_off = type(cfg_off)(**{**cfg_off.__dict__, "decode_strings": False})
+    with pytest.raises(ValueError, match="not in the decoded surface"):
+        run_collector(spark, cfg_off, available_now=True)
