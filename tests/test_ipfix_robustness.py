@@ -1430,13 +1430,19 @@ def test_varlen_basiclist_model_differential_property():
     @given(
         str_ies=st.lists(str_ie, unique=True, min_size=0, max_size=2),
         use_blist=st.booleans(),
+        use_pen=st.booleans(),
+        use_stl=st.booleans(),
         strings=st.lists(text | long_text, min_size=2, max_size=2),
         bl=blist,
+        stl_recs=st.lists(
+            st.tuples(st.integers(0, 1023), st.integers(0, 2**31)),
+            min_size=0, max_size=4),
         n_recs=st.integers(1, 3),
         data=st.data(),
     )
     @settings(max_examples=60, deadline=None)
-    def check(str_ies, use_blist, strings, bl, n_recs, data):
+    def check(str_ies, use_blist, use_pen, use_stl, strings, bl,
+              stl_recs, n_recs, data):
         key_of = {96: "app", 94: "desc", 371: "user"}
         # interleave the variable fields among fixed ones at random slots
         fixed = [(7, 2), (11, 2), (4, 1), (2, 4), (1, 4), (152, 8)]
@@ -1444,42 +1450,64 @@ def test_varlen_basiclist_model_differential_property():
         var_fields = [(ie, _VARLEN) for ie in str_ies]
         if use_blist:
             var_fields.append((291, _VARLEN))
+        if use_pen:
+            # r13: a PEN varlen field anywhere in the template — walked
+            # past, never surfaced, never misaligning its neighbors
+            var_fields.append((0x333, _VARLEN, 9))
+        if use_stl:
+            var_fields.append((292, _VARLEN))
         for vf in var_fields:
             pos = data.draw(st.integers(0, len(fields)))
             fields.insert(pos, vf)
 
-        from nf2pq_spark.sources.ipfix import _i64
+        from nf2pq_spark.sources.ipfix import (_i64,
+                                               encode_subtemplatelist)
         (bl_ie, bl_len), bl_vals = bl
         bl_vals = [v % (1 << (8 * bl_len)) for v in bl_vals]
         # the decoded surface folds to int64 like every scalar output
         want_vals = [_i64(v) for v in bl_vals]
+        stl_sub = [(11, 2), (1, 4)]
         flows = []
         for i in range(n_recs):
             f = {"sp": 100 + i, "dp": 200 + i, "pr": 6, "ipkt": 10 + i,
                  "ibyt": 1000 + i, "ts_ms": 1_700_000_000_000 + i,
                  "app": strings[0] + str(i), "desc": strings[1],
                  "user": strings[1][::-1],
+                 "e9_819": strings[0] * 2,  # PEN varlen payload
+                 "stl": encode_subtemplatelist(
+                     450, stl_sub,
+                     [{11: a, 1: b} for a, b in stl_recs]),
                  "blist": encode_basiclist(bl_ie, bl_len, bl_vals)}
             flows.append(f)
-        msgs = encode_ipfix(flows, template_fields=fields, template_id=401)
+        msgs = encode_ipfix(flows, template_fields=fields, template_id=401,
+                            extra_templates=[(450, stl_sub)] if use_stl
+                            else None)
         tmpl: dict = {}
         rows = []
         for m in msgs:
             rows.extend(_decode_ipfix(m, "e1", tmpl, strings=True))
         assert len(rows) == n_recs
-        # model: template-order varlen strings, element-keyed lists
-        str_in_order = [ie for ie, ln in fields
-                        if ln == _VARLEN and ie != 291]
+        # model: template-order varlen strings, element-keyed lists;
+        # PEN varlen invisible; stl flattens column-wise by element IE
+        str_in_order = [ie for ie, ln in
+                        [f2[:2] for f2 in fields if len(f2) == 2]
+                        if ln == _VARLEN and ie not in (291, 292)]
         for i, r in enumerate(rows):
             vals = {"app": flows[i]["app"], "desc": flows[i]["desc"],
                     "user": flows[i]["user"]}
             want_s = {ie: vals[key_of[ie]] for ie in str_in_order} or None
             want_first = (vals[key_of[str_in_order[0]]]
                           if str_in_order else None)
-            want_l = {bl_ie: want_vals} if use_blist else None
+            want_l = {}
+            for f2 in fields:  # template order decides setdefault wins
+                if f2 == (291, _VARLEN) and use_blist:
+                    want_l.setdefault(bl_ie, want_vals)
+                elif f2 == (292, _VARLEN) and use_stl:
+                    want_l.setdefault(11, [a for a, _ in stl_recs])
+                    want_l.setdefault(1, [_i64(b) for _, b in stl_recs])
             assert r[13] == want_first, "app_name"
             assert r[14] == want_s, "str_ies"
-            assert r[15] == want_l, "list_ies"
+            assert r[15] == (want_l or None), "list_ies"
             # fixed fields on all sides of the variable region
             assert r[4] == 100 + i and r[5] == 200 + i
             assert r[9] == 1000 + i and r[0] == 1_700_000_000_000 + i

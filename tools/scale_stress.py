@@ -92,6 +92,22 @@ CASES = [
      "structural cost of a self-describing layout; linear in flows, "
      "parallel across capture files, and the absolute per-row cost is "
      "the documented reason with_strings is opt-in"),
+    ("s6n_multi_varlen", 1.0, "TWO varlen string IEs per record (r12): "
+     "same scalar walk as s6m with a second length-prefixed field and "
+     "the str_ies map build per record — still linear in flows"),
+    ("s6o_basiclist", 1.0, "RFC 6313 basicList (r12): scalar walk plus "
+     "a per-record packed-list parse (elements bounded per record) and "
+     "the JVM-side F.aggregate over the decoded arrays — linear in "
+     "flows"),
+    ("s6p_enterprise_ies", 1.0, "enterprise-numbered IEs (r13): PEN "
+     "fields ride the VECTORIZED frombuffer path as opaque padding "
+     "columns, so the 16-field template with four vendor IEs decodes "
+     "at fixed-layout speed — the scale claim behind decoding AROUND "
+     "instead of falling back to the scalar walk"),
+    ("s6q_subtemplate_lists", 1.0, "RFC 6313 subTemplateList + "
+     "subTemplateMultiList (r13): scalar walk with nested sub-record "
+     "parses (sub-record counts bounded per record) feeding four "
+     "flattened list columns — linear in flows"),
     ("l2d_neardup_components", 1.0, "pair graph x10 by construction "
      "(independent replicas); CC cost O(pairs)"),
     ("l25_semdedup_srp", 1.3, "the SHIPPED config, now ADAPTIVE planes "
