@@ -854,11 +854,18 @@ def mm3_frame_energy(spark, sf_dir):
 )
 def l28_source_drift(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("source", "text")
+    # materialized: sb feeds FOUR consumers (itself + the st/gb/gt
+    # rollups), and the r13 plan audit showed four full documents
+    # scans + tokenize passes — ReuseExchange does not fire across the
+    # differently-keyed re-aggregations. The checkpointed frame is
+    # |sources| x 256 rows; the subtree it replaces is the whole corpus
+    # tokenize, so at 100 TB this is 1 corpus pass instead of 4.
     sb = (
         d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
         .select("source", F.substring(F.md5("w"), 1, 2).alias("bk"))
         .groupBy("source", "bk")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     st = sb.groupBy("source").agg(F.sum("c").alias("n"))
     gb = sb.groupBy("bk").agg(F.sum("c").alias("g"))
@@ -1265,7 +1272,7 @@ def a21_weighted_median(spark, sf_dir):
     "undirected edge is directed from the (degree, id)-smaller endpoint "
     "(sum of squared OUT-degrees is minimized — the standard trick that "
     "tames power-law hubs at scale), out-neighborhoods are packed into "
-    "sorted arrays, and each directed edge (u,v) contributes "
+    "arrays, and each directed edge (u,v) contributes "
     "|adj(u) ∩ adj(v)| via one JVM-native array_intersect — Θ(E) rows "
     "carrying arrays instead of the Σ outdeg² wedge materialization the "
     "r3 plan shuffled (measured 2x faster at sf0.1: 7.3s → 3.5s warm). "
@@ -1285,6 +1292,11 @@ def g3_triangle_count(spark, sf_dir):
         edges.select(F.col("a").alias("n")).unionByName(
             edges.select(F.col("b").alias("n")))
         .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        # materialized (r13): da and db below feed two SEPARATE broadcast
+        # exchanges whose canonical plans differ (different aliases), so
+        # unmaterialized the 2|E|-row union+aggregate ran TWICE — once per
+        # broadcast build. The checkpointed frame is one row per vertex.
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
@@ -1304,14 +1316,21 @@ def g3_triangle_count(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    # sorted out-adjacency arrays: ~|V| rows, Θ(E) total payload. The two
-    # probe joins below stay shuffle joins deliberately — adj is Θ(E)
-    # data, NOT broadcastable at scale (unlike the degree table).
-    # Materialized: referenced twice (u-side and v-side probes) — the
-    # recompute pitfall again; without the cut the groupBy+sort_array
-    # shuffle over the full edge list runs once per reference.
+    # out-adjacency arrays: ~|V| rows, Θ(E) total payload. The two probe
+    # joins below carry no hint deliberately — adj is Θ(E) data, NOT
+    # safely broadcastable at scale (unlike the degree table); the
+    # planner broadcasts it when its measured size is under the
+    # threshold (the sf0.1 regime) and shuffles it otherwise, which with
+    # the AQE shuffled-hash conversion (session.py) never sorts the
+    # array-carrying rows. Materialized: referenced twice (u-side and
+    # v-side probes) — the recompute pitfall again; without the cut the
+    # collect_list shuffle over the full edge list runs once per
+    # reference. collect_list unsorted (r13): array_intersect is
+    # hash-based and order-insensitive, and only size() of the
+    # intersection is consumed — the old sort_array bought nothing but a
+    # per-vertex O(d log d).
     adj = directed.groupBy("u").agg(
-        F.sort_array(F.collect_list("v")).alias("nb")
+        F.collect_list("v").alias("nb")
     ).localCheckpoint(eager=True)
     adj_v = adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v"))
     # inner joins are correct: a vertex missing from adj has no

@@ -34,6 +34,17 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+    # every post-shuffle partition's map output is under the threshold
+    # (default 0 = never). SHJ skips sorting both sides — the dominant
+    # join cost when rows carry array payloads (l25 signatures, g's
+    # adjacency lists). Scale-safe BY CONSTRUCTION: the decision uses
+    # measured partition sizes per query, so a 100 TB join whose
+    # partitions exceed the threshold stays sort-merge; matched to
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes (64m default) per
+    # the Spark tuning guide, so the build side a task must hash is
+    # bounded by the same number AQE coalesces partitions toward.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # Arrow transfer for every pandas UDF / toPandas path
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Python UDTFs also cross the JVM boundary Arrow-batched

@@ -18,8 +18,12 @@ shuffle — it survives any scale-up.
 
 from __future__ import annotations
 
+import os
+import stat as _stat
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..session import ensure_session_conf
 
@@ -51,12 +55,75 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: (path, file signature) -> inferred StructType. Pure METADATA memo:
+#: schema inference reads parquet footers on the driver (~92 ms/table
+#: measured, r13) and every query invocation was re-paying it per
+#: load_table call — inside bench.py's timed region. The signature
+#: (mtime_ns, size; per-entry for directories) invalidates the memo
+#: whenever the file set changes, so a rewritten test fixture re-infers.
+#: Spark writes are immutable (new part files per write — never in-place
+#: edits), so the one-level signature is sound for directory tables too.
+#: This caches NO data and NO results: each action still scans parquet.
+_SCHEMA_CACHE: dict[tuple, StructType] = {}
+
+
+def _path_signature(path: str):
+    """Cheap change-detection signature for a parquet file or directory;
+    None (→ no caching) when the path cannot be stat'ed."""
+    try:
+        st = os.stat(path)
+        if _stat.S_ISDIR(st.st_mode):
+            with os.scandir(path) as it:
+                return tuple(sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized per path
+    signature — skips the per-call driver-side footer read/inference
+    (the dominant cost of building these frames; see _SCHEMA_CACHE)."""
+    sig = _path_signature(path)
+    if sig is None:
+        return spark.read.parquet(path)
+    key = (path, sig)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
+#: session -> {(path, signature) -> DataFrame}. A DataFrame is an
+#: immutable LOGICAL PLAN — reusing the object across queries caches no
+#: data (every action still scans parquet); it only skips re-building
+#: the identical relation through py4j (~20 ms/call measured after the
+#: schema memo). WeakKeyDictionary: entries die with the session.
+import weakref
+
+_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing the events.ts nanosecond column."""
     ensure_session_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sig = _path_signature(path)
+    per_session = _FRAME_CACHE.setdefault(spark, {})
+    if sig is not None:
+        cached = per_session.get((path, sig))
+        if cached is not None:
+            return cached
+    df = read_parquet_cached_schema(spark, path)
     if name == "events":
         df = normalize_events_ts(df)
+    if sig is not None:
+        per_session[(path, sig)] = df
     return df
 
 
