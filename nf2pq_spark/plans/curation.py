@@ -1302,19 +1302,22 @@ def g3_triangle_count(spark, sf_dir):
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    # materialized: referenced three times below (adj, probe, n_edges) —
-    # unmaterialized, the degree aggregation + both degree joins re-ran
-    # per reference (the documented recompute pitfall). The degree table
-    # is one row per VERTEX (the part catalog — orders of magnitude
-    # smaller than the edge list at any scale), so both degree joins are
-    # explicit broadcasts: orientation costs zero shuffles.
+    # The degree table is one row per VERTEX (the part catalog — orders
+    # of magnitude smaller than the edge list at any scale), so both
+    # degree joins are explicit broadcasts: orientation costs zero
+    # shuffles.
+    # NOT checkpointed (r13): directed is referenced twice (adjacency
+    # build + probe), but with edges AND deg both materialized a
+    # re-reference costs only a re-scan of checkpointed edges plus two
+    # broadcast-hash probes — map-side, no shuffle, no sort — which
+    # measured cheaper than writing Θ(E) rows to block storage and
+    # barriering on it (in-session A/B: ~0.2 s at sf0.1, results equal).
     directed = (
         edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .localCheckpoint(eager=True)
     )
     # out-adjacency arrays: ~|V| rows, Θ(E) total payload. The two probe
     # joins below carry no hint deliberately — adj is Θ(E) data, NOT

@@ -602,21 +602,27 @@ _V5_NP = np.dtype([
 assert _V5_NP.itemsize == 48
 
 
-def _decode_v5_array(buf: bytes) -> tuple[np.ndarray, int, int]:
-    """One datagram → (structured record array, boot_ms, sysUptime).
+def _decode_v5_array(buf: bytes) -> tuple[bytes, int, int]:
+    """One datagram → (raw record bytes, boot_ms, sysUptime).
 
     v5 first/last are sysUptime-relative uint32 ms (RFC-era semantics
     shared with v9): the exporter boot epoch is
     ``unixSecs*1000 + unixNsecs//1e6 − sysUptime`` and rides along so
     :func:`_v5_frame` can reconstruct absolute ms with the same
     wraparound correction as the v9 path.
+
+    Record payloads travel as BYTES, not per-datagram numpy views: the
+    frame builder joins the slices and runs ONE ``np.frombuffer`` per
+    batch — ``np.concatenate`` of thousands of small structured arrays
+    re-promoted the dtype per input (profiled ~25% of the whole decode
+    kernel; r13).
     """
     _, count, sys_up, unix_s, unix_ns, *_ = _V5_HEADER.unpack_from(buf, 0)
-    if len(buf) < _V5_HEADER.size + count * _V5_NP.itemsize:
+    nbytes = count * _V5_NP.itemsize
+    if len(buf) < _V5_HEADER.size + nbytes:
         raise struct.error("truncated v5 datagram")
     boot_ms = unix_s * 1000 + unix_ns // 1_000_000 - sys_up
-    return (np.frombuffer(buf, dtype=_V5_NP, count=count,
-                          offset=_V5_HEADER.size), boot_ms, sys_up)
+    return (buf[_V5_HEADER.size:_V5_HEADER.size + nbytes], boot_ms, sys_up)
 
 
 #: octet → text lookup tables; indexing + object-array string adds run a
@@ -652,9 +658,9 @@ def _i32(v: int) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
-def _v5_frame(chunks: list[tuple[np.ndarray, int, int]],
+def _v5_frame(chunks: list[tuple[bytes, int, int]],
               exporters: list[str]) -> pd.DataFrame:
-    """(record array, boot_ms, sysUptime) chunks → one flow frame.
+    """(record bytes, boot_ms, sysUptime) chunks → one flow frame.
 
     Absolute ms = boot + first/last, with the identical sysUptime
     wraparound correction as the v9 ``rel_abs`` (cut at half the uint32
@@ -662,9 +668,10 @@ def _v5_frame(chunks: list[tuple[np.ndarray, int, int]],
     folds the same formula through ``_i64`` and the two are
     equality-tested.
     """
-    arrs = [c[0] for c in chunks]
-    a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
-    reps = [len(x) for x in arrs]
+    raws = [c[0] for c in chunks]
+    a = np.frombuffer(raws[0] if len(raws) == 1 else b"".join(raws),
+                      dtype=_V5_NP)
+    reps = [len(x) // _V5_NP.itemsize for x in raws]
     exp = np.repeat(np.array(exporters, dtype=object), reps)
     boot = np.repeat(np.array([c[1] for c in chunks], dtype="int64"), reps)
     sysup = np.repeat(np.array([c[2] for c in chunks], dtype="int64"), reps)
@@ -964,24 +971,26 @@ class _VecAccumulator:
 
     def __init__(self):
         #: (fields, has exporter clock?) →
-        #:     [(arr, exporter, boot_ms, sys_uptime_ms), ...]
+        #:     [(raw record bytes, exporter, boot_ms, sys_uptime_ms), ...]
         #: the clock is the v9 header's (boot, sysUptime) or a v10
         #: IE 160 era clock (_v10_era_clock) — same rel_abs arithmetic
         self._groups: dict[tuple, list] = {}
 
-    def add(self, fields: list[tuple[int, int]], arr: np.ndarray,
+    def add(self, fields: list[tuple[int, int]], raw: bytes,
             exporter: str, boot_ms: int | None,
             sys_uptime: int | None = None) -> None:
         key = (tuple(fields), boot_ms is not None)
         self._groups.setdefault(key, []).append(
-            (arr, exporter, boot_ms, sys_uptime))
+            (raw, exporter, boot_ms, sys_uptime))
 
     def frames(self) -> list[pd.DataFrame]:
         out = []
         for (fields, has_clock), chunks in self._groups.items():
-            a = (np.concatenate([c[0] for c in chunks])
-                 if len(chunks) > 1 else chunks[0][0])
-            reps = [len(c[0]) for c in chunks]
+            dt = _np_dtype_for(list(fields))
+            raws = [c[0] for c in chunks]
+            a = np.frombuffer(raws[0] if len(raws) == 1 else b"".join(raws),
+                              dtype=dt)
+            reps = [len(r) // dt.itemsize for r in raws]
             n = len(a)
             if n == 0:
                 continue
@@ -1196,9 +1205,20 @@ def _decode_templated_vec(buf: bytes, exporter: str, templates: dict,
                 dt = _np_dtype_for(fields)
                 n = (set_end - p) // dt.itemsize
                 if n:
-                    acc.add(fields,
-                            np.frombuffer(buf, dtype=dt, count=n, offset=p),
-                            exporter, boot_ms, sys_up)
+                    # raw record BYTES, not a frombuffer view — frames()
+                    # joins the slices and runs one frombuffer per
+                    # (template, clock) group; same rationale as the v5
+                    # path (np.concatenate re-promoted the structured
+                    # dtype per input, ~25% of the decode kernel; r13)
+                    raw = buf[p:p + n * dt.itemsize]
+                    if len(raw) != n * dt.itemsize:
+                        # declared header length exceeds the actual bytes
+                        # (v10 `length` is the DECLARED size): the old
+                        # frombuffer(count=n) raised here too — keep the
+                        # error inside the per-datagram drop catch rather
+                        # than deferring a short buffer to frames()
+                        raise ValueError("truncated data set")
+                    acc.add(fields, raw, exporter, boot_ms, sys_up)
         off = set_end
     return []
 

@@ -1584,6 +1584,24 @@ def test_pen_template_stays_on_the_vectorized_path():
     assert len(frames) == 1 and frames[0]["sp"].iloc[0] == 7
 
 
+def test_declared_length_past_buffer_drops_packet_eagerly():
+    """A v10 header whose DECLARED length exceeds the actual bytes must
+    error inside _decode_templated_vec — the per-datagram drop catch —
+    not defer a silently short byte slice to acc.frames(). Pins the r13
+    bytes-join decode to the old frombuffer(count=n) eager-error
+    contract (hypothesis found the deferred variant; this is the
+    deterministic pin)."""
+    import pytest
+
+    full = _ipfix_msg(_tset(300, _AB),
+                      _dset(300, struct.pack(">IIII", 1, 2, 3, 4)))
+    short = full[:-8]  # header + set still declare two 8-byte records
+    acc = _VecAccumulator()
+    with pytest.raises(ValueError):
+        _decode_templated_vec(short, "e1", {}, acc)
+    assert [f for f in acc.frames() if len(f)] == []
+
+
 def test_pen_varlen_value_consumed_not_surfaced():
     """A PEN varlen field's §7-prefixed bytes are walked past; its value
     never lands in str_ies (int32 map keys cannot carry a PEN key), and
