@@ -511,19 +511,21 @@ def g1_nation_pagerank(spark, sf_dir):
 _COOC_CAP = 10  # max distinct parts per order before pair blowup guard
 
 
-def _basket_pairs(li, a: str = "pa", b: str = "pb"):
-    """Ordered co-purchase pairs from lineitem, MAP-SIDE: one shuffle
-    groups each order's distinct parts into a sorted array, element i
-    pairs with every later element (sorted + distinct, so a < b by
-    construction), and the _COOC_CAP size filter bounds the quadratic
-    term. Shared by g2 (pair counts) and g3 (triangle edges) so the cap
-    policy and the i+2 slice arithmetic — mirrored in BOTH oracles —
-    cannot drift between them."""
-    baskets = (
+def _baskets(li):
+    """Capped per-order distinct-part baskets: one shuffle groups each
+    order's distinct parts into a sorted array; the _COOC_CAP size filter
+    bounds the quadratic pair term (mirrored in the g2/g3 oracles)."""
+    return (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") <= _COOC_CAP)
     )
+
+
+def _pairs_from_baskets(baskets, a: str = "pa", b: str = "pb"):
+    """Ordered co-purchase pairs, MAP-SIDE from basket arrays: element i
+    pairs with every later element (sorted + distinct, so a < b by
+    construction). No shuffle — a pure generator over the basket rows."""
     pairs = F.flatten(
         F.transform(
             F.col("parts"),
@@ -537,6 +539,14 @@ def _basket_pairs(li, a: str = "pa", b: str = "pb"):
         baskets.select(F.explode(pairs).alias("pr"))
         .select(F.col(f"pr.{a}").alias(a), F.col(f"pr.{b}").alias(b))
     )
+
+
+def _basket_pairs(li, a: str = "pa", b: str = "pb"):
+    """Ordered co-purchase pairs from lineitem (baskets + map-side
+    expansion). Shared by g2 (pair counts) and g3 (triangle edges) so the
+    cap policy and the i+2 slice arithmetic — mirrored in BOTH oracles —
+    cannot drift between them."""
+    return _pairs_from_baskets(_baskets(li), a, b)
 
 
 @register(
@@ -1270,9 +1280,14 @@ def a21_weighted_median(spark, sf_dir):
     "triangles — the clustering-coefficient primitive). Spark side uses "
     "the DEGREE-ORIENTED adjacency-intersection formulation: each "
     "undirected edge is directed from the (degree, id)-smaller endpoint "
-    "(sum of squared OUT-degrees is minimized — the standard trick that "
-    "tames power-law hubs at scale), out-neighborhoods are packed into "
-    "arrays, and each directed edge (u,v) contributes "
+    "(the standard trick that tames power-law hubs at scale; r14 weights "
+    "the degree by basket multiplicity, which preserves correctness — "
+    "ANY strict total order yields an acyclic orientation counting each "
+    "triangle exactly once — while letting the degree pass skip edge "
+    "dedup), out-neighborhoods are packed into arrays by a collect_set "
+    "whose map-side partial dedups the raw pairs (no separate "
+    "Θ(pairs)-row distinct exchange), and each directed edge (u,v) — "
+    "exploded straight off the adjacency rows — contributes "
     "|adj(u) ∩ adj(v)| via one JVM-native array_intersect — Θ(E) rows "
     "carrying arrays instead of the Σ outdeg² wedge materialization the "
     "r3 plan shuffled (measured 2x faster at sf0.1: 7.3s → 3.5s warm). "
@@ -1283,19 +1298,31 @@ def a21_weighted_median(spark, sf_dir):
 )
 def g3_triangle_count(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        _basket_pairs(li, "a", "b")
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds degrees, orientation, count
-    )
+    # materialized: feeds the degree pass AND the pair expansion — one
+    # row per capped order, arrays of ≤ _COOC_CAP parts (orders of
+    # magnitude fewer rows than the Θ(pairs) edge list the r13 plan
+    # checkpointed here).
+    baskets = _baskets(li).localCheckpoint(eager=True)
+    # Orientation degree, WEIGHTED BY MULTIPLICITY (r14): d(n) = Σ over
+    # capped baskets containing n of (basket size - 1) — the number of
+    # raw (pre-dedup) pair endpoints at n. Computed from the basket rows
+    # BEFORE pair expansion: Θ(Σ basket size) narrow rows into the
+    # shuffle instead of the 2Θ(E) distinct-edge union the r13 plan
+    # aggregated. CORRECTNESS: the triangle count is invariant to WHICH
+    # total order orients the edges — any strict total order yields an
+    # acyclic orientation in which each triangle {x,y,z} (x<y<z in that
+    # order) is counted exactly once, at its (x,y) edge (z is the common
+    # out-neighbor); (d, id) with the unique-id tie-break is such an
+    # order for ANY per-vertex d. Degree-with-multiplicity keeps the
+    # hub-taming heuristic (hot parts have high multiplicity degree a
+    # fortiori) while letting the degree pass skip edge dedup entirely.
+    # Materialized (r13 finding kept): da and db below feed two SEPARATE
+    # broadcast exchanges whose canonical plans differ (different
+    # aliases) — unmaterialized, the aggregate runs once per build.
     deg = (
-        edges.select(F.col("a").alias("n")).unionByName(
-            edges.select(F.col("b").alias("n")))
-        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-        # materialized (r13): da and db below feed two SEPARATE broadcast
-        # exchanges whose canonical plans differ (different aliases), so
-        # unmaterialized the 2|E|-row union+aggregate ran TWICE — once per
-        # broadcast build. The checkpointed frame is one row per vertex.
+        baskets.select((F.size("parts") - 1).alias("w"),
+                       F.explode("parts").alias("n"))
+        .groupBy("n").agg(F.sum("w").alias("d"))
         .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
@@ -1305,50 +1332,56 @@ def g3_triangle_count(spark, sf_dir):
     # The degree table is one row per VERTEX (the part catalog — orders
     # of magnitude smaller than the edge list at any scale), so both
     # degree joins are explicit broadcasts: orientation costs zero
-    # shuffles.
-    # NOT checkpointed (r13): directed is referenced twice (adjacency
-    # build + probe), but with edges AND deg both materialized a
-    # re-reference costs only a re-scan of checkpointed edges plus two
-    # broadcast-hash probes — map-side, no shuffle, no sort — which
-    # measured cheaper than writing Θ(E) rows to block storage and
-    # barriering on it (in-session A/B: ~0.2 s at sf0.1, results equal).
+    # shuffles. Raw pairs (same undirected edge re-emitted by several
+    # baskets) orient CONSISTENTLY — deg is a fixed per-vertex value —
+    # so the duplicates collapse in the adjacency collect_set below.
     directed = (
-        edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+        _pairs_from_baskets(baskets, "a", "b")
+        .join(F.broadcast(da), "a").join(F.broadcast(db), "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
     )
-    # out-adjacency arrays: ~|V| rows, Θ(E) total payload. The two probe
-    # joins below carry no hint deliberately — adj is Θ(E) data, NOT
-    # safely broadcastable at scale (unlike the degree table); the
-    # planner broadcasts it when its measured size is under the
-    # threshold (the sf0.1 regime) and shuffles it otherwise, which with
-    # the AQE shuffled-hash conversion (session.py) never sorts the
-    # array-carrying rows. Materialized: referenced twice (u-side and
-    # v-side probes) — the recompute pitfall again; without the cut the
-    # collect_list shuffle over the full edge list runs once per
-    # reference. collect_list unsorted (r13): array_intersect is
-    # hash-based and order-insensitive, and only size() of the
-    # intersection is consumed — the old sort_array bought nothing but a
-    # per-vertex O(d log d).
+    # out-adjacency arrays: ~|V| rows, Θ(E) total payload. collect_SET
+    # (r14): edge dedup now happens INSIDE this aggregation — partial
+    # map-side collect_set dedups before the exchange — replacing the
+    # r13 plan's separate Θ(pairs)-row distinct() exchange + Θ(E)-row
+    # edge checkpoint (one exchange and one materialization fewer; the
+    # same bytes arrive here grouped as ≤|V| array rows). The probe join
+    # below carries no hint deliberately — adj is Θ(E) data, NOT safely
+    # broadcastable at scale (unlike the degree table); the planner
+    # broadcasts it when its measured size is under the threshold (the
+    # sf0.1 regime) and shuffles it otherwise, which with the AQE
+    # shuffled-hash conversion (session.py) never sorts the
+    # array-carrying rows. Materialized: referenced by both probe sides
+    # and the edge count — the recompute pitfall again.
     adj = directed.groupBy("u").agg(
-        F.collect_list("v").alias("nb")
+        F.collect_set("v").alias("nb")
     ).localCheckpoint(eager=True)
     adj_v = adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v"))
-    # inner joins are correct: a vertex missing from adj has no
-    # out-edges, so its intersection would be empty — dropping the row
-    # changes nothing. Each triangle u→v, u→w, v→w is counted exactly
-    # once, at its (u,v) edge (w is the unique common out-neighbor).
-    # coalesce: on a triangle-free graph the probes can drop EVERY row
-    # (e.g. a star — no oriented head has out-edges) and sum() over zero
-    # rows is NULL, where the oracle's COUNT(*) is 0.
+    # Probe rows come from EXPLODING adj itself — (u, nb, v) for each
+    # distinct directed edge, each exactly once — so the r13 plan's
+    # u-side join disappears; only the v-side join remains. The inner
+    # join is correct: a vertex missing from adj has no out-edges, so
+    # its intersection would be empty — dropping the row changes
+    # nothing. Each triangle u→v, u→w, v→w is counted exactly once, at
+    # its (u,v) edge (w is the unique common out-neighbor). coalesce: on
+    # a triangle-free graph the probe can drop EVERY row (e.g. a star —
+    # no oriented head has out-edges) and sum() over zero rows is NULL,
+    # where the oracle's COUNT(*) is 0.
     tri = (
-        directed.join(adj, "u").join(adj_v, "v")
+        adj.select("nb", F.explode("nb").alias("v"))
+        .join(adj_v, "v")
         .select(F.size(F.array_intersect("nb", "nb_v")).alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # each undirected edge appears exactly once across the adjacency
+    # sets (consistent orientation + set dedup), so |E| = Σ size(nb) —
+    # a |V|-row scan instead of the r13 plan's Θ(E)-row count; coalesce
+    # for the empty-graph case (sum over zero rows is NULL).
+    n_edges = adj.agg(
+        F.coalesce(F.sum(F.size("nb")), F.lit(0)).alias("n_edges"))
     return n_edges.join(F.broadcast(tri)).select(
         F.col("n_edges").cast("bigint").alias("n_edges"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
