@@ -230,25 +230,32 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 
     # materialize the edge list ONCE — `edges` usually sits on top of the
     # whole LSH candidate pipeline, and without this cut every round's job
-    # would re-shingle and re-join the corpus from scratch
+    # would re-shingle and re-join the corpus from scratch.
+    # r14 (§2.3 — materialize half the bytes): the checkpoint holds the
+    # RAW |E|-row edge list; the symmetrized 2|E| view is derived from
+    # it MAP-SIDE (a union of two projections — no shuffle), so the
+    # materialization writes half the rows the r13 form did (it
+    # checkpointed sym itself), and the fast path collects the
+    # checkpoint directly instead of filtering one direction back out
+    # of the doubled list.
     # a NULL endpoint is not a node: without the filter the small-graph
     # path silently dropped such edges while the distributed path emitted
     # a nonsense (null, null) row — the two paths must stay equal on any
     # legal input
-    edges = edges.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-    sym = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    edges = (edges.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+             .select("u", "v").localCheckpoint(eager=True))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    if small_graph_edges and sym.count() <= 2 * small_graph_edges:
-        # small-graph fast path: one Arrow collect of the deduped edge
-        # list (sym filtered to u <= v — half the symmetrized rows;
-        # union-find is direction-invariant, and keeping u == v
-        # registers self-loop nodes), sequential union-find, result
-        # re-parallelized. The count() is free — sym is checkpointed.
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        # small-graph fast path: one Arrow collect of the checkpointed
+        # edge list (union-find is direction- and duplicate-invariant,
+        # and find() registers both endpoints, so self-loop nodes
+        # appear), sequential union-find, result re-parallelized. The
+        # count() is free — edges is checkpointed.
         import pandas as pd
 
-        pdf = sym.filter(F.col("u") <= F.col("v")).toPandas()
+        pdf = edges.toPandas()
         parent: dict = {}
 
         def find(x):

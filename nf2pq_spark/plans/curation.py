@@ -364,6 +364,16 @@ def l25_semdedup_srp(spark, sf_dir, n_planes=None,
     # would full-width-shuffle every vector on bucket and serialize the
     # exact hot bucket the guard defends against into one unsplittable
     # window task.
+    # NOTE (r14, measured and deliberately NOT "fixed"): the guard
+    # aggregate below is built once PER PAIRING SIDE — checkpoint-backed
+    # (ExistingRDD) subtrees never canonicalize equal, so exchange reuse
+    # cannot fire. Two candidate dedups were A/B'd at the 10x corpus
+    # (plans/r14): an aliased identical-subplan self-join (old 2.57s →
+    # 3.62s) and a lazy localCheckpoint of ok_buckets (→ 3.39s; both →
+    # 4.78s). Both REGRESS: the duplicated aggregate runs inside the two
+    # broadcast-build threads IN PARALLEL — redundant CPU but zero wall
+    # — while either dedup serializes a materialization onto the
+    # critical path. The duplicate is kept on purpose.
     ok_buckets = (
         sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") <= max_bucket).select("bucket")

@@ -57,6 +57,15 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+#: per-session "already applied" marker attribute (r13 verdict item 9):
+#: ensure_session_conf is called from every load_table — ~10 py4j
+#: conf round-trips (~2 ms each) per query invocation, inside the
+#: bench's timed region. The marker lives ON the session object, so it
+#: dies with the session and a fresh driver session self-configures
+#: exactly once.
+_CONF_ATTR = "_nf2pq_conf_applied"
+
+
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an existing session (idempotent).
 
@@ -65,6 +74,9 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     sized value (``get_spark(cpus=8)``, a user's own setting) is
     respected rather than stomped back to 32 on every ``load_table``.
     """
+    if getattr(spark, _CONF_ATTR, False):
+        return spark
+    setattr(spark, _CONF_ATTR, True)
     for k, v in RUNTIME_CONF.items():
         try:
             if k == "spark.sql.shuffle.partitions":

@@ -23,7 +23,6 @@ import stat as _stat
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from ..session import ensure_session_conf
 
@@ -55,28 +54,46 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-#: (path, file signature) -> inferred StructType. Pure METADATA memo:
+#: path -> (file signature, inferred StructType). Pure METADATA memo:
 #: schema inference reads parquet footers on the driver (~92 ms/table
 #: measured, r13) and every query invocation was re-paying it per
 #: load_table call — inside bench.py's timed region. The signature
-#: (mtime_ns, size; per-entry for directories) invalidates the memo
-#: whenever the file set changes, so a rewritten test fixture re-infers.
-#: Spark writes are immutable (new part files per write — never in-place
-#: edits), so the one-level signature is sound for directory tables too.
-#: This caches NO data and NO results: each action still scans parquet.
-_SCHEMA_CACHE: dict[tuple, StructType] = {}
+#: (mtime_ns, size; per-file RECURSIVELY for directories — a partition
+#: subdirectory's rewrites must invalidate too, r13 advice) changes
+#: whenever the file set changes, and keying by PATH with the signature
+#: in the value means a new signature REPLACES the stale entry instead
+#: of accumulating beside it (r13 verdict item 3: bounded at one entry
+#: per live path). This caches NO data and NO results: each action
+#: still scans parquet. Schema inference is pinned to the engine's conf
+#: regime — read_parquet_cached_schema applies ensure_session_conf
+#: itself (memoized per session, so it is not a per-call py4j tax), so
+#: a public caller on an unconfigured session cannot poison the memo
+#: with a different-conf inference (r13 advice).
+#:
+#: Object-store note (100 TB design point): the directory signature is
+#: one recursive listing per load_table call — cheap on a local fs,
+#: a listing RPC per query on S3-like stores. That is still far
+#: cheaper than the per-call footer inference it replaces, and the
+#: production shape there is a manifest-bearing table format (Iceberg/
+#: Delta), which removes both the listing and the inference.
+_SCHEMA_CACHE: dict[str, tuple] = {}
 
 
 def _path_signature(path: str):
-    """Cheap change-detection signature for a parquet file or directory;
-    None (→ no caching) when the path cannot be stat'ed."""
+    """Cheap change-detection signature for a parquet file or directory
+    (recursive — covers partition subdirectories); None (→ no caching)
+    when the path cannot be stat'ed."""
     try:
         st = os.stat(path)
         if _stat.S_ISDIR(st.st_mode):
-            with os.scandir(path) as it:
-                return tuple(sorted(
-                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                    for e in it))
+            sig = []
+            for root, _dirs, files in os.walk(path):
+                rel = os.path.relpath(root, path)
+                for f in files:
+                    fst = os.stat(os.path.join(root, f))
+                    sig.append((os.path.join(rel, f),
+                                fst.st_mtime_ns, fst.st_size))
+            return tuple(sorted(sig))
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
@@ -86,27 +103,29 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the inferred schema memoized per path
     signature — skips the per-call driver-side footer read/inference
     (the dominant cost of building these frames; see _SCHEMA_CACHE)."""
+    ensure_session_conf(spark)
     sig = _path_signature(path)
     if sig is None:
         return spark.read.parquet(path)
-    key = (path, sig)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is None or hit[0] != sig:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[path] = (sig, df.schema)
         return df
-    return spark.read.schema(schema).parquet(path)
+    return spark.read.schema(hit[1]).parquet(path)
 
 
-#: session -> {(path, signature) -> DataFrame}. A DataFrame is an
-#: immutable LOGICAL PLAN — reusing the object across queries caches no
-#: data (every action still scans parquet); it only skips re-building
-#: the identical relation through py4j (~20 ms/call measured after the
-#: schema memo). WeakKeyDictionary: entries die with the session.
-import weakref
-
-_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary())
+#: The per-session frame memo lives ON the session object (a plain
+#: attribute): a DataFrame is an immutable LOGICAL PLAN — reusing the
+#: object across queries caches no data (every action still scans
+#: parquet); it only skips re-building the identical relation through
+#: py4j (~20 ms/call measured after the schema memo). r13's module-level
+#: WeakKeyDictionary never actually evicted (the cached DataFrames hold
+#: strong refs back to their session key, pinning the entry — r13
+#: advice); an instance attribute dies with the session wrapper by
+#: construction. Keyed path -> (signature, frame): a rewritten fixture
+#: replaces its stale entry instead of accumulating beside it.
+_FRAME_ATTR = "_nf2pq_frame_memo"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -114,16 +133,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_conf(spark)
     path = f"{sf_dir}/{name}.parquet"
     sig = _path_signature(path)
-    per_session = _FRAME_CACHE.setdefault(spark, {})
+    per_session = getattr(spark, _FRAME_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _FRAME_ATTR, per_session)
     if sig is not None:
-        cached = per_session.get((path, sig))
-        if cached is not None:
-            return cached
+        hit = per_session.get(path)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
     df = read_parquet_cached_schema(spark, path)
     if name == "events":
         df = normalize_events_ts(df)
     if sig is not None:
-        per_session[(path, sig)] = df
+        per_session[path] = (sig, df)
     return df
 
 
