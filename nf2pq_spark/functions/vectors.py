@@ -84,6 +84,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the per-row norms HOISTED out of the pair
+    expression (r14, guide §1.2 per-task work): in a pairwise join,
+    ``cosine(a, b)`` re-folds both vectors' norms once PER PAIR — three
+    64-element folds where one suffices. Callers compute
+    ``l2_norm(v)`` once per ROW in the pre-join projection (on a
+    broadcast build side: once per vector, period) and pass the norm
+    columns here; only the dot fold remains per pair. BIT-IDENTICAL to
+    :func:`cosine` by construction: the same ``l2_norm(a) * l2_norm(b)``
+    product in the same order, the same NULLIF zero-norm guard —
+    relocating where a deterministic float expression is evaluated
+    cannot change its value, so every oracle hash is unaffected."""
+    return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
+
+
 def vec_sum(a: Column) -> Column:
     return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
 

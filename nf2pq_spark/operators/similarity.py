@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine_from_norms, dot, l2_norm
 
 
 def _ranked(joined: DataFrame, k: int, round_to: int = 6) -> DataFrame:
@@ -51,10 +51,15 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 5) -> D
     """
     from .parallelize import spread_for_compute
 
+    # norms hoisted to once-per-row projections (broadcast side: once per
+    # vector, period) — see cosine_from_norms for the bit-identity note
     j = (
         spread_for_compute(candidates)
-        .join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
-        .withColumn("__cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("__nc", l2_norm(F.col("cv")))
+        .join(F.broadcast(queries.withColumn("__nq", l2_norm(F.col("qv")))),
+              F.col("q_id") != F.col("c_id"))
+        .withColumn("__cos", cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("__nq"), F.col("__nc")))
     )
     return _ranked(j, k)
 
@@ -112,7 +117,8 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     cand_vec = candidates.withColumn("__v", array_to_vector(F.col("cv")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
     model = km.fit(cand_vec)
-    c_assigned = model.transform(cand_vec).select("c_id", "cv", "__cell")
+    c_assigned = (model.transform(cand_vec).select("c_id", "cv", "__cell")
+                  .withColumn("__nc", l2_norm(F.col("cv"))))
 
     centers = [list(c) for c in model.clusterCenters()]
     centers_df = queries.sparkSession.createDataFrame(
@@ -141,12 +147,14 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         .withColumn("__rk", F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.asc("__d"), F.asc("cell"))))
         .filter(F.col("__rk") <= n_probe)
-        .select("q_id", "qv", F.col("cell").alias("__cell"))
+        .select("q_id", "qv", F.col("cell").alias("__cell"),
+                l2_norm(F.col("qv")).alias("__nq"))
     )
     j = (
         c_assigned.join(F.broadcast(q_cells), on="__cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("__cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("__cos", cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("__nq"), F.col("__nc")))
     )
     return _ranked(j, k)
 
@@ -160,11 +168,14 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     bigger buckets → higher recall).
     """
     planes = hyperplanes(dim, bits)
-    q = queries.withColumn("__bkt", srp_bucket(F.col("qv"), planes))
-    c = candidates.withColumn("__bkt", srp_bucket(F.col("cv"), planes))
+    q = (queries.withColumn("__bkt", srp_bucket(F.col("qv"), planes))
+         .withColumn("__nq", l2_norm(F.col("qv"))))
+    c = (candidates.withColumn("__bkt", srp_bucket(F.col("cv"), planes))
+         .withColumn("__nc", l2_norm(F.col("cv"))))
     j = (
         c.join(F.broadcast(q), on="__bkt")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("__cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("__cos", cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("__nq"), F.col("__nc")))
     )
     return _ranked(j, k)

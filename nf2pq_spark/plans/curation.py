@@ -42,7 +42,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
-from ..functions.vectors import as_double_array, cosine, embedding_is_valid
+from ..functions.vectors import (as_double_array, cosine_from_norms,
+                                 embedding_is_valid, l2_norm)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -379,14 +380,18 @@ def l25_semdedup_srp(spark, sf_dir, n_planes=None,
         .filter(F.col("__bn") <= max_bucket).select("bucket")
     )
     paired = sig.join(F.broadcast(ok_buckets), "bucket")
+    # per-ROW norms hoisted out of the per-PAIR cosine (r14, guide §1.2):
+    # see cosine_from_norms — bit-identical values, one fold per pair
+    # instead of three
     a = paired.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
-                      "bucket")
+                      "bucket", l2_norm(F.col("v")).alias("na"))
     b = paired.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
-                      "bucket")
+                      "bucket", l2_norm(F.col("v")).alias("nb"))
     drops = (
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6)
+        .filter(F.round(cosine_from_norms(F.col("va"), F.col("vb"),
+                                          F.col("na"), F.col("nb")), 6)
                 >= _SRP_THRESHOLD)
         .select(F.col("ib").alias("vec_id"))
         .distinct()

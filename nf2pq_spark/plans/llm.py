@@ -524,15 +524,24 @@ def l3d_ivf_topk(spark, sf_dir):
     tags=("L2", "L3"),
 )
 def l3c_cosine_neardup(spark, sf_dir):
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_from_norms, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings").filter(
         embedding_is_valid("embedding"))
-    a = e.select(F.col("vec_id").alias("id_a"), as_double_array("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), as_double_array("embedding").alias("vb"))
+    # per-ROW norms hoisted out of the per-PAIR cosine (r14, guide §1.2):
+    # bit-identical values (see cosine_from_norms), one fold per pair
+    # instead of three — this is the module's O(n²) verification stage,
+    # so the per-pair constant is the whole cost
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 as_double_array("embedding").alias("va"))
+    a = a.withColumn("__na", l2_norm(F.col("va")))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 as_double_array("embedding").alias("vb"))
+    b = b.withColumn("__nb", l2_norm(F.col("vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("__cos", cosine_from_norms(F.col("va"), F.col("vb"),
+                                               F.col("__na"), F.col("__nb")))
         # 0.35: the fixture's random 64-dim vectors peak at cos ~0.51, so
         # the conventional 0.8 bar returned zero pairs at every sf — a
         # vacuous empty-vs-empty oracle match (~0.1% of pairs pass 0.35).
